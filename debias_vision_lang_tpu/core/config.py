@@ -1,0 +1,210 @@
+"""Configuration carriers for the TPU-native debias framework.
+
+The reference uses a single attr-style dict (``Dotdict``,
+reference: debias_clip/__init__.py:4-18) with UPPERCASE keys as the config
+surface of every constructor (reference: debias_clip/model/model.py:130-142,
+339-346).  We keep a behavior-compatible ``Dotdict`` as the *interchange*
+format so ``from_cfg(dict)`` call sites keep working, but the framework's own
+configuration is typed dataclasses (one per subsystem) that can be built from
+a ``Dotdict`` and validated once, instead of ``**_kwargs`` swallowing typos.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+
+class Dotdict(dict):
+    """Attribute-access dict, pickle-safe.
+
+    Behavior parity with the reference (debias_clip/__init__.py:4-18):
+    missing attributes resolve to ``None`` (``dict.get``), attribute writes
+    are item writes, and pickling round-trips.
+    """
+
+    def __getattr__(self, name: str) -> Any:
+        return super().get(name)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        super().__setitem__(name, value)
+
+    def __delattr__(self, name: str) -> None:
+        super().__delitem__(name)
+
+    def __getstate__(self):
+        return dict(self)
+
+    def __setstate__(self, state):
+        self.update(state)
+
+    # dict() copies drop the subclass; keep an explicit typed copy.
+    def copy(self) -> "Dotdict":
+        return Dotdict(self)
+
+
+# ---------------------------------------------------------------------------
+# Typed configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """Vision tower architecture (ViT or ModifiedResNet)."""
+
+    kind: str = "vit"  # "vit" | "resnet"
+    image_size: int = 224
+    patch_size: int = 16  # ViT only
+    width: int = 768
+    layers: Union[int, Tuple[int, int, int, int]] = 12  # int for ViT, 4-tuple for ResNet stages
+    heads: int = 12
+    embed_dim: int = 512  # shared image/text embedding dim
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        # class token + patches
+        return self.num_patches + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    """Text tower architecture (CLIP text transformer)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """A full dual-encoder architecture."""
+
+    name: str = "ViT-B/16"
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    # fp32 parity mode matches the reference's .float() upcasts
+    # (reference: debias_clip/model/model.py:136,170); bf16 is the TPU speed path.
+    dtype: str = "float32"
+
+    @property
+    def embed_dim(self) -> int:
+        return self.text.embed_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class DebiasConfig:
+    """Prompt-array debiasing wrapper configuration.
+
+    Field names are the lowercase forms of the reference's UPPERCASE config
+    keys (reference: debias_clip/model/model.py:144-146).
+    """
+
+    num_debias_tokens: int = 2
+    hidden_dim: int = 512
+    max_tokens: int = 77
+    n_train_vid_layers: int = 0
+    n_train_text_layers: int = 0
+    freeze_proj: bool = True
+    debias_token_init: Union[str, List[str]] = "zeros"  # "rand" | "zeros" | [words]
+    debias_pos: str = "prepend"  # "prepend" | "append" | "append_after_eos" | "add"
+
+    def __post_init__(self):
+        if self.debias_pos not in {"prepend", "append", "append_after_eos", "add"}:
+            raise NotImplementedError(
+                f"debias_pos must be one of prepend/append/append_after_eos/add, "
+                f"got {self.debias_pos!r}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class AdversaryConfig:
+    """Adversary MLP configuration (reference: debias_clip/model/model.py:339-346)."""
+
+    n_input: int = 319
+    n_output: int = 1
+    hidden_size: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """measure_bias options — the reference's dead ``opts`` parameter
+    (reference: debias_clip/measuring_bias.py:136-139), made live.
+
+    ``topn``: float = fraction of the dataset (1.0 = whole set, the reference
+    default), int = absolute top-k.  The headline paper numbers are top-k.
+    """
+
+    batch_size: int = 256
+    topn: Union[int, float] = 1.0
+    evaluations: Sequence[str] = ("maxskew", "ndkl")
+    num_workers: int = 6  # host decode threads (reference used 6 processes)
+    progress: bool = False
+    # "oracle" = numpy/pandas transliteration; "tpu" = jitted vectorized path
+    engine: str = "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Adversarial prompt-tuning loop (reconstructed spec, SURVEY.md §3.5)."""
+
+    batch_size: int = 64
+    num_epochs: int = 5
+    prompt_lr: float = 2e-3
+    adversary_lr: float = 1e-3
+    contrastive_weight: float = 1.0
+    adversarial_weight: float = 1.0
+    adversary_steps_per_prompt_step: int = 1
+    eval_every_steps: int = 500
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
+
+
+_UPPER_KEYS = {
+    "CLIP_ARCH",
+    "DEVICE",
+    "NUM_DEBIAS_TOKENS",
+    "HIDDEN_DIM",
+    "MAX_TOKENS",
+    "N_TRAIN_VID_LAYERS",
+    "N_TRAIN_TEXT_LAYERS",
+    "FREEZE_PROJ",
+    "DEBIAS_TOKEN_INIT",
+    "DEBIAS_POS",
+}
+
+
+def debias_config_from_dotdict(cfg: Union[dict, Dotdict]) -> DebiasConfig:
+    """Build a DebiasConfig from the reference's UPPERCASE-key dict convention.
+
+    Mirrors the lowercase-kwargs construction at
+    reference: debias_clip/model/model.py:138-140 (unknown keys ignored, as the
+    reference's ``**_kwargs`` swallows them).
+    """
+    cfg = Dotdict(cfg)
+    fields = {f.name for f in dataclasses.fields(DebiasConfig)}
+    kwargs = {k.lower(): v for k, v in cfg.items() if k.lower() in fields}
+    return DebiasConfig(**kwargs)
+
+
+def adversary_config_from_dotdict(cfg: Union[dict, Dotdict]) -> AdversaryConfig:
+    """Reference: debias_clip/model/model.py:339-346 (ADV_* keys)."""
+    cfg = Dotdict(cfg)
+    kwargs = {}
+    if cfg.ADV_N_INPUT is not None:
+        kwargs["n_input"] = cfg.ADV_N_INPUT
+    if cfg.ADV_N_OUTPUT is not None:
+        kwargs["n_output"] = cfg.ADV_N_OUTPUT
+    if cfg.ADV_HIDDEN_SIZE is not None:
+        kwargs["hidden_size"] = cfg.ADV_HIDDEN_SIZE
+    return AdversaryConfig(**kwargs)

@@ -1,0 +1,223 @@
+"""CLIP dual encoder — functional JAX implementation (ViT + text transformer).
+
+Replaces the external ``clip`` package the reference imports
+(reference: debias_clip/model/model.py:4,112).  The text tower is exposed
+*piecewise* — ``embed_tokens`` / ``add_positional`` / ``run_transformer`` /
+``final_norm`` / ``project_eot`` — because prompt injection happens between
+embedding and transformer (reference: debias_clip/model/model.py:208-262);
+a monolithic ``encode_text`` would not support the DebiasCLIP wrapper.
+
+TPU notes: the patch conv is a reshape + one big matmul (stride == kernel
+size, so conv == patch-flatten @ W: pure MXU work, no conv lowering); towers
+run as ``lax.scan`` over stacked resblocks with fused Pallas attention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CLIPConfig, TextConfig, VisionConfig
+from .layers import (
+    Params,
+    causal_mask,
+    init_layer_norm,
+    init_resblocks,
+    layer_norm,
+    quick_gelu,
+    transformer,
+)
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_vit_params(rng, cfg: VisionConfig) -> Params:
+    width, embed = cfg.width, cfg.embed_dim
+    scale = width ** -0.5
+    k = jax.random.split(rng, 5)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    return {
+        # [patch_h * patch_w * channels, width]; layout must match
+        # convert.py's conv-weight permutation.
+        "conv1": {"kernel": jax.random.normal(k[0], (patch_dim, width), jnp.float32)
+                  * (patch_dim ** -0.5)},
+        "class_embedding": scale * jax.random.normal(k[1], (width,), jnp.float32),
+        "positional_embedding": scale
+        * jax.random.normal(k[2], (cfg.seq_len, width), jnp.float32),
+        "ln_pre": init_layer_norm(width),
+        "resblocks": init_resblocks(k[3], cfg.layers, width),
+        "ln_post": init_layer_norm(width),
+        "proj": scale * jax.random.normal(k[4], (width, embed), jnp.float32),
+    }
+
+
+def init_text_params(rng, cfg: TextConfig) -> Params:
+    k = jax.random.split(rng, 4)
+    return {
+        "token_embedding": 0.02
+        * jax.random.normal(k[0], (cfg.vocab_size, cfg.width), jnp.float32),
+        "positional_embedding": 0.01
+        * jax.random.normal(k[1], (cfg.context_length, cfg.width), jnp.float32),
+        "resblocks": init_resblocks(k[2], cfg.layers, cfg.width),
+        "ln_final": init_layer_norm(cfg.width),
+        "text_projection": (cfg.width ** -0.5)
+        * jax.random.normal(k[3], (cfg.width, cfg.embed_dim), jnp.float32),
+    }
+
+
+def init_clip_params(rng, cfg: CLIPConfig) -> Params:
+    kv, kt = jax.random.split(rng)
+    if cfg.vision.kind == "resnet":
+        from .resnet import init_modified_resnet_params
+
+        visual = init_modified_resnet_params(kv, cfg.vision)
+    elif cfg.vision.kind in ("vit", "slip_vit"):
+        visual = init_vit_params(kv, cfg.vision)
+    else:
+        raise NotImplementedError(cfg.vision.kind)
+    return {
+        "visual": visual,
+        "text": init_text_params(kt, cfg.text),
+        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+def patch_embed(p: Params, images: jax.Array, patch: int) -> jax.Array:
+    """[B, H, W, 3] NHWC → [B, num_patches, width] via reshape + matmul."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
+    return jnp.dot(x, p["kernel"].astype(x.dtype))
+
+
+def encode_image_vit(
+    params: Params,
+    images: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """ViT forward: [B, H, W, 3] → [B, embed_dim]."""
+    p = params
+    act = quick_gelu if cfg.kind == "vit" else jax.nn.gelu  # slip_vit: plain GELU
+    x = patch_embed(p["conv1"], images.astype(dtype), cfg.patch_size)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(dtype)
+    if cfg.kind == "vit":  # SLIP's timm-style ViT has no pre-LN
+        x = layer_norm(p["ln_pre"], x)
+    x = transformer(p["resblocks"], x, cfg.heads, mask=None,
+                    use_pallas=use_pallas, act=act, remat=remat)
+    x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
+    return jnp.dot(x, p["proj"].astype(dtype))
+
+
+def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, **kw) -> jax.Array:
+    if cfg.vision.kind in ("vit", "slip_vit"):
+        return encode_image_vit(params["visual"], images, cfg.vision, **kw)
+    if cfg.vision.kind == "resnet":
+        from .resnet import encode_image_resnet
+
+        return encode_image_resnet(params["visual"], images, cfg.vision, **kw)
+    if cfg.vision.kind == "video_vit":
+        from .frozen_in_time import encode_video
+
+        return encode_video(params["visual"], images, cfg.vision, **kw)
+    raise NotImplementedError(cfg.vision.kind)
+
+
+# ---------------------------------------------------------------------------
+# Text tower — piecewise API (prompt injection hooks in between)
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Params, text: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Token-id lookup: [B, S] int → [B, S, width]."""
+    return params["token_embedding"].astype(dtype)[text]
+
+
+def add_positional(params: Params, x: jax.Array) -> jax.Array:
+    return x + params["positional_embedding"].astype(x.dtype)[: x.shape[1]]
+
+
+def run_text_transformer(
+    params: Params,
+    x: jax.Array,
+    cfg: TextConfig,
+    *,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Causal-masked transformer over embedded text, then final LayerNorm."""
+    mask = causal_mask(x.shape[1])
+    x = transformer(params["resblocks"], x, cfg.heads, mask=mask,
+                    use_pallas=use_pallas, remat=remat)
+    return layer_norm(params["ln_final"], x)
+
+
+def project_eot(params: Params, x: jax.Array, text: jax.Array) -> jax.Array:
+    """Pool at the EOT position (argmax of token ids — EOT is the largest id,
+    reference relies on this at debias_clip/model/model.py:265) and project."""
+    eot = jnp.argmax(text, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
+    return jnp.dot(pooled, params["text_projection"].astype(x.dtype))
+
+
+def encode_text(
+    params: Params,
+    text: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Vanilla CLIP text encoding: [B, 77] int tokens → [B, embed_dim]."""
+    p = params["text"]
+    x = embed_tokens(p, text, dtype=dtype)
+    x = add_positional(p, x)
+    x = run_text_transformer(p, x, cfg.text, use_pallas=use_pallas, remat=remat)
+    return project_eot(p, x, text)
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def forward(
+    params: Params,
+    images: jax.Array,
+    text: jax.Array,
+    cfg: CLIPConfig,
+    **kw,
+):
+    """CLIP forward: returns (logits_per_image, logits_per_text)
+    (reference: debias_clip/model/model.py:276-289, same normalized-cosine
+    logits with exp(logit_scale))."""
+    img = encode_image(params, images, cfg, **kw).astype(jnp.float32)
+    txt = encode_text(params, text, cfg, **kw).astype(jnp.float32)
+    img = l2_normalize(img)
+    txt = l2_normalize(txt)
+    scale = jnp.exp(params["logit_scale"])
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T

@@ -1,0 +1,174 @@
+"""Image preprocess chain: bicubic resize → center crop → normalize, fused
+into batched XLA (resize as two MXU matmuls), replacing the torchvision
+Compose the reference gets from ``clip.load`` (consumed at
+reference: debias_clip/datasets.py:58,122 and debias_clip/measuring_bias.py:142).
+
+Reference chain semantics (torchvision + PIL):
+  Resize(n_px, BICUBIC)  — short side → n_px, aspect preserved; *skipped*
+                           when the short side already equals n_px and the
+                           image is square-enough (torchvision short-circuit)
+  CenterCrop(n_px)
+  ToTensor()             — uint8 → [0, 1] float
+  Normalize(mean=(0.48145466, 0.4578275, 0.40821073),
+            std =(0.26862954, 0.26130258, 0.27577711))
+
+PIL parity: resample weights are computed with PIL's exact sampling grid
+(pixel centers at (i+0.5)·scale, bicubic a=-0.5, support 2·scale, per-output
+normalization, window clipping at borders).  PIL's uint8 path rounds to uint8
+after each of its two passes; ``emulate_uint8_rounding=True`` reproduces that
+(parity mode), the fast path keeps float32 end-to-end.  Resize itself is a
+dense [out, in] weight matrix applied along each axis — pure MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _bicubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """PIL's bicubic filter (Keys kernel, a = -0.5), support 2."""
+    x = np.abs(x)
+    return np.where(
+        x < 1.0,
+        ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, (((x - 5.0) * x + 8.0) * x - 4.0) * a, 0.0),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] resampling matrix with PIL's grid conventions."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    inv = 1.0 / filterscale
+    w = np.zeros((out_size, in_size), np.float64)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        xs = np.arange(xmin, xmax)
+        k = _bicubic((xs - center + 0.5) * inv)
+        w[xx, xmin:xmax] = k / k.sum()
+    return w.astype(np.float32)
+
+
+def resize_output_size(h: int, w: int, n_px: int) -> Tuple[int, int]:
+    """torchvision Resize(int) semantics: short side → n_px, aspect kept."""
+    if h <= w:
+        if h == n_px:
+            return h, w
+        return n_px, max(int(round(w * n_px / h)), 1)
+    if w == n_px:
+        return h, w
+    return max(int(round(h * n_px / w)), 1), n_px
+
+
+def _round_u8(x: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "emulate_uint8_rounding")
+)
+def resize_bicubic(
+    images: jax.Array,
+    out_h: int,
+    out_w: int,
+    emulate_uint8_rounding: bool = False,
+) -> jax.Array:
+    """Batched bicubic resize. images: [B, H, W, C] float32 in [0, 255].
+
+    PIL resamples horizontally first, then vertically, rounding to uint8
+    after each pass; ``emulate_uint8_rounding`` reproduces that bit-for-bit
+    behavior in float.
+    """
+    b, h, w, c = images.shape
+    x = images
+    if w != out_w:
+        ww = jnp.asarray(resize_weights(w, out_w))  # [out_w, w]
+        x = jnp.einsum("ow,bhwc->bhoc", ww, x)
+        if emulate_uint8_rounding:
+            x = _round_u8(x)
+    if h != out_h:
+        wh = jnp.asarray(resize_weights(h, out_h))  # [out_h, h]
+        x = jnp.einsum("oh,bhwc->bowc", wh, x)
+        if emulate_uint8_rounding:
+            x = _round_u8(x)
+    return x
+
+
+def center_crop_slice(size: int, crop: int) -> slice:
+    """torchvision CenterCrop offset: round((size - crop) / 2)."""
+    top = int(round((size - crop) / 2.0))
+    return slice(top, top + crop)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_px", "emulate_uint8_rounding")
+)
+def preprocess_batch(
+    images_u8: jax.Array,
+    n_px: int = 224,
+    emulate_uint8_rounding: bool = False,
+) -> jax.Array:
+    """Fused device preprocess: uint8 [B, H, W, 3] → normalized float32
+    [B, n_px, n_px, 3] (NHWC, the TPU-native layout)."""
+    b, h, w, _ = images_u8.shape
+    x = images_u8.astype(jnp.float32)
+    rh, rw = resize_output_size(h, w, n_px)
+    x = resize_bicubic(x, rh, rw, emulate_uint8_rounding)
+    if rh < n_px or rw < n_px:  # CenterCrop pads when smaller
+        ph, pw = max(n_px - rh, 0), max(n_px - rw, 0)
+        x = jnp.pad(x, ((0, 0), (ph // 2 + ph % 2, ph // 2),
+                        (pw // 2 + pw % 2, pw // 2), (0, 0)))
+        rh, rw = x.shape[1], x.shape[2]
+    x = x[:, center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(CLIP_STD, jnp.float32) * 255.0
+    return (x - mean) / std
+
+
+class Preprocess:
+    """Per-image callable mirroring the reference's preprocess transform
+    (PIL.Image or uint8 array → normalized float32 [n_px, n_px, 3] HWC).
+
+    Batched use should go through ``preprocess_batch`` directly — this
+    per-image wrapper exists for reference-API parity in datasets / examples.
+    """
+
+    def __init__(self, n_px: int = 224, emulate_uint8_rounding: bool = True):
+        self.n_px = n_px
+        self.emulate_uint8_rounding = emulate_uint8_rounding
+
+    def __call__(self, img) -> np.ndarray:
+        arr = to_rgb_array(img)
+        out = preprocess_batch(
+            jnp.asarray(arr[None]), self.n_px, self.emulate_uint8_rounding
+        )
+        return np.asarray(out[0])
+
+
+def to_rgb_array(img) -> np.ndarray:
+    """PIL image / array → uint8 [H, W, 3]."""
+    if isinstance(img, np.ndarray):
+        arr = img
+    else:  # PIL image
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr.astype(np.uint8)
+
+
+def build_preprocess(n_px: int = 224) -> Preprocess:
+    return Preprocess(n_px=n_px)

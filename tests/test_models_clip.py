@@ -1,0 +1,153 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+from debias_vision_lang_tpu.models import clip as clip_model
+from debias_vision_lang_tpu.models.layers import causal_mask, quick_gelu
+from debias_vision_lang_tpu.ops.attention import attention_reference
+
+
+class TestQuickGelu:
+    def test_values(self):
+        x = jnp.array([-2.0, 0.0, 2.0])
+        expected = x * jax.nn.sigmoid(1.702 * x)
+        np.testing.assert_allclose(quick_gelu(x), expected)
+
+
+class TestCausalMask:
+    def test_structure(self):
+        m = np.asarray(causal_mask(4))
+        assert (np.diag(m) == 0).all()
+        assert m[0, 1] == -np.inf and m[3, 0] == 0
+
+
+class TestViTForward:
+    def test_encode_image_shape(self, tiny_clip):
+        cfg, params = tiny_clip
+        imgs = jnp.ones((2, 32, 32, 3), jnp.float32)
+        out = clip_model.encode_image(params, imgs, cfg, use_pallas=False)
+        assert out.shape == (2, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_patch_embed_equals_conv(self, tiny_clip):
+        """reshape+matmul patch embed == strided conv with the same weights."""
+        cfg, params = tiny_clip
+        p = cfg.vision.patch_size
+        kernel = params["visual"]["conv1"]["kernel"]  # [p*p*3, width]
+        imgs = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+        ours = clip_model.patch_embed(params["visual"]["conv1"], imgs, p)
+        conv_kernel = kernel.reshape(p, p, 3, cfg.vision.width)
+        ref = jax.lax.conv_general_dilated(
+            imgs, conv_kernel, (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(2, -1, cfg.vision.width)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+
+    def test_batch_independence(self, tiny_clip):
+        cfg, params = tiny_clip
+        imgs = jax.random.normal(jax.random.key(2), (3, 32, 32, 3))
+        full = clip_model.encode_image(params, imgs, cfg, use_pallas=False)
+        single = clip_model.encode_image(params, imgs[1:2], cfg, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(full[1]), np.asarray(single[0]), atol=1e-5)
+
+
+class TestTextForward:
+    def _tokens(self, cfg, batch=2):
+        # synthetic tokens: SOT=vocab-2, EOT=vocab-1 framing
+        v = cfg.text.vocab_size
+        t = np.zeros((batch, cfg.text.context_length), np.int32)
+        t[:, 0] = v - 2
+        lengths = [5, 9][:batch]
+        for i, l in enumerate(lengths):
+            t[i, 1:l] = np.arange(1, l) % 100 + 1
+            t[i, l] = v - 1
+        return jnp.asarray(t)
+
+    def test_encode_text_shape(self, tiny_clip):
+        cfg, params = tiny_clip
+        out = clip_model.encode_text(params, self._tokens(cfg), cfg, use_pallas=False)
+        assert out.shape == (2, 32)
+
+    def test_eot_pooling_position(self, tiny_clip):
+        """Changing tokens AFTER the EOT (padding) must not change the output
+        (causal mask + EOT pooling)."""
+        cfg, params = tiny_clip
+        t = np.asarray(self._tokens(cfg))
+        out1 = clip_model.encode_text(params, jnp.asarray(t), cfg, use_pallas=False)
+        t2 = t.copy()
+        t2[0, 8:] = 3  # after EOT at position 5; ids stay < EOT id
+        out2 = clip_model.encode_text(params, jnp.asarray(t2), cfg, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5)
+
+    def test_causality(self, tiny_clip):
+        """Tokens BEFORE the EOT do change the output (sanity)."""
+        cfg, params = tiny_clip
+        t = np.asarray(self._tokens(cfg))
+        out1 = clip_model.encode_text(params, jnp.asarray(t), cfg, use_pallas=False)
+        t2 = t.copy()
+        t2[0, 2] = 7
+        out2 = clip_model.encode_text(params, jnp.asarray(t2), cfg, use_pallas=False)
+        assert np.abs(np.asarray(out1[0]) - np.asarray(out2[0])).max() > 1e-6
+
+
+class TestFullForward:
+    def test_logits(self, tiny_clip):
+        cfg, params = tiny_clip
+        imgs = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+        v = cfg.text.vocab_size
+        t = np.zeros((3, 16), np.int32)
+        t[:, 0] = v - 2
+        t[:, 1] = 5
+        t[:, 2] = v - 1
+        li, lt = clip_model.forward(params, imgs, jnp.asarray(t), cfg, use_pallas=False)
+        assert li.shape == (2, 3) and lt.shape == (3, 2)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, atol=1e-6)
+
+
+class TestResNet:
+    @pytest.fixture(scope="class")
+    def tiny_rn(self):
+        cfg = CLIPConfig(
+            name="tiny-rn",
+            vision=VisionConfig(kind="resnet", image_size=64, width=16,
+                                layers=(1, 1, 1, 1), heads=8, embed_dim=32),
+            text=TextConfig(vocab_size=512, context_length=16, width=32,
+                            layers=2, heads=2, embed_dim=32),
+        )
+        params = clip_model.init_clip_params(jax.random.key(0), cfg)
+        return cfg, params
+
+    def test_encode_image_shape(self, tiny_rn):
+        cfg, params = tiny_rn
+        imgs = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+        out = clip_model.encode_image(params, imgs, cfg)
+        assert out.shape == (2, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_stride_arithmetic(self, tiny_rn):
+        """Total downsampling: stem(2) * pool(2) * stages(8) = 32."""
+        from debias_vision_lang_tpu.models.resnet import (
+            avg_pool, batch_norm, bottleneck, conv,
+        )
+        cfg, params = tiny_rn
+        p = params["visual"]
+        x = jnp.ones((1, 64, 64, 3))
+        x = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x, stride=2, padding=1)))
+        assert x.shape[1] == 32
+
+
+class TestAttentionReference:
+    def test_softmax_rows(self):
+        q = jax.random.normal(jax.random.key(0), (1, 2, 4, 8))
+        out = attention_reference(q, q, q)
+        assert out.shape == (1, 2, 4, 8)
+
+    def test_mask_blocks_future(self):
+        k = jax.random.key(1)
+        q, kk, v = (jax.random.normal(jax.random.fold_in(k, i), (1, 1, 4, 8)) for i in range(3))
+        m = causal_mask(4)
+        out = attention_reference(q, kk, v, m)
+        # first query position can only attend to itself → output = v[0]
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(v[0, 0, 0]), atol=1e-5)

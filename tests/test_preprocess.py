@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from debias_vision_lang_tpu.vision.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    Preprocess,
+    preprocess_batch,
+    resize_bicubic,
+    resize_output_size,
+    resize_weights,
+)
+
+
+class TestResizeWeights:
+    def test_rows_normalized(self):
+        w = resize_weights(300, 224)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_identity_when_same_size(self):
+        w = resize_weights(224, 224)
+        np.testing.assert_allclose(w, np.eye(224), atol=1e-6)
+
+    def test_shape(self):
+        assert resize_weights(448, 224).shape == (224, 448)
+
+
+class TestResizeOutputSize:
+    def test_short_side_semantics(self):
+        assert resize_output_size(300, 400, 224) == (224, 299)
+        assert resize_output_size(400, 300, 224) == (299, 224)
+
+    def test_short_circuit(self):
+        # torchvision skips when short side already matches
+        assert resize_output_size(224, 224, 224) == (224, 224)
+        assert resize_output_size(224, 500, 224) == (224, 500)
+
+
+def _pil_resize(arr, out_w, out_h):
+    return np.asarray(Image.fromarray(arr).resize((out_w, out_h), Image.BICUBIC))
+
+
+class TestPILParity:
+    @pytest.mark.parametrize("in_size,out_size", [(300, 224), (448, 224), (100, 224), (224, 288)])
+    def test_bicubic_matches_pil(self, rng, in_size, out_size):
+        arr = rng.integers(0, 256, (in_size, in_size, 3), dtype=np.uint8)
+        ours = np.asarray(
+            resize_bicubic(arr[None].astype(np.float32), out_size, out_size,
+                           emulate_uint8_rounding=True)
+        )[0]
+        ref = _pil_resize(arr, out_size, out_size).astype(np.float32)
+        # PIL uses fixed-point coefficients; float path agrees within 1 LSB
+        assert np.abs(ours - ref).max() <= 1.0 + 1e-4
+
+    def test_non_square(self, rng):
+        arr = rng.integers(0, 256, (180, 320, 3), dtype=np.uint8)
+        ours = np.asarray(
+            resize_bicubic(arr[None].astype(np.float32), 224, 398,
+                           emulate_uint8_rounding=True)
+        )[0]
+        ref = _pil_resize(arr, 398, 224).astype(np.float32)
+        assert np.abs(ours - ref).max() <= 1.0 + 1e-4
+
+
+class TestPreprocessBatch:
+    def test_output_shape_layout(self, rng):
+        imgs = rng.integers(0, 256, (4, 300, 300, 3), dtype=np.uint8)
+        out = np.asarray(preprocess_batch(imgs, 224))
+        assert out.shape == (4, 224, 224, 3)
+
+    def test_normalization_constants(self):
+        # a constant image of exactly the mean must map to ~0
+        mean_img = np.tile(
+            (np.array(CLIP_MEAN) * 255.0).astype(np.uint8), (1, 224, 224, 1)
+        )
+        out = np.asarray(preprocess_batch(mean_img, 224))
+        assert np.abs(out).max() < 0.02  # uint8 quantization slack
+
+    def test_identity_resize_path(self, rng):
+        # FairFace images are already 224×224: only crop+normalize applies
+        imgs = rng.integers(0, 256, (2, 224, 224, 3), dtype=np.uint8)
+        out = np.asarray(preprocess_batch(imgs, 224))
+        expected = (imgs.astype(np.float32) / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_upscale_pad_crop(self, rng):
+        imgs = rng.integers(0, 256, (1, 100, 80, 3), dtype=np.uint8)
+        out = np.asarray(preprocess_batch(imgs, 224))
+        assert out.shape == (1, 224, 224, 3)
+
+
+class TestPerImageWrapper:
+    def test_pil_input(self, rng):
+        arr = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+        pre = Preprocess(224)
+        out = pre(Image.fromarray(arr))
+        assert out.shape == (224, 224, 3)
+        assert out.dtype == np.float32
+
+    def test_grayscale_converted(self, rng):
+        arr = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+        out = Preprocess(224)(Image.fromarray(arr, mode="L"))
+        assert out.shape == (224, 224, 3)
+
+    def test_full_chain_vs_pil_oracle(self, rng):
+        """End-to-end vs PIL resize + crop + normalize (the reference chain)."""
+        arr = rng.integers(0, 256, (320, 280, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+        # oracle: torchvision semantics via PIL
+        rh, rw = resize_output_size(320, 280, 224)
+        ref = np.asarray(img.resize((rw, rh), Image.BICUBIC)).astype(np.float32)
+        top = int(round((rh - 224) / 2.0))
+        left = int(round((rw - 224) / 2.0))
+        ref = ref[top : top + 224, left : left + 224]
+        ref = (ref / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+        ours = Preprocess(224)(img)
+        assert np.abs(ours - ref).max() <= (1.0 / 255.0) / min(CLIP_STD) + 1e-4

@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.text.bpe import (
+    BPE,
+    build_vocab,
+    bytes_to_unicode,
+)
+from debias_vision_lang_tpu.text.cleaning import clean, whitespace_clean
+from debias_vision_lang_tpu.text.tokenizer import ClipTokenizer
+
+
+class TestBytesToUnicode:
+    def test_bijective_256(self):
+        m = bytes_to_unicode()
+        assert len(m) == 256
+        assert len(set(m.values())) == 256
+
+    def test_printable_ascii_identity(self):
+        m = bytes_to_unicode()
+        for b in range(ord("!"), ord("~") + 1):
+            assert m[b] == chr(b)
+
+    def test_space_remapped(self):
+        m = bytes_to_unicode()
+        assert m[ord(" ")] != " "
+
+
+class TestVocabConstruction:
+    def test_eot_is_max_id(self, toy_tokenizer):
+        # the EOT-argmax pooling trick (reference model/model.py:265)
+        # requires EOT to be the largest id for ANY vocab
+        assert toy_tokenizer.eot_token == toy_tokenizer.vocab_size - 1
+        assert toy_tokenizer.sot_token == toy_tokenizer.vocab_size - 2
+
+    def test_real_vocab_size_formula(self):
+        # 2*256 base + merges + 2 specials; CLIP's real file → 49408
+        merges = [("a", "b"), ("c", "d</w>")]
+        vocab = build_vocab(merges)
+        assert len(vocab) == 512 + 2 + 2
+
+
+class TestBPEAlgorithm:
+    def test_merge_priority(self):
+        # lower-rank merges apply first
+        bpe = BPE([("a", "b"), ("ab", "c</w>")])
+        assert bpe("abc") == "abc</w>"
+
+    def test_no_merge_fallthrough(self):
+        bpe = BPE([("x", "y")])
+        assert bpe("ab") == "a b</w>"
+
+    def test_end_of_word_marker(self):
+        bpe = BPE([])
+        assert bpe("a") == "a</w>"
+
+    def test_word_final_merge_needs_eow_variant(self):
+        # ("a","b") cannot fire on word-final "b" (which is "b</w>")
+        bpe = BPE([("a", "b")])
+        assert bpe("ab") == "a b</w>"
+
+    def test_cache_consistency(self):
+        bpe = BPE([("a", "b</w>")])
+        assert bpe("ab") == bpe("ab") == "ab</w>"
+
+
+class TestCleaning:
+    def test_whitespace_collapse(self):
+        assert whitespace_clean("a   b\t\nc ") == "a b c"
+
+    def test_html_double_unescape(self):
+        # &amp;amp; → &amp; → &  (double unescape, CLIP behavior)
+        assert clean("&amp;amp;") == "&"
+
+    def test_strip(self):
+        assert clean("  hello  ") == "hello"
+
+
+class TestTokenize:
+    def test_shape_and_dtype(self, toy_tokenizer):
+        out = toy_tokenizer(["the cat", "a dog"])
+        assert out.shape == (2, 16)
+        assert out.dtype == np.int32
+
+    def test_sot_eot_framing(self, toy_tokenizer):
+        out = toy_tokenizer("the cat")[0]
+        assert out[0] == toy_tokenizer.sot_token
+        eot_pos = int(np.argmax(out))
+        assert out[eot_pos] == toy_tokenizer.eot_token
+        # zero padding after EOT
+        assert (out[eot_pos + 1 :] == 0).all()
+
+    def test_eot_argmax_trick(self, toy_tokenizer):
+        # argmax over ids must locate EOT (downstream pooling relies on it)
+        out = toy_tokenizer(["the cat", "a dog and a cat"])
+        for row in out:
+            assert row[np.argmax(row)] == toy_tokenizer.eot_token
+
+    def test_lowercasing(self, toy_tokenizer):
+        assert (toy_tokenizer("THE CAT") == toy_tokenizer("the cat")).all()
+
+    def test_too_long_raises(self, toy_tokenizer):
+        long_text = "z " * 50
+        with pytest.raises(RuntimeError):
+            toy_tokenizer(long_text)
+
+    def test_truncate(self, toy_tokenizer):
+        out = toy_tokenizer("z " * 50, truncate=True)[0]
+        assert out[0] == toy_tokenizer.sot_token
+        assert out[-1] == toy_tokenizer.eot_token
+        assert (out != 0).all()
+
+    def test_single_string_batches(self, toy_tokenizer):
+        assert toy_tokenizer("the cat").shape == (1, 16)
+
+    def test_decode_roundtrip(self, toy_tokenizer):
+        ids = toy_tokenizer.encode("the cat is a dog")
+        assert toy_tokenizer.decode(ids).strip() == "the cat is a dog"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        __import__("debias_vision_lang_tpu.core.paths", fromlist=["BPE_VOCAB_PATH"]).BPE_VOCAB_PATH
+    ),
+    reason="real CLIP BPE vocab not present (requires network fetch)",
+)
+class TestRealVocabGolden:
+    """Golden ids recorded from OpenAI clip.tokenize — run when the real
+    merges file is available."""
+
+    def test_golden_ids(self):
+        from debias_vision_lang_tpu.text.tokenizer import load_tokenizer
+
+        tok = load_tokenizer()
+        assert tok.vocab_size == 49408
+        assert tok.sot_token == 49406 and tok.eot_token == 49407
+        out = tok(["a photo of a cat"])[0]
+        assert out[0] == 49406
+        assert out[int(np.argmax(out))] == 49407
