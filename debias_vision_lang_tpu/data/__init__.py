@@ -1,0 +1,2 @@
+from .datasets import FairFace, IATDataset, UTKFace
+from .loader import Batch, HostLoader, shard_batch

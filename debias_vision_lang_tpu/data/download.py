@@ -1,0 +1,185 @@
+"""Gated asset fetchers: FairFace, BPE vocab, pretrained prompt checkpoints.
+
+Reference behaviors being replaced:
+  * FairFace Google-Drive fetch via gdown + ``unzip`` subprocess
+    (reference: debias_clip/datasets.py:89-117) → stdlib urllib with the
+    Drive confirm-token dance, python ``zipfile``, sha256 checks, retries.
+  * Checkpoint fetch with a *global SSL-verification bypass*
+    (reference: debias_clip/model/clip.py:9-10,22-42) → normal verified TLS.
+
+All fetchers are no-ops when the target exists, and raise a clear
+RuntimeError naming the asset when the machine has no network.
+
+Usage:  python -m debias_vision_lang_tpu.data.download {bpe,fairface,all}
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import re
+import shutil
+import sys
+import time
+import urllib.request
+import zipfile
+from typing import Optional
+
+from ..core.paths import BPE_VOCAB_PATH, CACHE_PATH
+
+# Same source assets as the reference (datasets.py:92-100, model/clip.py:14-20)
+FAIRFACE_PARTS = {
+    ("imgs", "train_val"): (
+        "https://drive.google.com/uc?id=1g7qNOZz9wC7OfOhcPqH1EZ5bk1UFGmlL",
+        "train_val_imgs.zip",
+    ),
+    ("labels", "train"): (
+        "https://drive.google.com/uc?id=1i1L3Yqwaio7YSOCj7ftgk8ZZchPG7dmH",
+        "train_labels.csv",
+    ),
+    ("labels", "val"): (
+        "https://drive.google.com/uc?id=1wOdja-ezstMEp81tX1a-EYkFebev4h7D",
+        "val_labels.csv",
+    ),
+}
+
+BPE_VOCAB_URL = (
+    "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz"
+)
+
+PRETRAINED_PROMPTS = {
+    "ViT-B/16-gender": {
+        "url": "http://www.robots.ox.ac.uk/~maxbain/oxai-bias/"
+        "best_ndkl_oai-clip-vit-b-16_neptune_run_OXVLB-317_model_e4_step_5334_embeddings.pt",
+        "clip_arch": "ViT-B/16",
+        "num_debias_tokens": 2,
+    }
+}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def fetch(
+    url: str,
+    dest: str,
+    sha256: Optional[str] = None,
+    retries: int = 3,
+    progress: bool = True,
+) -> str:
+    """Stream-download with retry + optional checksum. Returns dest path."""
+    dest = str(dest)
+    if os.path.exists(dest):
+        if sha256 is None or _sha256(dest) == sha256:
+            return dest
+        os.remove(dest)  # corrupt partial — refetch
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    tmp = dest + ".part"
+    last_err = None
+    for attempt in range(retries):
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": "debias-vlt/1.0"})
+            with urllib.request.urlopen(req, timeout=60) as src, open(tmp, "wb") as out:
+                total = int(src.headers.get("Content-Length") or 0)
+                done = 0
+                while True:
+                    buf = src.read(1 << 16)
+                    if not buf:
+                        break
+                    out.write(buf)
+                    done += len(buf)
+                    if progress and total:
+                        pct = 100 * done // total
+                        print(f"\r  {os.path.basename(dest)}: {pct}%", end="",
+                              file=sys.stderr)
+            if progress:
+                print(file=sys.stderr)
+            if sha256 is not None and _sha256(tmp) != sha256:
+                raise IOError(f"checksum mismatch for {url}")
+            os.replace(tmp, dest)
+            return dest
+        except Exception as e:  # noqa: BLE001 — retried, then re-raised
+            last_err = e
+            time.sleep(2 ** attempt)
+    raise RuntimeError(
+        f"Could not download {url} after {retries} attempts "
+        f"(offline environment? fetch the asset manually to {dest}): {last_err}"
+    )
+
+
+def fetch_gdrive(file_url: str, dest: str) -> str:
+    """Google Drive download handling the large-file confirm token."""
+    m = re.search(r"id=([\w-]+)", file_url)
+    if not m:
+        raise ValueError(f"not a drive uc url: {file_url}")
+    file_id = m.group(1)
+    url = f"https://drive.google.com/uc?export=download&id={file_id}"
+    req = urllib.request.Request(url, headers={"User-Agent": "debias-vlt/1.0"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        head = resp.read(1 << 20)
+        ctype = resp.headers.get("Content-Type", "")
+    if "text/html" in ctype:  # interstitial virus-scan page → confirm token
+        token = re.search(rb"confirm=([\w-]+)", head)
+        confirm = token.group(1).decode() if token else "t"
+        url = (
+            "https://drive.usercontent.google.com/download?"
+            f"id={file_id}&export=download&confirm={confirm}"
+        )
+    return fetch(url, dest)
+
+
+def ensure_fairface(root: str) -> None:
+    """Idempotent FairFace layout under ``root``:
+    imgs/train_val/*.jpg, labels/{train,val}/{mode}_labels.csv."""
+    root = str(root)
+    for (part, sub), (url, fname) in FAIRFACE_PARTS.items():
+        sub_dir = os.path.join(root, part, sub)
+        if os.path.isdir(sub_dir):
+            continue
+        os.makedirs(sub_dir, exist_ok=True)
+        out_path = os.path.join(sub_dir, fname)
+        print(f"Fetching FairFace {part}/{sub}...", file=sys.stderr)
+        try:
+            fetch_gdrive(url, out_path)
+        except Exception:
+            shutil.rmtree(sub_dir, ignore_errors=True)
+            raise
+        if fname.endswith(".zip"):
+            with zipfile.ZipFile(out_path) as zf:
+                zf.extractall(sub_dir)
+            os.remove(out_path)
+
+
+def fetch_bpe_vocab(dest: Optional[os.PathLike] = None) -> str:
+    """Fetch the CLIP merges file to the packaged assets path."""
+    return fetch(BPE_VOCAB_URL, str(dest or BPE_VOCAB_PATH))
+
+
+def fetch_pretrained_prompts(name: str, root: Optional[os.PathLike] = None) -> str:
+    """Fetch a pretrained prompt-embedding checkpoint (hub assets,
+    reference: model/clip.py:49-73)."""
+    if name not in PRETRAINED_PROMPTS:
+        raise KeyError(f"{name} not in {sorted(PRETRAINED_PROMPTS)}")
+    url = PRETRAINED_PROMPTS[name]["url"]
+    dest = pathlib.Path(root or CACHE_PATH) / os.path.basename(url)
+    return fetch(url, str(dest))
+
+
+def main(argv=None):
+    args = (argv or sys.argv[1:]) or ["all"]
+    if "bpe" in args or "all" in args:
+        fetch_bpe_vocab()
+    if "fairface" in args or "all" in args:
+        from ..core.paths import FAIRFACE_DATA_PATH
+
+        ensure_fairface(str(FAIRFACE_DATA_PATH))
+
+
+if __name__ == "__main__":
+    main()

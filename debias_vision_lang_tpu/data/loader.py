@@ -1,0 +1,110 @@
+"""Host-ingest loader: threaded image decode → fixed-shape device batches.
+
+Replaces the reference's ``DataLoader(batch_size=256, num_workers=6)``
+(reference: debias_clip/measuring_bias.py:142) with a TPU-appropriate
+pipeline: PIL JPEG decode on host threads (libjpeg releases the GIL), images
+stacked as raw uint8 [B, H, W, 3] (4× less host→device traffic than float32),
+the resize/crop/normalize chain fused on-device (vision/preprocess.py), and
+optional ``NamedSharding`` placement so each batch lands already sharded over
+the data mesh.
+
+The last partial batch is padded to the fixed batch size (static shapes for
+XLA) and accompanied by a validity count so consumers can drop the padding.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import threading
+from typing import Iterator, NamedTuple, Optional
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    images: np.ndarray  # uint8 [B, H, W, 3]
+    labels: np.ndarray  # int32 [B]
+    num_valid: int  # <= B; rest is padding
+
+
+class HostLoader:
+    """Iterates a dataset (needs ``load_image(i)`` and ``iat_labels``) in
+    fixed-size batches with ``num_workers`` decode threads and double-buffered
+    prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 256,
+        num_workers: int = 6,
+        prefetch: int = 2,
+        drop_remainder: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
+        self.drop_remainder = drop_remainder
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        bounds = [
+            (s, min(s + self.batch_size, n))
+            for s in range(0, n, self.batch_size)
+        ]
+        if self.drop_remainder:
+            bounds = [(s, e) for s, e in bounds if e - s == self.batch_size]
+        if not bounds:
+            return
+
+        last = bounds[-1][1]
+        # Per-image decode futures with a sliding submission window: the pool
+        # only ever runs leaf decode tasks (no nested submission → no
+        # thread-pool deadlock), while `prefetch` batches stay in flight.
+        window = self.prefetch * self.batch_size
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = {}
+            next_submit = 0
+
+            def top_up(until: int):
+                nonlocal next_submit
+                while next_submit < min(until, last):
+                    futures[next_submit] = pool.submit(
+                        self.dataset.load_image, next_submit
+                    )
+                    next_submit += 1
+
+            top_up(window)
+            for s, e in bounds:
+                top_up(e + window)
+                images = [futures.pop(i).result() for i in range(s, e)]
+                labels = np.asarray(
+                    [self.dataset.iat_labels[i] for i in range(s, e)], np.int32
+                )
+                num_valid = e - s
+                if num_valid < self.batch_size:  # pad to fixed shape
+                    pad = self.batch_size - num_valid
+                    images = images + [np.zeros_like(images[0])] * pad
+                    labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+                yield Batch(np.stack(images), labels, num_valid)
+
+
+def shard_batch(batch: Batch, mesh=None, data_axis: str = "data"):
+    """Place a host batch onto the device mesh, batch dim sharded over
+    ``data_axis``.  Without a mesh, plain device_put."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        return jax.device_put(batch.images), jax.device_put(batch.labels)
+    sharding = NamedSharding(mesh, P(data_axis))
+    return (
+        jax.device_put(batch.images, sharding),
+        jax.device_put(batch.labels, sharding),
+    )

@@ -1,0 +1,199 @@
+"""Bias measurement: the reference's top-level ``measure_bias`` API
+(reference: debias_clip/measuring_bias.py:136-156) as a sharded
+embed-then-rank pipeline.
+
+Pipeline (collapses the reference's three hot loops — SURVEY.md §3.3):
+  1. host threads decode JPEGs → uint8 batches (data/loader.py);
+  2. one jitted step per batch fuses preprocess (resize/crop/normalize) with
+     the image tower, batch sharded over the ``data`` mesh axis;
+  3. prompts tokenized once, encoded in one batch, L2-normalized
+     (reference: measuring_bias.py:75-82 — note the reference normalizes
+     prompts but NOT image embeddings; reproduced);
+  4. scores = prompts @ images.T in one MXU matmul; MaxSkew/NDKL via the
+     jitted top-k + prefix-KL kernel (metrics/ranking.py), or the numpy
+     oracle when opts.engine == "oracle".
+
+The reference's dead ``opts`` parameter (measuring_bias.py:136,139) is live
+here: batch_size, topn, evaluations, engine, num_workers, dataset, mode,
+equal_split and n_samples are honored.  Signature stays
+``measure_bias(cliplike, img_preproc, tokenizer, attribute, opts)``; note the
+reference README advertises a 2-arg call that its own code never supported
+(README.md:145 vs measuring_bias.py:139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core.config import Dotdict, EvalConfig
+from ..core.paths import PROMPT_DATA_PATH
+from ..data.loader import HostLoader
+from ..metrics import oracle as metrics_oracle
+from ..metrics.oracle import resolve_topn
+from ..metrics.ranking import ranking_metrics
+from ..vision.preprocess import Preprocess, preprocess_batch
+
+
+def gen_prompts(prompt_path=None) -> List[str]:
+    """Evaluation prompt set: every non-blank template × every concept
+    (11 × 29 = 319 for the shipped CSV; reference: measuring_bias.py:122-133)."""
+    raw = pd.read_csv(prompt_path or PROMPT_DATA_PATH, keep_default_na=False)
+    templates = [str(t).strip() for t in raw["template"].tolist()]
+    concepts = [str(c).strip() for c in raw["concept"].tolist()]
+    return [t.format(c) for t in templates if t for c in concepts]
+
+
+def _resolve_opts(opts) -> EvalConfig:
+    if opts is None:
+        return EvalConfig()
+    if isinstance(opts, EvalConfig):
+        return opts
+    fields = {f.name for f in dataclasses.fields(EvalConfig)}
+    return EvalConfig(**{k: v for k, v in dict(opts).items() if k in fields})
+
+
+def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
+    """Tokenize + encode_text + L2-normalize (reference: measuring_bias.py:75-82)."""
+    tokens = jnp.asarray(np.asarray(tokenizer(prompts)), jnp.int32)
+    emb = model.encode_text(tokens).astype(jnp.float32)
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def get_labels_img_embeddings(
+    loader: HostLoader,
+    model,
+    n_px: int = 224,
+    mesh=None,
+    progress: bool = False,
+    host_transform: Optional[Callable] = None,
+):
+    """Embed every image; returns (labels [N], embeddings [N, D] on device).
+
+    Fuses device preprocess + image tower under one jit; image embeddings are
+    deliberately NOT normalized (reference: measuring_bias.py:85-99 stores raw
+    encode_image outputs).
+    """
+    from ..parallel.mesh import shard_batch_arrays
+
+    @jax.jit
+    def embed_step(images_u8):
+        x = preprocess_batch(images_u8, n_px)
+        return model.encode_image(x).astype(jnp.float32)
+
+    @jax.jit
+    def embed_step_pre(images_f32):
+        return model.encode_image(images_f32).astype(jnp.float32)
+
+    all_embs, all_labels = [], []
+    iterator = loader
+    if progress:
+        import tqdm
+
+        iterator = tqdm.tqdm(loader, desc="Embedding images")
+    for batch in iterator:
+        if host_transform is not None:
+            imgs = np.stack([host_transform(im) for im in batch.images])
+            if mesh is not None:
+                imgs = shard_batch_arrays(mesh, imgs)
+            emb = embed_step_pre(imgs)
+        else:
+            imgs = batch.images
+            if mesh is not None:
+                imgs = shard_batch_arrays(mesh, imgs)
+            emb = embed_step(imgs)
+        all_embs.append(np.asarray(emb[: batch.num_valid]))
+        all_labels.append(batch.labels[: batch.num_valid])
+    return np.concatenate(all_labels), jnp.asarray(np.concatenate(all_embs))
+
+
+def eval_ranking(
+    labels_list,
+    image_embeddings,
+    prompts_embeddings,
+    evaluation: str = "maxskew",
+    topn: Union[int, float] = 1.0,
+    engine: str = "tpu",
+) -> Dict[str, float]:
+    """Reference-signature ranking evaluation (measuring_bias.py:102-119):
+    per-prompt metrics averaged over prompts, keys stripped of the
+    evaluation prefix."""
+    if engine == "oracle":
+        return metrics_oracle.eval_ranking_oracle(
+            np.asarray(labels_list), np.asarray(image_embeddings),
+            np.asarray(prompts_embeddings), evaluation, topn)
+    labels = jnp.asarray(np.asarray(labels_list), jnp.int32)
+    img = jnp.asarray(image_embeddings, jnp.float32)
+    prm = jnp.asarray(prompts_embeddings, jnp.float32)
+    top_n = resolve_topn(topn, img.shape[0])
+    n_classes = int(np.asarray(labels_list).max()) + 1
+    scores = prm @ img.T
+    metrics = ranking_metrics(scores, labels, top_n, n_classes)
+    prefix = evaluation + "_"
+    return {k[len(prefix):]: float(jnp.mean(v))
+            for k, v in metrics.items() if k.startswith(prefix)}
+
+
+def measure_bias(
+    cliplike,
+    img_preproc,
+    tokenizer,
+    attribute: str = "gender",
+    opts: Union[dict, Dotdict, EvalConfig, None] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Measure ranking bias of a CLIP-like model on FairFace (or UTKFace).
+
+    Reference semantics (measuring_bias.py:139-156): FairFace val split with
+    equal_split gender balancing, 319 generated prompts, MaxSkew + NDKL with
+    topn defaulting to the whole dataset.  Lower = less biased.
+    """
+    cfg = _resolve_opts(opts)
+    extra = dict(opts) if isinstance(opts, (dict, Dotdict)) else {}
+
+    dataset_name = extra.get("dataset", "fairface")
+    mode = extra.get("mode", "val")
+    n_samples = extra.get("n_samples")
+    equal_split = extra.get("equal_split", True)
+    data_path = extra.get("data_path")
+
+    if dataset_name == "fairface":
+        from ..data.datasets import FairFace
+
+        ds = FairFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
+                      equal_split=equal_split, data_path=data_path)
+    elif dataset_name == "utkface":
+        from ..data.datasets import UTKFace
+
+        ds = UTKFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
+                     equal_split=equal_split, data_path=data_path)
+    else:
+        raise NotImplementedError(f"dataset={dataset_name!r}")
+
+    loader = HostLoader(ds, batch_size=cfg.batch_size, num_workers=cfg.num_workers)
+
+    # our Preprocess object → fused device path; any other callable → host path
+    if isinstance(img_preproc, Preprocess):
+        n_px, host_transform = img_preproc.n_px, None
+    elif img_preproc is None:
+        n_px, host_transform = 224, None
+    else:
+        n_px, host_transform = 224, img_preproc
+
+    mesh = extra.get("mesh")
+    labels, img_embs = get_labels_img_embeddings(
+        loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
+        host_transform=host_transform)
+
+    prompts = gen_prompts()
+    prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)
+
+    return {
+        evaluation: eval_ranking(labels, img_embs, prompt_embs, evaluation,
+                                 topn=cfg.topn, engine=cfg.engine)
+        for evaluation in cfg.evaluations
+    }

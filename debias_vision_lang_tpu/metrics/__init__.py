@@ -1,0 +1,3 @@
+from . import oracle
+from .oracle import eval_ranking_oracle, maxskew, ndkl, resolve_topn
+from .ranking import desired_distributions, eval_ranking, ranking_metrics

@@ -1,0 +1,124 @@
+"""Jitted, vectorized ranking-bias metrics (MaxSkew, NDKL) for TPU.
+
+Replaces the reference's per-prompt pandas/python pipeline — a tqdm loop over
+319 prompts, each building a DataFrame, calling ``nlargest`` and iterating
+rows in Python (reference: debias_clip/measuring_bias.py:29-37,57,113-117) —
+with one fused computation:
+
+    scores   = image_embeddings @ prompt_embeddings.T      (one MXU matmul)
+    top-k    = lax.top_k over the image axis, batched over prompts
+    prefixes = one-hot label counts + cumsum (replaces the iterrows loop)
+    NDKL     = discounted prefix-KL via precomputed 1/log2(i+1) weights
+    MaxSkew  = log p_top − log p_desired at the top_n prefix
+
+Everything is fixed-shape: top_n, n_classes are static arguments, so the
+whole evaluation jit-compiles once per configuration and vmaps over prompts.
+
+Tie policy (documented divergence): ``lax.top_k`` keeps exactly top_n items,
+breaking ties by lowest index; the reference's ``nlargest(keep="all")``
+*extends* the list through boundary ties (can exceed top_n — verified,
+SURVEY.md §6).  For continuous cosine scores exact boundary ties have measure
+zero; the numpy oracle (metrics/oracle.py) preserves the reference behavior
+exactly, and tests pin both the agreement (no ties) and the divergence (ties).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .oracle import resolve_topn
+
+
+def _safe_log(x: jax.Array) -> jax.Array:
+    """log with a zero-safe branch (no NaN forward, no NaN gradient —
+    the reference's eager np.log(0) warning path, done right)."""
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), 0.0)
+
+
+def desired_distributions(labels: jax.Array, n_classes: int) -> Dict[str, jax.Array]:
+    """eq_opp = uniform; dem_par = empirical frequencies with zero-count
+    clamping (reference: measuring_bias.py:26-27)."""
+    counts = jnp.sum(jax.nn.one_hot(labels, n_classes, dtype=jnp.float32), axis=0)
+    n = labels.shape[0]
+    return {
+        "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
+        "dem_par": jnp.maximum(counts, 1.0) / n,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("top_n", "n_classes"))
+def ranking_metrics(
+    scores: jax.Array,
+    labels: jax.Array,
+    top_n: int,
+    n_classes: int,
+) -> Dict[str, jax.Array]:
+    """All four sub-metrics for a batch of prompts at once.
+
+    scores: [P, N] (P prompts × N images), labels: [N] int.
+    Returns dict of [P] arrays: maxskew_eq_opp, maxskew_dem_par,
+    ndkl_eq_opp, ndkl_dem_par.
+    """
+    desired = desired_distributions(labels, n_classes)
+
+    _, top_idx = jax.lax.top_k(scores, top_n)  # [P, top_n]
+    top_labels = labels[top_idx]  # [P, top_n]
+    onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, top_n, C]
+    prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, top_n, C]
+
+    ranks = jnp.arange(1, top_n + 1, dtype=jnp.float32)  # [top_n]
+    prefix_p = prefix_counts / ranks[None, :, None]  # [P, top_n, C]
+
+    # NDKL: Σ_i KL(prefix_i ‖ q) / log2(i+1), / Z
+    log_p = _safe_log(prefix_p)
+    discounts = 1.0 / jnp.log2(ranks + 1.0)  # [top_n]
+    z = jnp.sum(discounts)
+    out: Dict[str, jax.Array] = {}
+    for name, q in desired.items():
+        kl_terms = jnp.where(
+            prefix_p > 0, prefix_p * (log_p - _safe_log(q)[None, None, :]), 0.0
+        )
+        kl_per_rank = jnp.sum(kl_terms, axis=-1)  # [P, top_n]
+        out[f"ndkl_{name}"] = jnp.sum(kl_per_rank * discounts[None, :], axis=-1) / z
+
+    # MaxSkew at the full top_n prefix
+    p_top = prefix_counts[:, -1, :] / top_n  # [P, C]
+    p_top = jnp.where(p_top == 0, 1.0 / top_n, p_top)  # zero clamp
+    for name, q in desired.items():
+        skew = jnp.log(p_top) - jnp.log(q)[None, :]  # [P, C]
+        # reference max starts from 0 → never negative
+        out[f"maxskew_{name}"] = jnp.maximum(jnp.max(skew, axis=-1), 0.0)
+    return out
+
+
+def eval_ranking(
+    labels,
+    image_embeddings,
+    prompt_embeddings,
+    evaluation: str = "maxskew",
+    topn: Union[int, float] = 1.0,
+) -> Dict[str, float]:
+    """Drop-in analogue of the reference ``eval_ranking``
+    (measuring_bias.py:102-119): per-prompt metrics averaged over prompts.
+    One matmul + one jitted metric kernel instead of a Python loop.
+    """
+    assert evaluation in ("maxskew", "ndkl")
+    labels = jnp.asarray(np.asarray(labels), jnp.int32)
+    img = jnp.asarray(image_embeddings, jnp.float32)
+    prm = jnp.asarray(prompt_embeddings, jnp.float32)
+    top_n = resolve_topn(topn, img.shape[0])
+    n_classes = int(np.asarray(labels).max()) + 1
+    scores = prm @ img.T  # [P, N]
+    metrics = ranking_metrics(scores, labels, top_n, n_classes)
+    prefix = evaluation + "_"
+    return {
+        k[len(prefix):]: float(jnp.mean(v))
+        for k, v in metrics.items()
+        if k.startswith(prefix)
+    }

@@ -1,0 +1,129 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed machinery (single ``device`` strings
+everywhere — reference: debias_clip/measuring_bias.py:148,
+model/model.py:134-136; SURVEY.md §2c).  Here parallelism is first-class:
+one ``jax.sharding.Mesh`` threaded through embed/eval/train, with XLA
+collectives over ICI as the communication backend (the NCCL-equivalent is
+the compiler, not a transport library).
+
+Default topology: 2-D ``(data, model)`` mesh.  CLIP-B/L fits one chip, so
+``model=1`` by default (pure DP); the model axis exists so tensor-parallel
+shardings (attention heads / MLP hidden) can be enabled without code changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  Default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    d, m = shape
+    if d * m != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(d, m)
+    return Mesh(arr, axis_names)
+
+
+@functools.lru_cache(maxsize=1)
+def default_mesh() -> Mesh:
+    return create_mesh()
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate_params(params, mesh: Mesh):
+    """Place a param pytree fully replicated on the mesh."""
+    sharding = replicated(mesh)
+    return jax.device_put(params, sharding)
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays):
+    """device_put each array with its batch dim sharded over ``data``.
+
+    Pads the batch to a multiple of the data-axis size if needed (padding is
+    the caller's responsibility to mask; loaders already emit fixed shapes).
+    """
+    out = []
+    for a in arrays:
+        out.append(jax.device_put(a, batch_sharding(mesh, np.ndim(a))))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partition specs for the stacked transformer params
+# ---------------------------------------------------------------------------
+
+
+def clip_param_pspecs(params, model_axis: str = MODEL_AXIS):
+    """PartitionSpec pytree for a CLIP param tree.
+
+    Megatron-style TP over the stacked resblocks (leading dim = layers):
+      wqkv [L, D, 3D]  → shard output dim (column-parallel)
+      wo   [L, D, D]   → shard input dim (row-parallel; XLA inserts psum)
+      mlp w1 [L, D, 4D] → column;  w2 [L, 4D, D] → row
+    Everything else replicated.  With mesh model=1 these are no-ops.
+    """
+
+    def resblock_specs(rb):
+        return {
+            "ln_1": jax.tree.map(lambda _: P(), rb["ln_1"]),
+            "attn": {
+                "wqkv": P(None, None, model_axis),
+                "bqkv": P(None, model_axis),
+                "wo": P(None, model_axis, None),
+                "bo": P(None, None),
+            },
+            "ln_2": jax.tree.map(lambda _: P(), rb["ln_2"]),
+            "mlp": {
+                "w1": P(None, None, model_axis),
+                "b1": P(None, model_axis),
+                "w2": P(None, model_axis, None),
+                "b2": P(None, None),
+            },
+        }
+
+    def tower_specs(tower):
+        specs = jax.tree.map(lambda _: P(), tower)
+        if isinstance(tower, dict) and "resblocks" in tower:
+            specs["resblocks"] = resblock_specs(tower["resblocks"])
+        return specs
+
+    specs = {}
+    for key, sub in params.items():
+        if key in ("visual", "text") and isinstance(sub, dict):
+            specs[key] = tower_specs(sub)
+        else:
+            specs[key] = jax.tree.map(lambda _: P(), sub)
+    return specs
+
+
+def shard_clip_params(params, mesh: Mesh):
+    """Place CLIP params with TP specs over the mesh."""
+    specs = clip_param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

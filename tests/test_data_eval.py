@@ -1,0 +1,248 @@
+"""Data layer + measure_bias end-to-end on a synthetic FairFace."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from debias_vision_lang_tpu.data.datasets import FairFace, IATDataset, UTKFace
+from debias_vision_lang_tpu.data.loader import Batch, HostLoader
+
+
+@pytest.fixture(scope="session")
+def fake_fairface(tmp_path_factory):
+    """Miniature FairFace layout: imgs/train_val/*.jpg + labels CSVs."""
+    root = tmp_path_factory.mktemp("fairface")
+    img_dir = root / "imgs" / "train_val"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(42)
+    rows = []
+    races = list(FairFace.RACE_ENCODING)
+    ages = list(IATDataset.AGE_ENCODING)
+    n = 24
+    for i in range(n):
+        fname = f"val/{i}.jpg"
+        (img_dir / "val").mkdir(exist_ok=True)
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / fname, quality=90)
+        rows.append({
+            "file": fname,
+            "age": ages[i % len(ages)],
+            "gender": "Male" if i % 2 == 0 else "Female",
+            "race": races[i % len(races)],
+            "service_test": True,
+        })
+    for mode in ("train", "val"):
+        label_dir = root / "labels" / mode
+        label_dir.mkdir(parents=True)
+        pd.DataFrame(rows).to_csv(label_dir / f"{mode}_labels.csv", index=False)
+    return str(root)
+
+
+@pytest.fixture(scope="session")
+def fake_utkface(tmp_path_factory):
+    root = tmp_path_factory.mktemp("utkface")
+    rng = np.random.default_rng(7)
+    races = list(range(5))
+    all_ages = [1, 5, 15, 25, 35, 45, 55, 65, 75]  # one per AGE_ENCODING bucket
+    for i in range(18):
+        age = all_ages[i % 9]
+        gender = i % 2
+        race = races[i % 5]
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(root, f"{age}_{gender}_{race}_2017010100{i:02d}.jpg"))
+    # one malformed name must be skipped
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(os.path.join(root, "junk.jpg"))
+    return str(root)
+
+
+class TestFairFace:
+    def test_construction_and_labels(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        assert len(ds) == 24  # balanced 12/12
+        assert set(ds.iat_labels) == {0, 1}
+        assert ds.n_iat_classes == 2
+
+    def test_equal_split_balances(self, fake_fairface, tmp_path):
+        # unbalanced CSV → equal_split samples min count per gender, seed 1
+        root = tmp_path / "ff2"
+        import shutil
+
+        shutil.copytree(fake_fairface, root)
+        csv = root / "labels" / "val" / "val_labels.csv"
+        df = pd.read_csv(csv)
+        df.loc[df.index[:6], "gender"] = "Male"  # 18 M / 6 F
+        df.to_csv(csv, index=False)
+        ds = FairFace(mode="val", iat_type="gender", data_path=str(root),
+                      download=False)
+        genders = ds.labels["gender"]
+        assert (genders == "Male").sum() == (genders == "Female").sum()
+
+    def test_seeded_sampling_deterministic(self, fake_fairface):
+        a = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                     download=False)
+        b = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                     download=False)
+        assert list(a.labels["file"]) == list(b.labels["file"])
+
+    def test_n_samples_fraction_and_int(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False, _n_samples=0.5, equal_split=False)
+        assert len(ds) == 12
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False, _n_samples=5, equal_split=False)
+        assert len(ds) == 5
+
+    def test_race_and_age_labels(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="race", data_path=fake_fairface,
+                      download=False, equal_split=False)
+        assert ds.n_iat_classes == 7
+        ds = FairFace(mode="val", iat_type="age", data_path=fake_fairface,
+                      download=False, equal_split=False)
+        assert ds.n_iat_classes == 9
+
+    def test_iat_type_none_raises(self, fake_fairface):
+        with pytest.raises(ValueError):
+            FairFace(mode="val", data_path=fake_fairface, download=False)
+
+    def test_getitem_dotdict(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        s = ds[0]
+        assert s.img.shape == (64, 64, 3)
+        assert s.iat_label in (0, 1)
+        assert s.gender in ("Male", "Female")
+
+    def test_eager_loading(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False, lazy=False, _n_samples=4, equal_split=False)
+        assert ds.images_list is not None and len(ds.images_list) == 4
+
+
+class TestUTKFace:
+    def test_filename_parsing(self, fake_utkface):
+        ds = UTKFace(iat_type="gender", data_path=fake_utkface)
+        assert len(ds) == 18  # junk.jpg skipped, balanced
+        assert ds.n_iat_classes == 2
+
+    def test_age_bucketing(self, fake_utkface):
+        ds = UTKFace(iat_type="age", data_path=fake_utkface, equal_split=False)
+        assert set(ds.labels["age"]) == set(IATDataset.AGE_ENCODING)
+        assert ds.n_iat_classes == 9
+
+
+class TestHostLoader:
+    def test_batching_and_padding(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        loader = HostLoader(ds, batch_size=10, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert all(b.images.shape == (10, 64, 64, 3) for b in batches)
+        assert [b.num_valid for b in batches] == [10, 10, 4]
+        assert batches[0].images.dtype == np.uint8
+
+    def test_drop_remainder(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        loader = HostLoader(ds, batch_size=10, drop_remainder=True)
+        assert len(list(loader)) == 2
+
+    def test_content_matches_dataset(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        batch = next(iter(HostLoader(ds, batch_size=4)))
+        np.testing.assert_array_equal(batch.images[2], ds.load_image(2))
+        assert batch.labels[2] == ds.iat_labels[2]
+
+
+class TestGenPrompts:
+    def test_319_prompts(self):
+        from debias_vision_lang_tpu.eval.measure import gen_prompts
+
+        prompts = gen_prompts()
+        assert len(prompts) == 319  # 11 templates × 29 concepts (verified)
+        assert "This is the face of a good person" in prompts
+        assert all("{}" not in p for p in prompts)
+
+
+class TestMeasureBias:
+    @pytest.fixture(scope="class")
+    def tiny_model(self):
+        import jax
+
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+        from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
+
+        cfg = CLIPConfig(
+            name="tiny",
+            vision=VisionConfig(kind="vit", image_size=32, patch_size=8,
+                                width=64, layers=2, heads=2, embed_dim=32),
+            text=TextConfig(vocab_size=512, context_length=77, width=32,
+                            layers=2, heads=2, embed_dim=32),
+        )
+        params = init_clip_params(jax.random.key(0), cfg)
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32)
+        deb = init_debias_tokens(jax.random.key(1), params, dcfg)
+        return DebiasCLIP(clip_params=params, debias_tokens=deb,
+                          clip_cfg=cfg, debias_cfg=dcfg)
+
+    def test_end_to_end(self, fake_fairface, tiny_model, toy_tokenizer):
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        class Tok77:
+            def __call__(self, texts):
+                import numpy as np
+
+                out = np.zeros((len(texts), 77), np.int32)
+                toks = toy_tokenizer(texts, truncate=True)
+                out[:, : toks.shape[1]] = toks
+                # remap ids into tiny vocab range, keep EOT max
+                out = out % 510
+                eot = np.argmax(toks, axis=1)
+                for i, e in enumerate(eot):
+                    out[i, e] = 511
+                return out
+
+        result = measure_bias(
+            tiny_model, Preprocess(32), Tok77(), attribute="gender",
+            opts={"batch_size": 8, "num_workers": 2, "topn": 10,
+                  "data_path": fake_fairface},
+        )
+        assert set(result) == {"maxskew", "ndkl"}
+        for metric in result.values():
+            assert set(metric) == {"eq_opp", "dem_par"}
+            for v in metric.values():
+                assert np.isfinite(v) and v >= 0
+
+    def test_engines_agree(self, fake_fairface, tiny_model):
+        """tpu (jitted) and oracle (numpy) engines agree on tie-free data."""
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        def tok(texts):
+            out = np.zeros((len(texts), 77), np.int32)
+            out[:, 0] = 510
+            for i, t in enumerate(texts):
+                h = abs(hash(t)) % 400
+                out[i, 1] = h + 1
+                out[i, 2] = 511
+            return out
+
+        common = {"batch_size": 8, "num_workers": 2, "topn": 7,
+                  "data_path": fake_fairface, "evaluations": ("ndkl",)}
+        r_tpu = measure_bias(tiny_model, Preprocess(32), tok, "gender",
+                             opts={**common, "engine": "tpu"})
+        r_orc = measure_bias(tiny_model, Preprocess(32), tok, "gender",
+                             opts={**common, "engine": "oracle"})
+        np.testing.assert_allclose(
+            r_tpu["ndkl"]["eq_opp"], r_orc["ndkl"]["eq_opp"], atol=1e-4)
+        np.testing.assert_allclose(
+            r_tpu["ndkl"]["dem_par"], r_orc["ndkl"]["dem_par"], atol=1e-4)

@@ -1,0 +1,159 @@
+"""Metric tests: hand-computed values, oracle vs jitted property tests,
+degeneracy and tie-handling pins (SURVEY.md §6 findings)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.metrics import oracle
+from debias_vision_lang_tpu.metrics.ranking import eval_ranking, ranking_metrics
+
+
+class TestOracleHandComputed:
+    def test_maxskew_perfectly_biased(self):
+        # 4 items, 2 per class; top-2 all class 0
+        scores = np.array([0.9, 0.8, 0.2, 0.1])
+        labels = np.array([0, 0, 1, 1])
+        out = oracle.maxskew(scores, labels, top_n=2)
+        # p_top(class0)=1.0 vs desired 0.5 → log(2); class1 p=0→clamp 1/2 → log(1)=0
+        assert out["maxskew_eq_opp"] == pytest.approx(math.log(2.0))
+        assert out["maxskew_dem_par"] == pytest.approx(math.log(2.0))
+
+    def test_maxskew_balanced_is_zero(self):
+        scores = np.array([0.9, 0.8, 0.2, 0.1])
+        labels = np.array([0, 1, 0, 1])
+        out = oracle.maxskew(scores, labels, top_n=2)
+        assert out["maxskew_eq_opp"] == pytest.approx(0.0)
+
+    def test_maxskew_never_negative(self):
+        # reference initializes max at 0 → no negative skew reported
+        scores = np.array([0.9, 0.1, 0.05])
+        labels = np.array([0, 1, 1])
+        out = oracle.maxskew(scores, labels, top_n=1)
+        assert out["maxskew_eq_opp"] >= 0.0
+
+    def test_ndkl_hand_value(self):
+        # 2 items, top-2, labels [0, 1], uniform desired
+        scores = np.array([0.9, 0.8])
+        labels = np.array([0, 1])
+        out = oracle.ndkl(scores, labels, top_n=2)
+        # rank1: prefix [1,0] vs [.5,.5]: KL = 1*log(1/.5) = log2 ; disc 1/log2(2)=1
+        # rank2: prefix [.5,.5]: KL=0
+        # Z = 1/log2(2) + 1/log2(3)
+        z = 1.0 + 1.0 / math.log2(3)
+        assert out["ndkl_eq_opp"] == pytest.approx(math.log(2.0) / z)
+        assert out["ndkl_dem_par"] == pytest.approx(math.log(2.0) / z)
+
+    def test_ndkl_perfect_ranking_near_zero(self):
+        # alternating labels → small NDKL
+        n = 20
+        scores = np.linspace(1, 0, n)
+        labels = np.arange(n) % 2
+        out = oracle.ndkl(scores, labels, top_n=n)
+        assert out["ndkl_eq_opp"] < 0.2
+
+    def test_non_dense_labels_raise(self):
+        with pytest.raises(ValueError):
+            oracle.maxskew(np.array([0.5, 0.4]), np.array([0, 2]), top_n=1)
+
+
+class TestReferenceDegeneracies:
+    """Pins of behaviors verified by executing the reference (SURVEY.md §6)."""
+
+    def test_maxskew_topn_full_balanced_is_zero(self, rng):
+        # topn = N on a balanced set → MaxSkew exactly 0 for both dists
+        n = 40
+        scores = rng.normal(size=n)
+        labels = np.repeat([0, 1], n // 2)
+        out = oracle.maxskew(scores, labels, top_n=n)
+        assert out["maxskew_eq_opp"] == pytest.approx(0.0)
+        assert out["maxskew_dem_par"] == pytest.approx(0.0)
+
+    def test_maxskew_dem_par_topn_full_always_zero(self, rng):
+        # even unbalanced: p_top == empirical == dem_par at topn=N
+        n = 30
+        scores = rng.normal(size=n)
+        labels = np.array([0] * 20 + [1] * 10)
+        out = oracle.maxskew(scores, labels, top_n=n)
+        assert out["maxskew_dem_par"] == pytest.approx(0.0)
+
+    def test_ndkl_informative_at_topn_full(self, rng):
+        # NDKL still responds to ranking bias at topn=N
+        n = 30
+        labels = np.repeat([0, 1], n // 2)
+        biased = np.concatenate([np.linspace(2, 1, 15), np.linspace(0.9, 0, 15)])
+        fair_scores = rng.normal(size=n)
+        biased_out = oracle.ndkl(biased, labels, top_n=n)
+        fair_out = oracle.ndkl(fair_scores, labels, top_n=n)
+        assert biased_out["ndkl_eq_opp"] > fair_out["ndkl_eq_opp"]
+
+    def test_tie_extension_keep_all(self):
+        # boundary ties extend the kept list beyond top_n (nlargest keep="all")
+        scores = np.array([0.9, 0.5, 0.5, 0.5, 0.1])
+        kept = oracle._kept_top_indices(scores, top_n=2)
+        assert len(kept) == 4  # 0.9 + three tied 0.5s
+
+    def test_topn_resolution(self):
+        assert oracle.resolve_topn(1.0, 100) == 100
+        assert oracle.resolve_topn(0.25, 100) == 25
+        assert oracle.resolve_topn(0.333, 10) == 4  # ceil
+        assert oracle.resolve_topn(7, 100) == 7
+
+
+class TestJittedVsOracle:
+    @pytest.mark.parametrize("top_n", [1, 5, 17, 50])
+    @pytest.mark.parametrize("n_classes", [2, 7])
+    def test_property_match(self, rng, top_n, n_classes):
+        n = 50
+        scores = rng.normal(size=(3, n)).astype(np.float32)  # 3 prompts
+        labels = np.concatenate(
+            [np.arange(n_classes), rng.integers(0, n_classes, n - n_classes)]
+        ).astype(np.int32)
+        jit_out = ranking_metrics(scores, labels, top_n, n_classes)
+        for p in range(3):
+            ms = oracle.maxskew(scores[p], labels, top_n)
+            nd = oracle.ndkl(scores[p], labels, top_n)
+            np.testing.assert_allclose(
+                float(jit_out["maxskew_eq_opp"][p]), ms["maxskew_eq_opp"], atol=1e-5)
+            np.testing.assert_allclose(
+                float(jit_out["maxskew_dem_par"][p]), ms["maxskew_dem_par"], atol=1e-5)
+            np.testing.assert_allclose(
+                float(jit_out["ndkl_eq_opp"][p]), nd["ndkl_eq_opp"], atol=1e-4)
+            np.testing.assert_allclose(
+                float(jit_out["ndkl_dem_par"][p]), nd["ndkl_dem_par"], atol=1e-4)
+
+    def test_tie_divergence_documented(self):
+        """With boundary ties the jitted top-k keeps exactly top_n while the
+        oracle extends (keep='all') — this is the documented divergence."""
+        scores = np.array([[0.9, 0.5, 0.5, 0.5, 0.1]], np.float32)
+        labels = np.array([0, 1, 1, 1, 0], np.int32)
+        jit_out = ranking_metrics(scores, labels, 2, 2)
+        orc = oracle.maxskew(scores[0], labels, 2)
+        # oracle kept 4 rows (counts [1,3], p=count/2 can exceed 1!)
+        assert orc["maxskew_eq_opp"] == pytest.approx(math.log((3 / 2) / 0.5))
+        # jitted kept exactly 2 rows (counts [1,1])
+        assert float(jit_out["maxskew_eq_opp"][0]) == pytest.approx(0.0)
+
+    def test_eval_ranking_wrapper(self, rng):
+        n, d, p = 40, 8, 5
+        img = rng.normal(size=(n, d)).astype(np.float32)
+        img /= np.linalg.norm(img, axis=1, keepdims=True)
+        prm = rng.normal(size=(p, d)).astype(np.float32)
+        prm /= np.linalg.norm(prm, axis=1, keepdims=True)
+        labels = (rng.random(n) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
+        ours = eval_ranking(labels, img, prm, "ndkl", topn=10)
+        ref = oracle.eval_ranking_oracle(labels, img, prm, "ndkl", topn=10)
+        assert set(ours) == {"eq_opp", "dem_par"} == set(ref)
+        np.testing.assert_allclose(ours["eq_opp"], ref["eq_opp"], atol=1e-4)
+        np.testing.assert_allclose(ours["dem_par"], ref["dem_par"], atol=1e-4)
+
+    def test_float_topn(self, rng):
+        n = 20
+        img = rng.normal(size=(n, 4)).astype(np.float32)
+        prm = rng.normal(size=(2, 4)).astype(np.float32)
+        labels = np.arange(n) % 2
+        out_frac = eval_ranking(labels, img, prm, "maxskew", topn=0.5)
+        out_abs = eval_ranking(labels, img, prm, "maxskew", topn=10)
+        np.testing.assert_allclose(out_frac["eq_opp"], out_abs["eq_opp"], atol=1e-6)
