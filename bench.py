@@ -1,0 +1,89 @@
+"""Headline benchmark: CLIP ViT-B/16 image-embedding throughput per chip.
+
+This is the reference's hot loop — the whole FairFace val set through
+``encode_image`` (reference: debias_clip/measuring_bias.py:85-99, batch 256)
+— measured as images/sec on one chip, with the fused device preprocess
+(uint8 → resize/crop/normalize → ViT) included, i.e. the full ingest-to-
+embedding path a ``measure_bias`` run pays.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: ratio against an A100 PyTorch fp16 estimate for the same loop
+(~1000 img/s with DataLoader + encode_image at batch 256; the reference
+itself upcasts to fp32 — model/model.py:136 — which is slower still).  The
+north-star target is ≥10× (BASELINE.json).
+
+Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
+BENCH_DTYPE (bfloat16|float32, default bfloat16), BENCH_PALLAS (1|0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+A100_TORCH_BASELINE_IMG_S = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from debias_vision_lang_tpu.core.registry import resolve_arch
+    from debias_vision_lang_tpu.models import clip as clip_model
+    from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
+
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    dtype = jnp.bfloat16 if os.environ.get(
+        "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    on_tpu = jax.default_backend() == "tpu"
+    # Measured on v5e: XLA's fused attention currently beats the Pallas
+    # kernel at S=197/D=64 (lane-padding waste) — default off until it wins.
+    use_pallas = bool(int(os.environ.get("BENCH_PALLAS", "0"))) and on_tpu
+
+    cfg = resolve_arch("openai/CLIP/ViT-B/16")
+    params = clip_model.init_clip_params(jax.random.key(0), cfg)
+
+    @jax.jit
+    def embed(p, images_u8):
+        x = preprocess_batch(images_u8, cfg.vision.image_size)
+        return clip_model.encode_image(p, x, cfg, dtype=dtype,
+                                       use_pallas=use_pallas).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    params = jax.device_put(params)
+    # two alternating buffers: defeats any buffer-identity caching in the
+    # remote-execution path
+    imgs = [
+        jax.device_put(rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+
+    # warmup / compile; D2H fetch is the only reliable completion fence
+    # through the axon relay (block_until_ready can return early there)
+    np.asarray(embed(params, imgs[0]))
+    np.asarray(embed(params, imgs[1]))
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(steps):
+        out = embed(params, imgs[i % 2])
+    np.asarray(out)  # D2H fence
+    dt = time.perf_counter() - t0
+
+    ips = batch * steps / dt
+    print(json.dumps({
+        "metric": "clip_vit_b16_embed_throughput",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / A100_TORCH_BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

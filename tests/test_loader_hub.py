@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.core.config import AdversaryConfig
+from debias_vision_lang_tpu.models.adversary import Adversary
+from debias_vision_lang_tpu.models.loader import CLIP, ClipLike, model_loader
+
+
+class TestModelLoader:
+    def test_invalid_name_raises(self):
+        with pytest.raises(NotImplementedError):
+            model_loader("openai/CLIP/ViT-H/14")
+
+    def test_loads_vit_random(self):
+        model, preprocess, tokenizer, alias = model_loader(
+            "openai/CLIP/ViT-B/32", pretrained=False)
+        assert alias == "oai-clip-vit-b-32"
+        assert isinstance(model, CLIP)
+        assert isinstance(model, ClipLike)  # structural protocol
+        assert preprocess.n_px == 224
+        img = np.zeros((1, 224, 224, 3), np.float32)
+        assert model.encode_image(img, use_pallas=False).shape == (1, 512)
+
+    def test_device_and_jit_args_inert(self):
+        # reference-parity signature: (model_name, device, jit)
+        model, *_ = model_loader("openai/CLIP/ViT-B/32", device="cuda", jit=True,
+                                 pretrained=False)
+        assert model is not None
+
+    def test_slip_loads(self):
+        model, _, _, alias = model_loader("facebookresearch/SLIP/ViT-B/16",
+                                          pretrained=False)
+        assert alias == "fb-slip-vit-b-16"
+        img = np.zeros((1, 224, 224, 3), np.float32)
+        assert model.encode_image(img, use_pallas=False).shape == (1, 512)
+
+
+class TestAdversary:
+    def test_from_cfg_reference_keys(self):
+        adv = Adversary.from_cfg({
+            "ADV_N_INPUT": 10, "ADV_N_OUTPUT": 1, "ADV_HIDDEN_SIZE": 8,
+            "ADV_DEVICE": "cuda",  # inert parity key
+        })
+        assert adv.cfg == AdversaryConfig(n_input=10, n_output=1, hidden_size=8)
+
+    def test_sigmoid_output_range(self, rng):
+        adv = Adversary.from_cfg({"ADV_N_INPUT": 5, "ADV_N_OUTPUT": 1,
+                                  "ADV_HIDDEN_SIZE": 4})
+        x = rng.normal(size=(7, 5)).astype(np.float32)
+        out = np.asarray(adv(x))
+        assert out.shape == (7, 1)
+        assert ((out > 0) & (out < 1)).all()
+
+    def test_logits_match_sigmoid(self, rng):
+        adv = Adversary.from_cfg({"ADV_N_INPUT": 5, "ADV_N_OUTPUT": 2,
+                                  "ADV_HIDDEN_SIZE": 4})
+        x = rng.normal(size=(3, 5)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(adv(x)), 1 / (1 + np.exp(-np.asarray(adv.logits(x)))),
+            atol=1e-6)
+
+    def test_default_output_binary(self):
+        adv = Adversary.from_cfg({"ADV_N_INPUT": 319, "ADV_HIDDEN_SIZE": 32})
+        assert adv.cfg.n_output == 1  # reference default (model/model.py:348)
+
+
+class TestHub:
+    def test_available_models(self):
+        from debias_vision_lang_tpu.hub import available_models
+
+        assert available_models() == ["ViT-B/16-gender"]
+
+    def test_load_from_local_checkpoint(self, tmp_path):
+        """Local .pt path → DebiasCLIP with those prompt embeddings swapped in
+        (the reference's os.path.isfile branch, model/clip.py:69-70)."""
+        from debias_vision_lang_tpu.hub import load
+        from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+        emb = np.random.default_rng(0).normal(size=(2, 512)).astype(np.float32)
+        path = str(tmp_path / "prompts.pt")
+        save_debias_prompt_pt(emb, path)
+        model, preprocess = load(path, pretrained_base=False)
+        np.testing.assert_allclose(np.asarray(model.debias_tokens), emb)
+        assert model.debias_cfg.num_debias_tokens == 2
+        assert preprocess.n_px == 224
+
+    def test_load_unknown_name_raises(self):
+        from debias_vision_lang_tpu.hub import load
+
+        with pytest.raises(RuntimeError, match="available models"):
+            load("nonexistent-model", pretrained_base=False)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from debias_vision_lang_tpu.hub import load
+        from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+        path = str(tmp_path / "bad.pt")
+        save_debias_prompt_pt(np.zeros((3, 99), np.float32), path)
+        with pytest.raises(ValueError, match="prompt shape"):
+            load(path, pretrained_base=False)

@@ -1,0 +1,198 @@
+"""Adversarial training loop tests: losses, alternating dynamics, freezing,
+checkpoint round-trips, reference-format export."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.core.config import (
+    AdversaryConfig,
+    CLIPConfig,
+    DebiasConfig,
+    TextConfig,
+    TrainConfig,
+    VisionConfig,
+)
+from debias_vision_lang_tpu.models.adversary import Adversary, init_adversary_params
+from debias_vision_lang_tpu.models.clip import init_clip_params
+from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
+from debias_vision_lang_tpu.train.adversarial import (
+    AdversarialTrainer,
+    clip_contrastive_loss,
+    sigmoid_bce,
+    similarity_scores,
+)
+
+CTX = 16
+VOCAB = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(kind="vit", image_size=16, patch_size=8, width=32,
+                            layers=2, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=VOCAB, context_length=CTX, width=32,
+                        layers=2, heads=2, embed_dim=16),
+    )
+    params = init_clip_params(jax.random.key(0), cfg)
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32, max_tokens=CTX)
+    deb = init_debias_tokens(jax.random.key(1), params, dcfg,
+                             tokenizer=None)
+    model = DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
+                       debias_cfg=dcfg)
+    n_prompts = 6
+    adv = Adversary(
+        params=init_adversary_params(
+            jax.random.key(2), AdversaryConfig(n_input=n_prompts, hidden_size=8)),
+        cfg=AdversaryConfig(n_input=n_prompts, hidden_size=8),
+    )
+    rng = np.random.default_rng(0)
+    sens = np.zeros((n_prompts, CTX), np.int32)
+    sens[:, 0] = VOCAB - 2
+    sens[:, 1] = rng.integers(1, 100, n_prompts)
+    sens[:, 2] = VOCAB - 1
+    return model, adv, sens
+
+
+def _batch(rng, b=8):
+    images = rng.normal(size=(b, 16, 16, 3)).astype(np.float32)
+    labels = (rng.random(b) < 0.5).astype(np.float32)
+    cap_images = rng.normal(size=(b, 16, 16, 3)).astype(np.float32)
+    cap_tokens = np.zeros((b, CTX), np.int32)
+    cap_tokens[:, 0] = VOCAB - 2
+    cap_tokens[:, 1] = rng.integers(1, 100, b)
+    cap_tokens[:, 2] = VOCAB - 1
+    return images, labels, cap_images, cap_tokens
+
+
+class TestLosses:
+    def test_sigmoid_bce_matches_manual(self, rng):
+        logits = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        labels = jnp.asarray((rng.random(8) < 0.5).astype(np.float32))
+        p = 1 / (1 + np.exp(-np.asarray(logits)))
+        manual = -np.mean(np.asarray(labels) * np.log(p)
+                          + (1 - np.asarray(labels)) * np.log(1 - p))
+        np.testing.assert_allclose(float(sigmoid_bce(logits, labels)), manual,
+                                   atol=1e-5)
+
+    def test_contrastive_loss_identity_alignment(self):
+        # perfectly aligned pairs with high scale → near-zero loss
+        embs = jnp.eye(4, 8)
+        loss = clip_contrastive_loss(embs, embs, jnp.log(100.0))
+        assert float(loss) < 1e-3
+
+    def test_contrastive_loss_misaligned_higher(self, rng):
+        embs = jnp.eye(4, 8)
+        shuffled = embs[jnp.asarray([1, 0, 3, 2])]
+        aligned = clip_contrastive_loss(embs, embs, jnp.log(10.0))
+        mis = clip_contrastive_loss(embs, shuffled, jnp.log(10.0))
+        assert float(mis) > float(aligned)
+
+    def test_similarity_scores_shape(self, rng):
+        img = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+        txt = jnp.asarray(rng.normal(size=(7, 16)).astype(np.float32))
+        s = similarity_scores(img, txt, jnp.asarray(0.0))
+        assert s.shape == (5, 7)
+        # cosine bound (scale=1)
+        assert np.abs(np.asarray(s)).max() <= 1.0 + 1e-5
+
+
+class TestTrainerDynamics:
+    def test_adversary_learns(self, setup):
+        """On a separable task (labels correlated with embeddings), adversary
+        BCE decreases over updates."""
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(3)
+        images, labels, cap_i, cap_t = _batch(rng, b=16)
+        first = None
+        for i in range(12):
+            m = trainer.step(images, labels, cap_i, cap_t)
+            if first is None:
+                first = m["adversary_bce"]
+        assert m["adversary_bce"] < first  # adversary improved on fixed batch
+
+    def test_prompt_tokens_update(self, setup):
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        before = np.asarray(trainer.model.debias_tokens).copy()
+        rng = np.random.default_rng(4)
+        trainer.step(*_batch(rng))
+        after = np.asarray(trainer.model.debias_tokens)
+        assert np.abs(after - before).max() > 0
+
+    def test_clip_params_frozen(self, setup):
+        """Only the prompt array and adversary train; the CLIP tower must be
+        bit-identical after steps (reference default freezing)."""
+        model, adv, sens = setup
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), model.clip_params)
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            trainer.step(*_batch(rng))
+        after = trainer.model.clip_params
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_adversary_cadence(self, setup):
+        model, adv, sens = setup
+        cfg = TrainConfig(adversary_steps_per_prompt_step=3)
+        trainer = AdversarialTrainer.create(model, adv, cfg, sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(6)
+        m = trainer.step(*_batch(rng))
+        assert m["step"] == 1 and np.isfinite(m["adversary_bce"])
+
+    def test_best_ndkl_selection(self, setup):
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        assert trainer.maybe_update_best(0.5) is True
+        tok_at_best = np.asarray(trainer.model.debias_tokens).copy()
+        assert trainer.maybe_update_best(0.7) is False  # worse → keep best
+        assert trainer.maybe_update_best(0.3) is True
+        np.testing.assert_allclose(trainer.best_tokens, tok_at_best)
+        assert trainer.best_ndkl == 0.3
+
+
+class TestCheckpointing:
+    def test_orbax_roundtrip(self, setup, tmp_path):
+        from debias_vision_lang_tpu.train.state import (
+            restore_checkpoint, save_checkpoint)
+
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(7)
+        trainer.step(*_batch(rng))
+        trainer.maybe_update_best(0.42)
+        path = save_checkpoint(str(tmp_path / "ckpt"), trainer)
+
+        trainer2 = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                             use_pallas=False)
+        restore_checkpoint(path, trainer2)
+        np.testing.assert_allclose(
+            np.asarray(trainer2.model.debias_tokens),
+            np.asarray(trainer.model.debias_tokens))
+        assert trainer2.step_count == 1
+        assert trainer2.best_ndkl == pytest.approx(0.42)
+        np.testing.assert_allclose(trainer2.best_tokens, trainer.best_tokens)
+
+    def test_reference_pt_export(self, setup, tmp_path):
+        import torch
+
+        from debias_vision_lang_tpu.train.state import export_reference_pt
+
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        trainer.maybe_update_best(0.1)
+        path = export_reference_pt(trainer, str(tmp_path / "best.pt"))
+        t = torch.load(path, map_location="cpu", weights_only=True)
+        assert tuple(t.shape) == (2, 32)  # bare [P, width] tensor
