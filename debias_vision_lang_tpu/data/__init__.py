@@ -1,2 +1,3 @@
 from .datasets import FairFace, IATDataset, UTKFace
 from .loader import Batch, HostLoader, shard_batch
+from .pairs import ImageCaptionPairs

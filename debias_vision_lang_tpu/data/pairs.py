@@ -1,0 +1,71 @@
+"""Image–caption pair dataset for the contrastive term of debias training.
+
+The reference protocol trains on flickr30k image–caption pairs alongside the
+FairFace attribute batch (reference: README.md:155-157); flickr30k requires a
+manual license download, so the loader is layout-generic: a directory of
+images + a CSV with ``file`` and ``caption`` columns covers flickr30k, COCO
+exports, or any custom corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+
+class ImageCaptionPairs:
+    """CSV-backed (file, caption) pairs; images decoded on demand."""
+
+    def __init__(
+        self,
+        data_path: os.PathLike,
+        csv_name: str = "captions.csv",
+        images_subdir: str = "images",
+        _n_samples: Optional[int] = None,
+    ):
+        self.data_path = str(data_path)
+        csv_path = os.path.join(self.data_path, csv_name)
+        self.captions = pd.read_csv(csv_path, keep_default_na=False)
+        if not {"file", "caption"} <= set(self.captions.columns):
+            raise ValueError(f"{csv_path} must have 'file' and 'caption' columns")
+        if _n_samples is not None:
+            self.captions = self.captions.iloc[:_n_samples]
+        self._img_dir = os.path.join(self.data_path, images_subdir)
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def load_image(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        fname = os.path.join(self._img_dir, self.captions.iloc[index]["file"])
+        with Image.open(fname) as im:
+            if im.mode != "RGB":
+                im = im.convert("RGB")
+            return np.asarray(im)
+
+    def caption(self, index: int) -> str:
+        return str(self.captions.iloc[index]["caption"])
+
+    def batches(
+        self,
+        tokenizer: Callable,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (images_u8 [B,H,W,3], tokens [B,77]) in shuffled order."""
+        order = np.arange(len(self))
+        if rng is not None:
+            rng.shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                return
+            images = np.stack([self.load_image(int(i)) for i in idx])
+            tokens = np.asarray(
+                tokenizer([self.caption(int(i)) for i in idx]), np.int32)
+            yield images, tokens

@@ -5,3 +5,4 @@ from .measure import (
     get_prompt_embeddings,
     measure_bias,
 )
+from .zero_shot import build_zero_shot_classifier, classify, zero_shot_accuracy

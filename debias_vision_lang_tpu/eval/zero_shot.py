@@ -1,0 +1,93 @@
+"""Zero-shot classification harness.
+
+The reference's headline table reports ImageNet zero-shot accuracy (68.1%
+CLIP / 67.6% DebiasCLIP — reference: README.md:32-36) but ships no harness
+for it.  This one is dataset-agnostic: class names + prompt templates →
+zero-shot classifier weights (mean of the normalized per-template text
+embeddings, the standard CLIP recipe), then batched image classification
+with top-k accuracy, sharded over the data mesh like the bias pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The short standard template set; pass the full 80-template OpenAI list (or
+# any custom set) via `templates=` for exact paper-protocol replication.
+DEFAULT_TEMPLATES = (
+    "a photo of a {}.",
+    "a bad photo of a {}.",
+    "a photo of many {}.",
+    "a photo of the large {}.",
+    "a photo of the small {}.",
+    "itap of a {}.",
+    "a {} in a video game.",
+)
+
+
+def build_zero_shot_classifier(
+    model,
+    tokenizer: Callable,
+    class_names: Sequence[str],
+    templates: Sequence[str] = DEFAULT_TEMPLATES,
+    batch_size: int = 256,
+) -> jax.Array:
+    """Returns [n_classes, embed_dim] L2-normalized classifier weights."""
+    weights = []
+    for cls in class_names:
+        prompts = [t.format(cls) for t in templates]
+        tokens = jnp.asarray(np.asarray(tokenizer(prompts)), jnp.int32)
+        emb = model.encode_text(tokens).astype(jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        mean = emb.mean(axis=0)
+        weights.append(mean / jnp.linalg.norm(mean))
+    return jnp.stack(weights)
+
+
+def classify(
+    image_embeddings: jax.Array, classifier: jax.Array, top_k: int = 5
+) -> jax.Array:
+    """[N, D] embeddings × [C, D] classifier → [N, top_k] predicted classes."""
+    img = image_embeddings / jnp.linalg.norm(image_embeddings, axis=-1, keepdims=True)
+    logits = img @ classifier.T
+    return jax.lax.top_k(logits, min(top_k, classifier.shape[0]))[1]
+
+
+def zero_shot_accuracy(
+    model,
+    tokenizer: Callable,
+    loader,
+    class_names: Sequence[str],
+    templates: Sequence[str] = DEFAULT_TEMPLATES,
+    n_px: int = 224,
+    mesh=None,
+    progress: bool = False,
+) -> Dict[str, float]:
+    """Top-1/top-5 zero-shot accuracy over a HostLoader of labeled images."""
+    from ..vision.preprocess import preprocess_batch
+
+    classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
+
+    @jax.jit
+    def step(images_u8):
+        x = preprocess_batch(images_u8, n_px)
+        emb = model.encode_image(x).astype(jnp.float32)
+        return classify(emb, classifier, top_k=5)
+
+    it = loader
+    if progress:
+        import tqdm
+
+        it = tqdm.tqdm(loader, desc="Zero-shot eval")
+    correct1 = correct5 = total = 0
+    for batch in it:
+        preds = np.asarray(step(batch.images))[: batch.num_valid]
+        labels = np.asarray(batch.labels)[: batch.num_valid]
+        correct1 += int((preds[:, 0] == labels).sum())
+        correct5 += int((preds == labels[:, None]).any(axis=1).sum())
+        total += batch.num_valid
+    return {"top1": correct1 / total, "top5": correct5 / total, "n": total}

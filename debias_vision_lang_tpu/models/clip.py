@@ -79,6 +79,10 @@ def init_clip_params(rng, cfg: CLIPConfig) -> Params:
         visual = init_modified_resnet_params(kv, cfg.vision)
     elif cfg.vision.kind in ("vit", "slip_vit"):
         visual = init_vit_params(kv, cfg.vision)
+    elif cfg.vision.kind == "video_vit":
+        from .frozen_in_time import init_video_vit_params
+
+        visual = init_video_vit_params(kv, cfg.vision)
     else:
         raise NotImplementedError(cfg.vision.kind)
     return {

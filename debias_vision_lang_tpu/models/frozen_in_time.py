@@ -1,0 +1,134 @@
+"""Frozen-in-Time video–text dual encoder (m-bain/frozen-in-time family).
+
+The reference advertises this family but stubs it with NotImplementedError
+(reference: debias_clip/model/model.py:115-116; configs in BASELINE.json).
+Here it is a working backend conforming to the ``ClipLike`` protocol so
+``measure_bias`` / ``DebiasCLIP`` work unchanged on video models.
+
+Design (TPU-first, documented divergences from the upstream torch repo):
+  * video tower = ViT over space-time patch tokens: per-frame patch embeds
+    share the spatial positional embedding, a learned temporal embedding is
+    added per frame, and one JOINT attention runs over [CLS] + T·N tokens.
+    (Upstream uses divided space-time attention; joint attention is one big
+    fused attention — better MXU shape at T≤8, no per-block temporal loop.
+    Frames are zero-padded/subsampled to the configured max.)
+  * text tower = the CLIP text transformer (upstream uses DistilBERT; keeping
+    the CLIP tower preserves tokenizer + prompt-injection compatibility,
+    which is what the debias pipeline needs).
+  * image inputs [B, H, W, 3] are treated as single-frame videos, so the
+    image-based FairFace measurement path runs unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import CLIPConfig, VisionConfig
+from . import clip as clip_model
+from .layers import Params, layer_norm, transformer
+
+DEFAULT_NUM_FRAMES = 4
+
+
+def init_video_vit_params(rng, cfg: VisionConfig,
+                          num_frames: int = DEFAULT_NUM_FRAMES) -> Params:
+    p = clip_model.init_vit_params(rng, cfg)
+    k = jax.random.fold_in(rng, 17)
+    p["temporal_embedding"] = (cfg.width ** -0.5) * jax.random.normal(
+        k, (num_frames, cfg.width), jnp.float32)
+    return p
+
+
+def encode_video(
+    params: Params,
+    videos: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """[B, T, H, W, 3] (or [B, H, W, 3] single frame) → [B, embed_dim]."""
+    p = params
+    if videos.ndim == 4:
+        videos = videos[:, None]
+    b, t, h, w, c = videos.shape
+    max_t = p["temporal_embedding"].shape[0]
+    if t > max_t:
+        # uniform temporal subsample to the embedding capacity
+        idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
+        videos = videos[:, idx]
+        t = max_t
+
+    x = clip_model.patch_embed(
+        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
+    n = x.shape[1]
+    x = x.reshape(b, t, n, cfg.width)
+    # spatial positions (skip the class slot) shared across frames
+    x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]
+    x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
+    x = x.reshape(b, t * n, cfg.width)
+
+    cls = p["class_embedding"].astype(dtype) + p["positional_embedding"].astype(dtype)[0]
+    x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.width)), x], axis=1)
+    x = layer_norm(p["ln_pre"], x)
+    x = transformer(p["resblocks"], x, cfg.heads, mask=None,
+                    use_pallas=use_pallas, remat=remat)
+    x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
+    return jnp.dot(x, p["proj"].astype(dtype))
+
+
+def init_fit_params(rng, cfg: CLIPConfig,
+                    num_frames: int = DEFAULT_NUM_FRAMES) -> Params:
+    kv, kt = jax.random.split(jnp.asarray(rng))
+    import math
+
+    return {
+        "visual": init_video_vit_params(kv, cfg.vision, num_frames),
+        "text": clip_model.init_text_params(kt, cfg.text),
+        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+@dataclasses.dataclass
+class FrozenInTime:
+    """ClipLike bundle for the video family."""
+
+    params: Params
+    cfg: CLIPConfig
+
+    def __post_init__(self):
+        # loader may hand us plain image-ViT params; add the temporal axis
+        if "temporal_embedding" not in self.params["visual"]:
+            self.params["visual"]["temporal_embedding"] = (
+                init_video_vit_params(jax.random.key(0), self.cfg.vision)
+                ["temporal_embedding"])
+
+    def encode_image(self, images, **kw):
+        """Images are 1-frame videos; [B,T,H,W,3] videos also accepted."""
+        return encode_video(self.params["visual"], jnp.asarray(images),
+                            self.cfg.vision, **kw)
+
+    encode_video = encode_image
+
+    def encode_text(self, text, **kw):
+        return clip_model.encode_text(self.params, jnp.asarray(text), self.cfg, **kw)
+
+    def __call__(self, images, text, **kw):
+        img = self.encode_image(images, **kw).astype(jnp.float32)
+        txt = self.encode_text(text, **kw).astype(jnp.float32)
+        img = clip_model.l2_normalize(img)
+        txt = clip_model.l2_normalize(txt)
+        scale = jnp.exp(self.params["logit_scale"])
+        logits = scale * img @ txt.T
+        return logits, logits.T
+
+    forward = __call__
+
+    @property
+    def logit_scale(self):
+        return self.params["logit_scale"]

@@ -1,0 +1,220 @@
+"""SLIP + Frozen-in-Time backends, zero-shot harness, pairs dataset,
+observability utils."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from debias_vision_lang_tpu.core.config import CLIPConfig, TextConfig, VisionConfig
+from debias_vision_lang_tpu.models.frozen_in_time import (
+    FrozenInTime,
+    encode_video,
+    init_fit_params,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_fit():
+    cfg = CLIPConfig(
+        name="tiny-fit",
+        vision=VisionConfig(kind="video_vit", image_size=16, patch_size=8,
+                            width=32, layers=2, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=128, context_length=12, width=32, layers=2,
+                        heads=2, embed_dim=16),
+    )
+    params = init_fit_params(jax.random.key(0), cfg, num_frames=4)
+    return cfg, params
+
+
+class TestFrozenInTime:
+    def test_video_encode_shape(self, tiny_fit):
+        cfg, params = tiny_fit
+        videos = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 3))
+        out = encode_video(params["visual"], videos, cfg.vision, use_pallas=False)
+        assert out.shape == (2, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_single_image_is_one_frame_video(self, tiny_fit):
+        cfg, params = tiny_fit
+        img = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+        as_img = encode_video(params["visual"], img, cfg.vision, use_pallas=False)
+        as_vid = encode_video(params["visual"], img[:, None], cfg.vision,
+                              use_pallas=False)
+        np.testing.assert_allclose(np.asarray(as_img), np.asarray(as_vid), atol=1e-6)
+
+    def test_temporal_subsampling(self, tiny_fit):
+        cfg, params = tiny_fit
+        videos = jax.random.normal(jax.random.key(3), (1, 9, 16, 16, 3))
+        out = encode_video(params["visual"], videos, cfg.vision, use_pallas=False)
+        assert out.shape == (1, 16)
+
+    def test_temporal_order_matters(self, tiny_fit):
+        cfg, params = tiny_fit
+        v = jax.random.normal(jax.random.key(4), (1, 4, 16, 16, 3))
+        fwd = encode_video(params["visual"], v, cfg.vision, use_pallas=False)
+        rev = encode_video(params["visual"], v[:, ::-1], cfg.vision,
+                           use_pallas=False)
+        assert np.abs(np.asarray(fwd) - np.asarray(rev)).max() > 1e-6
+
+    def test_cliplike_protocol(self, tiny_fit):
+        from debias_vision_lang_tpu.models.loader import ClipLike
+
+        cfg, params = tiny_fit
+        model = FrozenInTime(params=params, cfg=cfg)
+        assert isinstance(model, ClipLike)
+        t = np.zeros((2, 12), np.int32)
+        t[:, 0], t[:, 1], t[:, 2] = 126, 5, 127
+        li, lt = model(jax.random.normal(jax.random.key(5), (3, 16, 16, 3)),
+                       t, use_pallas=False)
+        assert li.shape == (3, 2)
+
+    def test_loader_builds_fit(self):
+        from debias_vision_lang_tpu.models.loader import model_loader
+
+        model, _, _, alias = model_loader("m-bain/frozen-in-time/base",
+                                          pretrained=False)
+        assert alias == "mbain-fit-base"
+        vids = np.zeros((1, 2, 224, 224, 3), np.float32)
+        assert model.encode_video(vids, use_pallas=False).shape == (1, 256)
+
+
+class TestSlipDivergence:
+    def test_slip_uses_plain_gelu(self):
+        """SLIP's timm-style tower: no pre-LN, plain GELU — outputs must
+        differ from a CLIP-kind tower with identical params."""
+        from debias_vision_lang_tpu.models.clip import (
+            encode_image_vit, init_vit_params)
+
+        v_clip = VisionConfig(kind="vit", image_size=16, patch_size=8, width=32,
+                              layers=2, heads=2, embed_dim=16)
+        v_slip = VisionConfig(kind="slip_vit", image_size=16, patch_size=8,
+                              width=32, layers=2, heads=2, embed_dim=16)
+        params = init_vit_params(jax.random.key(0), v_clip)
+        img = jax.random.normal(jax.random.key(1), (1, 16, 16, 3))
+        a = encode_image_vit(params, img, v_clip, use_pallas=False)
+        b = encode_image_vit(params, img, v_slip, use_pallas=False)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+class TestZeroShot:
+    def test_classifier_and_accuracy(self, tiny_clip, fake_dataset_dir):
+        from debias_vision_lang_tpu.data.loader import HostLoader
+        from debias_vision_lang_tpu.eval.zero_shot import (
+            build_zero_shot_classifier, classify, zero_shot_accuracy)
+        from debias_vision_lang_tpu.models.loader import CLIP
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+
+        def tok(texts):
+            out = np.zeros((len(texts), 16), np.int32)
+            out[:, 0] = cfg.text.vocab_size - 2
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = cfg.text.vocab_size - 1
+            return out
+
+        clf = build_zero_shot_classifier(model, tok, ["cat", "dog", "fish"])
+        assert clf.shape == (3, 32)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(clf), axis=1), 1.0,
+                                   atol=1e-5)
+
+        class DS:
+            def __init__(self, n):
+                self.n = n
+                self.iat_labels = np.arange(n) % 3
+                self.rng = np.random.default_rng(0)
+
+            def __len__(self):
+                return self.n
+
+            def load_image(self, i):
+                return self.rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+        loader = HostLoader(DS(10), batch_size=4, num_workers=2)
+        acc = zero_shot_accuracy(model, tok, loader, ["cat", "dog", "fish"],
+                                 n_px=32)
+        assert acc["n"] == 10
+        assert 0.0 <= acc["top1"] <= acc["top5"] <= 1.0
+        assert acc["top5"] == 1.0  # only 3 classes, top-5 covers all
+
+    def test_classify_topk(self, rng):
+        from debias_vision_lang_tpu.eval.zero_shot import classify
+
+        clf = np.eye(4, 8).astype(np.float32)
+        embs = clf[[2, 0, 3]] + rng.normal(size=(3, 8)).astype(np.float32) * 0.01
+        preds = np.asarray(classify(jnp.asarray(embs), jnp.asarray(clf), top_k=1))
+        np.testing.assert_array_equal(preds[:, 0], [2, 0, 3])
+
+
+@pytest.fixture(scope="module")
+def fake_dataset_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("imgs"))
+
+
+class TestImageCaptionPairs:
+    @pytest.fixture(scope="class")
+    def pairs_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("pairs")
+        (root / "images").mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(10):
+            fname = f"{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ).save(root / "images" / fname)
+            rows.append({"file": fname, "caption": f"a photo number {i}"})
+        pd.DataFrame(rows).to_csv(root / "captions.csv", index=False)
+        return str(root)
+
+    def test_batches(self, pairs_dir):
+        from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
+
+        ds = ImageCaptionPairs(pairs_dir)
+        assert len(ds) == 10
+
+        def tok(texts):
+            return np.zeros((len(texts), 8), np.int32)
+
+        batches = list(ds.batches(tok, batch_size=4,
+                                  rng=np.random.default_rng(1)))
+        assert len(batches) == 2  # drop_remainder
+        imgs, toks = batches[0]
+        assert imgs.shape == (4, 32, 32, 3) and toks.shape == (4, 8)
+
+    def test_missing_columns_raise(self, tmp_path):
+        from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
+
+        pd.DataFrame({"x": [1]}).to_csv(tmp_path / "captions.csv", index=False)
+        with pytest.raises(ValueError, match="caption"):
+            ImageCaptionPairs(str(tmp_path))
+
+
+class TestObservability:
+    def test_metrics_logger_jsonl(self, tmp_path):
+        from debias_vision_lang_tpu.utils.observability import MetricsLogger
+
+        logger = MetricsLogger(str(tmp_path))
+        logger.log({"loss": 1.5}, step=1)
+        logger.log({"loss": 1.2, "ndkl": 0.3}, step=2)
+        logger.close()
+        lines = [json.loads(l) for l in open(logger.path)]
+        assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 2
+
+    def test_step_timer(self, tmp_path):
+        from debias_vision_lang_tpu.utils.observability import (
+            MetricsLogger, step_timer)
+
+        logger = MetricsLogger(str(tmp_path))
+        with step_timer(logger, step=1) as box:
+            pass
+        logger.close()
+        assert box["elapsed"] >= 0
+        assert "step_time_s" in open(logger.path).read()

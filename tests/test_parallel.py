@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 implication (e)): sharded execution must equal single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from debias_vision_lang_tpu.models import clip as clip_model
+from debias_vision_lang_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    clip_param_pspecs,
+    create_mesh,
+    replicate_params,
+    shard_clip_params,
+)
+
+
+class TestMeshCreation:
+    def test_eight_devices(self):
+        mesh = create_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("data", "model")
+
+    def test_2d_shape(self):
+        mesh = create_mesh((4, 2))
+        assert mesh.devices.shape == (4, 2)
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh((3, 2))
+
+
+class TestShardedEmbedEquivalence:
+    def test_dp_embed_matches_single_device(self, tiny_clip):
+        """Image embeddings computed with batch sharded over 8 devices must
+        equal the unsharded result."""
+        cfg, params = tiny_clip
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+
+        single = np.asarray(
+            clip_model.encode_image(params, jnp.asarray(images), cfg,
+                                    use_pallas=False))
+
+        mesh = create_mesh()
+        params_r = replicate_params(params, mesh)
+        images_s = jax.device_put(images, batch_sharding(mesh, 4))
+
+        @jax.jit
+        def embed(p, x):
+            return clip_model.encode_image(p, x, cfg, use_pallas=False)
+
+        sharded = np.asarray(embed(params_r, images_s))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_tp_forward_matches_replicated(self, tiny_clip):
+        """Tensor-parallel params (attn/MLP sharded over `model`) must produce
+        the same logits as fully-replicated params."""
+        cfg, params = tiny_clip
+        rng = np.random.default_rng(1)
+        images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+        v = cfg.text.vocab_size
+        t = np.zeros((4, 16), np.int32)
+        t[:, 0] = v - 2
+        t[:, 1] = rng.integers(1, 100, 4)
+        t[:, 2] = v - 1
+
+        base, _ = clip_model.forward(params, jnp.asarray(images), jnp.asarray(t),
+                                     cfg, use_pallas=False)
+
+        mesh = create_mesh((4, 2))
+        params_tp = shard_clip_params(params, mesh)
+        images_s = jax.device_put(images, NamedSharding(mesh, P(DATA_AXIS)))
+
+        @jax.jit
+        def fwd(p, x, tt):
+            return clip_model.forward(p, x, tt, cfg, use_pallas=False)
+
+        tp_logits, _ = fwd(params_tp, images_s, jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(base),
+                                   atol=1e-4)
+
+    def test_sharded_metrics_match(self, rng):
+        """The ranking-metric kernel under a data-sharded score matrix equals
+        the single-device result (psum'd top-k path)."""
+        from debias_vision_lang_tpu.metrics.ranking import ranking_metrics
+
+        scores = rng.normal(size=(8, 64)).astype(np.float32)
+        labels = (rng.random(64) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
+        base = ranking_metrics(scores, labels, 16, 2)
+
+        mesh = create_mesh()
+        scores_s = jax.device_put(scores, NamedSharding(mesh, P(DATA_AXIS, None)))
+        labels_r = jax.device_put(labels, NamedSharding(mesh, P()))
+        sharded = ranking_metrics(scores_s, labels_r, 16, 2)
+        for k in base:
+            np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(base[k]),
+                                       atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_dryrun_multichip_4(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(4)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(out[0])).all()
