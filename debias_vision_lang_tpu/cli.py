@@ -1,0 +1,176 @@
+"""Command-line interface.
+
+The reference has no CLI — its only entry points are library functions and
+two ``__main__`` smoke blocks (SURVEY.md §1).  The framework adds one:
+
+    python -m debias_vision_lang_tpu.cli measure-bias --model openai/CLIP/RN50 --attribute race
+    python -m debias_vision_lang_tpu.cli train --arch openai/CLIP/ViT-B/16 --epochs 5
+    python -m debias_vision_lang_tpu.cli download bpe fairface
+    python -m debias_vision_lang_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_measure(sub):
+    p = sub.add_parser("measure-bias", help="MaxSkew/NDKL on FairFace or UTKFace")
+    p.add_argument("--model", default="openai/CLIP/ViT-B/16",
+                   help="registry name (or 'hub:ViT-B/16-gender')")
+    p.add_argument("--attribute", default="gender",
+                   choices=["gender", "race", "age"])
+    p.add_argument("--dataset", default="fairface", choices=["fairface", "utkface"])
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--topn", default=1.0, type=float,
+                   help="float fraction (1.0 = whole set) or integer top-k")
+    p.add_argument("--batch-size", default=256, type=int)
+    p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
+    p.add_argument("--random-weights", action="store_true",
+                   help="skip pretrained weight resolution")
+
+
+def _cmd_measure(args):
+    from .eval.measure import measure_bias
+    from .models.loader import model_loader
+
+    if args.model.startswith("hub:"):
+        from .hub import load
+
+        model, preprocess = load(args.model[4:])
+        from .text.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer()
+    else:
+        model, preprocess, tokenizer, _ = model_loader(
+            args.model, pretrained=not args.random_weights)
+    if tokenizer is None:
+        sys.exit("No BPE vocab available: run `... cli download bpe` first")
+    topn = int(args.topn) if args.topn > 1 else args.topn
+    result = measure_bias(
+        model, preprocess, tokenizer, attribute=args.attribute,
+        opts={"topn": topn, "batch_size": args.batch_size, "engine": args.engine,
+              "dataset": args.dataset, "data_path": args.data_path,
+              "progress": True})
+    print(json.dumps(result, indent=2))
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="adversarial prompt-array debias training")
+    p.add_argument("--arch", default="openai/CLIP/ViT-B/16")
+    p.add_argument("--attribute", default="gender")
+    p.add_argument("--num-debias-tokens", default=2, type=int)
+    p.add_argument("--debias-pos", default="prepend")
+    p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("--pairs-path", required=False, default=None,
+                   help="image-caption pairs dir (flickr30k-style) for the "
+                        "contrastive loss; omitted → FairFace images with "
+                        "generated prompts as weak pairs")
+    p.add_argument("--data-path", default=None, help="FairFace root")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--eval-every", default=500, type=int)
+    p.add_argument("--random-weights", action="store_true")
+
+
+def _cmd_train(args):
+    from .train.loop import run_training
+
+    best = run_training(
+        arch=args.arch,
+        attribute=args.attribute,
+        num_debias_tokens=args.num_debias_tokens,
+        debias_pos=args.debias_pos,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        pairs_path=args.pairs_path,
+        data_path=args.data_path,
+        checkpoint_dir=args.checkpoint_dir,
+        eval_every=args.eval_every,
+        pretrained=not args.random_weights,
+    )
+    print(json.dumps(best, indent=2))
+
+
+def _add_zero_shot(sub):
+    p = sub.add_parser("zero-shot", help="zero-shot classification accuracy")
+    p.add_argument("--model", default="openai/CLIP/ViT-B/16")
+    p.add_argument("--data-path", required=True,
+                   help="directory layout: class-name subdirs of images")
+    p.add_argument("--batch-size", default=256, type=int)
+    p.add_argument("--random-weights", action="store_true")
+
+
+def _cmd_zero_shot(args):
+    import os
+
+    import numpy as np
+
+    from .data.loader import HostLoader
+    from .eval.zero_shot import zero_shot_accuracy
+    from .models.loader import model_loader
+
+    model, _, tokenizer, _ = model_loader(args.model,
+                                          pretrained=not args.random_weights)
+    if tokenizer is None:
+        sys.exit("No BPE vocab available: run `... cli download bpe` first")
+
+    class FolderDataset:
+        def __init__(self, root):
+            self.files, labels = [], []
+            self.class_names = sorted(
+                d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d)))
+            for ci, cname in enumerate(self.class_names):
+                for f in sorted(os.listdir(os.path.join(root, cname))):
+                    self.files.append(os.path.join(root, cname, f))
+                    labels.append(ci)
+            self.iat_labels = np.asarray(labels)
+
+        def __len__(self):
+            return len(self.files)
+
+        def load_image(self, i):
+            from PIL import Image
+
+            with Image.open(self.files[i]) as im:
+                return np.asarray(im.convert("RGB"))
+
+    ds = FolderDataset(args.data_path)
+    loader = HostLoader(ds, batch_size=args.batch_size)
+    acc = zero_shot_accuracy(model, tokenizer, loader, ds.class_names,
+                             progress=True)
+    print(json.dumps(acc, indent=2))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="debias-vlt")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_measure(sub)
+    _add_train(sub)
+    _add_zero_shot(sub)
+    dl = sub.add_parser("download", help="fetch assets (bpe, fairface)")
+    dl.add_argument("assets", nargs="*", default=["all"])
+    sub.add_parser("bench", help="run the headline throughput benchmark")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "measure-bias":
+        _cmd_measure(args)
+    elif args.cmd == "train":
+        _cmd_train(args)
+    elif args.cmd == "zero-shot":
+        _cmd_zero_shot(args)
+    elif args.cmd == "download":
+        from .data.download import main as dl_main
+
+        dl_main(args.assets)
+    elif args.cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

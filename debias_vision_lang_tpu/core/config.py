@@ -125,6 +125,11 @@ class DebiasConfig:
                 f"debias_pos must be one of prepend/append/append_after_eos/add, "
                 f"got {self.debias_pos!r}"
             )
+        # keep the config hashable (it rides as jit static/aux data): the
+        # word-list init form arrives as a list → freeze to a tuple
+        if isinstance(self.debias_token_init, list):
+            object.__setattr__(self, "debias_token_init",
+                               tuple(self.debias_token_init))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,11 +58,17 @@ def _resolve_opts(opts) -> EvalConfig:
     return EvalConfig(**{k: v for k, v in dict(opts).items() if k in fields})
 
 
-def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
-    """Tokenize + encode_text + L2-normalize (reference: measuring_bias.py:75-82)."""
-    tokens = jnp.asarray(np.asarray(tokenizer(prompts)), jnp.int32)
+@jax.jit
+def _encode_prompts_jit(model, tokens) -> jax.Array:
     emb = model.encode_text(tokens).astype(jnp.float32)
     return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
+    """Tokenize + encode_text + L2-normalize (reference: measuring_bias.py:75-82).
+    The model rides as a pytree argument (one cached compilation)."""
+    tokens = jnp.asarray(np.asarray(tokenizer(prompts)), jnp.int32)
+    return _encode_prompts_jit(model, tokens)
 
 
 def get_labels_img_embeddings(
@@ -81,14 +87,17 @@ def get_labels_img_embeddings(
     """
     from ..parallel.mesh import shard_batch_arrays
 
+    # the model rides as a pytree ARGUMENT: weights ship as device buffers,
+    # not compile-time constants (required by the remote-compile path), and
+    # repeated measure_bias calls reuse the compilation
     @jax.jit
-    def embed_step(images_u8):
+    def embed_step(m, images_u8):
         x = preprocess_batch(images_u8, n_px)
-        return model.encode_image(x).astype(jnp.float32)
+        return m.encode_image(x).astype(jnp.float32)
 
     @jax.jit
-    def embed_step_pre(images_f32):
-        return model.encode_image(images_f32).astype(jnp.float32)
+    def embed_step_pre(m, images_f32):
+        return m.encode_image(images_f32).astype(jnp.float32)
 
     all_embs, all_labels = [], []
     iterator = loader
@@ -101,12 +110,12 @@ def get_labels_img_embeddings(
             imgs = np.stack([host_transform(im) for im in batch.images])
             if mesh is not None:
                 imgs = shard_batch_arrays(mesh, imgs)
-            emb = embed_step_pre(imgs)
+            emb = embed_step_pre(model, imgs)
         else:
             imgs = batch.images
             if mesh is not None:
                 imgs = shard_batch_arrays(mesh, imgs)
-            emb = embed_step(imgs)
+            emb = embed_step(model, imgs)
         all_embs.append(np.asarray(emb[: batch.num_valid]))
         all_labels.append(batch.labels[: batch.num_valid])
     return np.concatenate(all_labels), jnp.asarray(np.concatenate(all_embs))

@@ -37,14 +37,18 @@ def build_zero_shot_classifier(
     batch_size: int = 256,
 ) -> jax.Array:
     """Returns [n_classes, embed_dim] L2-normalized classifier weights."""
+    @jax.jit
+    def class_weight(m, tokens):
+        emb = m.encode_text(tokens).astype(jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        mean = emb.mean(axis=0)
+        return mean / jnp.linalg.norm(mean)
+
     weights = []
     for cls in class_names:
         prompts = [t.format(cls) for t in templates]
         tokens = jnp.asarray(np.asarray(tokenizer(prompts)), jnp.int32)
-        emb = model.encode_text(tokens).astype(jnp.float32)
-        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-        mean = emb.mean(axis=0)
-        weights.append(mean / jnp.linalg.norm(mean))
+        weights.append(class_weight(model, tokens))
     return jnp.stack(weights)
 
 
@@ -73,10 +77,10 @@ def zero_shot_accuracy(
     classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
 
     @jax.jit
-    def step(images_u8):
+    def step(m, clf, images_u8):
         x = preprocess_batch(images_u8, n_px)
-        emb = model.encode_image(x).astype(jnp.float32)
-        return classify(emb, classifier, top_k=5)
+        emb = m.encode_image(x).astype(jnp.float32)
+        return classify(emb, clf, top_k=5)
 
     it = loader
     if progress:
@@ -85,7 +89,7 @@ def zero_shot_accuracy(
         it = tqdm.tqdm(loader, desc="Zero-shot eval")
     correct1 = correct5 = total = 0
     for batch in it:
-        preds = np.asarray(step(batch.images))[: batch.num_valid]
+        preds = np.asarray(step(model, classifier, batch.images))[: batch.num_valid]
         labels = np.asarray(batch.labels)[: batch.num_valid]
         correct1 += int((preds[:, 0] == labels).sum())
         correct5 += int((preds == labels[:, None]).any(axis=1).sum())

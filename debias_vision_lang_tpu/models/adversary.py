@@ -63,3 +63,11 @@ class Adversary:
         if rng is None:
             rng = jax.random.key(Dotdict(cfg).SEED or 0)
         return Adversary(params=init_adversary_params(rng, acfg), cfg=acfg)
+
+
+# pytree registration: params traced, config static (see models/debias.py)
+jax.tree_util.register_pytree_node(
+    Adversary,
+    lambda m: ((m.params,), (m.cfg,)),
+    lambda aux, ch: Adversary(params=ch[0], cfg=aux[0]),
+)

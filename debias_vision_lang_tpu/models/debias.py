@@ -333,3 +333,15 @@ class DebiasCLIP:
                            clip_cfg=clip_cfg, debias_cfg=debias_cfg)
         preprocess = build_preprocess(clip_cfg.vision.image_size)
         return model, preprocess, tokenizer, alias_name(cfg.CLIP_ARCH)
+
+
+# Models are pytrees: params/prompt array are traced children, configs are
+# static aux data.  This lets whole model bundles pass as jit ARGUMENTS
+# (weights ship as buffers, not baked constants — mandatory for the remote-
+# compile path) and makes jax.tree/device_put work on models directly.
+jax.tree_util.register_pytree_node(
+    DebiasCLIP,
+    lambda m: ((m.clip_params, m.debias_tokens), (m.clip_cfg, m.debias_cfg)),
+    lambda aux, ch: DebiasCLIP(clip_params=ch[0], debias_tokens=ch[1],
+                               clip_cfg=aux[0], debias_cfg=aux[1]),
+)

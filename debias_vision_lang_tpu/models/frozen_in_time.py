@@ -132,3 +132,10 @@ class FrozenInTime:
     @property
     def logit_scale(self):
         return self.params["logit_scale"]
+
+
+jax.tree_util.register_pytree_node(
+    FrozenInTime,
+    lambda m: ((m.params,), (m.cfg,)),
+    lambda aux, ch: FrozenInTime(params=ch[0], cfg=aux[0]),
+)

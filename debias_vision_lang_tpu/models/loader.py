@@ -72,6 +72,14 @@ class CLIP:
         return self.params["logit_scale"]
 
 
+# pytree registration: params traced, config static (see models/debias.py)
+jax.tree_util.register_pytree_node(
+    CLIP,
+    lambda m: ((m.params,), (m.cfg,)),
+    lambda aux, ch: CLIP(params=ch[0], cfg=aux[0]),
+)
+
+
 def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
     from . import convert
 

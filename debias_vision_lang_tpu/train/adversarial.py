@@ -82,7 +82,6 @@ class TrainStepFns:
 
 
 def build_train_steps(
-    clip_params: Params,
     clip_cfg: CLIPConfig,
     debias_cfg: DebiasConfig,
     adv_cfg: AdversaryConfig,
@@ -103,34 +102,38 @@ def build_train_steps(
         adversary_optimizer = optax.adam(train_cfg.adversary_lr)
 
     sensitive_tokens = jnp.asarray(sensitive_tokens, jnp.int32)
-    logit_scale = jax.lax.stop_gradient(clip_params["logit_scale"])
 
-    def encode_sensitive(debias_tokens: jax.Array) -> jax.Array:
+    # NB: clip_params is an ARGUMENT of every step (frozen: always wrapped in
+    # stop_gradient) — closed-over weights would be baked into the compiled
+    # program as constants, which the remote-compile path rejects.
+    def encode_sensitive(cp, debias_tokens: jax.Array) -> jax.Array:
         return debias_model.encode_text(
-            clip_params, debias_tokens, sensitive_tokens, clip_cfg, debias_cfg,
+            cp, debias_tokens, sensitive_tokens, clip_cfg, debias_cfg,
             use_pallas=use_pallas,
         )
 
-    def encode_captions(debias_tokens: jax.Array, caption_tokens: jax.Array) -> jax.Array:
+    def encode_captions(cp, debias_tokens, caption_tokens) -> jax.Array:
         return debias_model.encode_text(
-            clip_params, debias_tokens, caption_tokens, clip_cfg, debias_cfg,
+            cp, debias_tokens, caption_tokens, clip_cfg, debias_cfg,
             use_pallas=use_pallas,
         )
 
     @jax.jit
-    def embed_images(images: jax.Array) -> jax.Array:
+    def embed_images(cp, images: jax.Array) -> jax.Array:
         """Frozen image tower (both batches use it; no gradient)."""
         return clip_model.encode_image(
-            clip_params, images, clip_cfg, use_pallas=use_pallas
+            jax.lax.stop_gradient(cp), images, clip_cfg, use_pallas=use_pallas
         ).astype(jnp.float32)
 
     @jax.jit
-    def eval_scores(debias_tokens: jax.Array, image_embs: jax.Array) -> jax.Array:
-        txt = encode_sensitive(debias_tokens)
-        return similarity_scores(image_embs, txt, logit_scale)
+    def eval_scores(cp, debias_tokens: jax.Array, image_embs: jax.Array) -> jax.Array:
+        cp = jax.lax.stop_gradient(cp)
+        txt = encode_sensitive(cp, debias_tokens)
+        return similarity_scores(image_embs, txt, cp["logit_scale"])
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def adversary_step(
+        cp: Params,
         adv_params: Params,
         adv_opt_state,
         debias_tokens: jax.Array,
@@ -138,7 +141,7 @@ def build_train_steps(
         attr_labels: jax.Array,
     ):
         """Adversary minimizes attribute-prediction BCE (README.md:153)."""
-        scores = jax.lax.stop_gradient(eval_scores(debias_tokens, image_embs))
+        scores = jax.lax.stop_gradient(eval_scores(cp, debias_tokens, image_embs))
 
         def loss_fn(ap):
             logits = adversary_model.apply_logits(ap, scores)[:, 0]
@@ -150,8 +153,9 @@ def build_train_steps(
         adv_params = optax.apply_updates(adv_params, updates)
         return adv_params, adv_opt_state, loss
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def prompt_step(
+        cp: Params,
         debias_tokens: jax.Array,
         prompt_opt_state,
         adv_params: Params,
@@ -162,14 +166,16 @@ def build_train_steps(
     ):
         """Prompt array maximizes adversary error while keeping CLIP aligned
         via the contrastive loss on image–caption pairs (README.md:153-157)."""
+        cp = jax.lax.stop_gradient(cp)
 
         def loss_fn(deb):
-            scores = eval_scores(deb, image_embs)
+            scores = eval_scores(cp, deb, image_embs)
             logits = adversary_model.apply_logits(
                 jax.lax.stop_gradient(adv_params), scores)[:, 0]
             adv_loss = sigmoid_bce(logits, attr_labels)
-            cap_txt = encode_captions(deb, caption_tokens)
-            con_loss = clip_contrastive_loss(caption_image_embs, cap_txt, logit_scale)
+            cap_txt = encode_captions(cp, deb, caption_tokens)
+            con_loss = clip_contrastive_loss(caption_image_embs, cap_txt,
+                                             cp["logit_scale"])
             total = (train_cfg.contrastive_weight * con_loss
                      - train_cfg.adversarial_weight * adv_loss)
             return total, (adv_loss, con_loss)
@@ -223,7 +229,7 @@ class AdversarialTrainer:
         use_pallas: Optional[bool] = None,
     ) -> "AdversarialTrainer":
         fns, p_opt, a_opt = build_train_steps(
-            model.clip_params, model.clip_cfg, model.debias_cfg, adversary.cfg,
+            model.clip_cfg, model.debias_cfg, adversary.cfg,
             train_cfg, sensitive_tokens, use_pallas=use_pallas,
         )
         return AdversarialTrainer(
@@ -237,20 +243,21 @@ class AdversarialTrainer:
 
     def step(self, images, attr_labels, caption_images, caption_tokens) -> Dict:
         """One outer step: K adversary updates, then one prompt update."""
-        image_embs = self.fns.embed_images(jnp.asarray(images))
-        cap_embs = self.fns.embed_images(jnp.asarray(caption_images))
+        cp = self.model.clip_params
+        image_embs = self.fns.embed_images(cp, jnp.asarray(images))
+        cap_embs = self.fns.embed_images(cp, jnp.asarray(caption_images))
         labels = jnp.asarray(np.asarray(attr_labels), jnp.float32)
 
         adv_loss = None
         for _ in range(self.train_cfg.adversary_steps_per_prompt_step):
             self.adversary_params, self.adv_opt_state, adv_loss = (
                 self.fns.adversary_step(
-                    self.adversary_params, self.adv_opt_state,
+                    cp, self.adversary_params, self.adv_opt_state,
                     self.model.debias_tokens, image_embs, labels))
 
         self.model.debias_tokens, self.prompt_opt_state, metrics = (
             self.fns.prompt_step(
-                self.model.debias_tokens, self.prompt_opt_state,
+                cp, self.model.debias_tokens, self.prompt_opt_state,
                 self.adversary_params, image_embs, labels,
                 cap_embs, jnp.asarray(np.asarray(caption_tokens), jnp.int32)))
         self.step_count += 1

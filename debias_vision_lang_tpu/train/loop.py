@@ -1,0 +1,189 @@
+"""End-to-end training orchestration: data → alternating steps → periodic
+bias eval → best-NDKL selection → checkpoints + reference-format export.
+
+Protocol (reconstructed, SURVEY.md §3.5): batch A = FairFace train images
+with protected-attribute labels vs the sensitive prompt set; batch B =
+image–caption pairs (flickr30k in the paper, README.md:155) for the
+contrastive term; ≤5 epochs with best-NDKL selection at eval points
+(the shipped checkpoint: epoch 4, step 5334 — reference: model/clip.py:16).
+
+When no caption corpus is available, batch B falls back to FairFace images
+with captions synthesized from their label rows ("a photo of a {age} year
+old {race} {gender}") — a documented stand-in that preserves image–text
+alignment pressure without an external dataset.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core.config import DebiasConfig, TrainConfig
+from ..models.adversary import Adversary
+from ..models.debias import DebiasCLIP, init_debias_tokens
+from ..utils.observability import MetricsLogger
+from .adversarial import AdversarialTrainer
+from .state import export_reference_pt, save_checkpoint
+
+
+def _fairface_caption(row) -> str:
+    return f"a photo of a {row['age']} year old {row['race'].replace('_', ' ').lower()} {row['gender'].lower()}"
+
+
+def _caption_batches(pairs_path, tokenizer, batch_size, fairface, preprocess_px,
+                     rng):
+    """Infinite iterator of (images_u8, tokens) contrastive batches."""
+    if pairs_path is not None:
+        from ..data.pairs import ImageCaptionPairs
+
+        ds = ImageCaptionPairs(pairs_path)
+        while True:
+            yield from ds.batches(tokenizer, batch_size, rng=rng)
+    else:
+        n = len(fairface)
+        while True:
+            idx = rng.permutation(n)
+            for s in range(0, n - batch_size + 1, batch_size):
+                sel = idx[s : s + batch_size]
+                images = np.stack([fairface.load_image(int(i)) for i in sel])
+                caps = [
+                    _fairface_caption(fairface.labels.iloc[int(i)]) for i in sel
+                ]
+                yield images, np.asarray(tokenizer(caps), np.int32)
+
+
+def run_training(
+    arch: str = "openai/CLIP/ViT-B/16",
+    attribute: str = "gender",
+    num_debias_tokens: int = 2,
+    debias_pos: str = "prepend",
+    debias_token_init="zeros",
+    epochs: int = 5,
+    batch_size: int = 64,
+    pairs_path: Optional[str] = None,
+    data_path: Optional[str] = None,
+    checkpoint_dir: str = "checkpoints",
+    eval_every: int = 500,
+    eval_n_samples: Optional[int] = 2000,
+    pretrained: bool = True,
+    tokenizer=None,
+    model=None,
+    sensitive_prompts=None,
+    adversary_hidden: int = 32,
+    train_cfg: Optional[TrainConfig] = None,
+    seed: int = 0,
+    log_dir: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
+    progress: bool = True,
+) -> Dict:
+    """Train the prompt array adversarially; returns a summary dict."""
+    import jax
+
+    from ..data.datasets import FairFace
+    from ..data.loader import HostLoader
+    from ..eval.measure import eval_ranking, gen_prompts, get_labels_img_embeddings, get_prompt_embeddings
+    from ..models.loader import model_loader
+    from ..vision.preprocess import preprocess_batch
+
+    rng = np.random.default_rng(seed)
+
+    if model is None:
+        base, preprocess, tok, alias = model_loader(arch, pretrained=pretrained,
+                                                    seed=seed)
+        tokenizer = tokenizer or tok
+        if tokenizer is None:
+            raise RuntimeError("a tokenizer is required (BPE vocab missing?)")
+        dcfg = DebiasConfig(
+            num_debias_tokens=num_debias_tokens,
+            hidden_dim=base.cfg.text.width,
+            max_tokens=base.cfg.text.context_length,
+            debias_pos=debias_pos,
+            debias_token_init=debias_token_init,
+        )
+        deb = init_debias_tokens(jax.random.key(seed + 1), base.params, dcfg,
+                                 tokenizer)
+        model = DebiasCLIP(clip_params=base.params, debias_tokens=deb,
+                           clip_cfg=base.cfg, debias_cfg=dcfg)
+    else:
+        alias = model.clip_cfg.name
+    if tokenizer is None:
+        raise RuntimeError("a tokenizer is required")
+
+    n_px = model.clip_cfg.vision.image_size
+
+    # sensitive prompt set: the full evaluation prompt battery (319),
+    # matching the adversary's default input width (ADV_N_INPUT)
+    prompts = sensitive_prompts if sensitive_prompts is not None else gen_prompts()
+    sens_tokens = np.asarray(tokenizer(prompts), np.int32)
+
+    adversary = Adversary.from_cfg({
+        "ADV_N_INPUT": len(prompts), "ADV_N_OUTPUT": 1,
+        "ADV_HIDDEN_SIZE": adversary_hidden, "SEED": seed,
+    })
+
+    tcfg = train_cfg or TrainConfig(batch_size=batch_size, num_epochs=epochs,
+                                    eval_every_steps=eval_every,
+                                    checkpoint_dir=checkpoint_dir, seed=seed)
+    trainer = AdversarialTrainer.create(model, adversary, tcfg, sens_tokens,
+                                        use_pallas=use_pallas)
+
+    train_ds = FairFace(mode="train", iat_type=attribute, data_path=data_path)
+    val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
+                      _n_samples=eval_n_samples)
+    loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True)
+    caption_iter = _caption_batches(pairs_path, tokenizer, batch_size, train_ds,
+                                    n_px, rng)
+    logger = MetricsLogger(log_dir or os.path.join(checkpoint_dir, "logs"))
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prep(images_u8):
+        return preprocess_batch(images_u8, n_px)
+
+    def evaluate_ndkl() -> float:
+        val_loader = HostLoader(val_ds, batch_size=256, num_workers=6)
+        labels, img_embs = get_labels_img_embeddings(val_loader, model, n_px=n_px)
+        prompt_embs = get_prompt_embeddings(model, tokenizer, prompts)
+        out = eval_ranking(labels, img_embs, prompt_embs, "ndkl", topn=1.0)
+        return float(out["eq_opp"])
+
+    it = loader
+    for epoch in range(epochs):
+        if progress:
+            import tqdm
+
+            it = tqdm.tqdm(loader, desc=f"epoch {epoch}")
+        for batch in it:
+            cap_images, cap_tokens = next(caption_iter)
+            metrics = trainer.step(
+                prep(jnp.asarray(batch.images)),
+                batch.labels.astype(np.float32),
+                prep(jnp.asarray(cap_images)),
+                cap_tokens,
+            )
+            logger.log(metrics, step=trainer.step_count)
+            if trainer.step_count % eval_every == 0:
+                ndkl = evaluate_ndkl()
+                is_best = trainer.maybe_update_best(ndkl)
+                logger.log({"ndkl_eq_opp": ndkl, "is_best": is_best},
+                           step=trainer.step_count)
+                save_checkpoint(checkpoint_dir, trainer)
+
+    final_ndkl = evaluate_ndkl()
+    trainer.maybe_update_best(final_ndkl)
+    save_checkpoint(checkpoint_dir, trainer)
+    pt_path = export_reference_pt(
+        trainer, os.path.join(checkpoint_dir,
+                              f"best_ndkl_{alias}_embeddings.pt"))
+    logger.close()
+    return {
+        "best_ndkl": trainer.best_ndkl,
+        "final_ndkl": final_ndkl,
+        "steps": trainer.step_count,
+        "export": pt_path,
+        "checkpoint_dir": checkpoint_dir,
+    }

@@ -1,0 +1,145 @@
+"""End-to-end run_training on a synthetic FairFace + tiny model, and CLI."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from debias_vision_lang_tpu.core.config import (
+    CLIPConfig,
+    DebiasConfig,
+    TextConfig,
+    TrainConfig,
+    VisionConfig,
+)
+from debias_vision_lang_tpu.models.clip import init_clip_params
+from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
+
+CTX, VOCAB, PX = 16, 128, 32
+
+
+@pytest.fixture(scope="module")
+def ff_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ff_train")
+    img_dir = root / "imgs" / "train_val" / "x"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    races = ["White", "Southeast Asian", "Middle Eastern", "Black", "Indian",
+             "Latino_Hispanic", "East Asian"]
+    ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59", "60-69",
+            "more than 70"]
+    rows = []
+    for i in range(16):
+        f = f"x/{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (PX, PX, 3), dtype=np.uint8)).save(
+            root / "imgs" / "train_val" / f)
+        rows.append({"file": f, "age": ages[i % 9],
+                     "gender": "Male" if i % 2 else "Female",
+                     "race": races[i % 7]})
+    for mode in ("train", "val"):
+        d = root / "labels" / mode
+        d.mkdir(parents=True)
+        pd.DataFrame(rows).to_csv(d / f"{mode}_labels.csv", index=False)
+    return str(root)
+
+
+def tiny_model():
+    cfg = CLIPConfig(
+        name="tiny-loop",
+        vision=VisionConfig(kind="vit", image_size=PX, patch_size=8, width=32,
+                            layers=1, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=VOCAB, context_length=CTX, width=32,
+                        layers=1, heads=2, embed_dim=16),
+    )
+    params = init_clip_params(jax.random.key(0), cfg)
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32, max_tokens=CTX)
+    deb = init_debias_tokens(jax.random.key(1), params, dcfg)
+    return DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
+                      debias_cfg=dcfg)
+
+
+def tok(texts):
+    out = np.zeros((len(texts), CTX), np.int32)
+    out[:, 0] = VOCAB - 2
+    for i, t in enumerate(texts):
+        out[i, 1] = abs(hash(t)) % 100 + 1
+        out[i, 2] = VOCAB - 1
+    return out
+
+
+class TestRunTraining:
+    def test_full_loop(self, ff_root, tmp_path):
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        result = run_training(
+            model=tiny_model(),
+            tokenizer=tok,
+            attribute="gender",
+            epochs=1,
+            batch_size=8,
+            data_path=ff_root,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            eval_every=1,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person", "a kind person"],
+            use_pallas=False,
+            progress=False,
+        )
+        assert result["steps"] == 2  # 16 imgs / batch 8
+        assert np.isfinite(result["best_ndkl"])
+        assert os.path.exists(result["export"])
+        # orbax checkpoint directory exists
+        assert any(d.startswith("step_") for d in os.listdir(result["checkpoint_dir"]))
+        # metrics were logged
+        log = os.path.join(result["checkpoint_dir"], "logs", "metrics.jsonl")
+        lines = [json.loads(l) for l in open(log)]
+        assert any("ndkl_eq_opp" in l for l in lines)
+        assert any("adversary_bce" in l for l in lines)
+
+    def test_export_loads_in_hub(self, ff_root, tmp_path):
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        result = run_training(
+            model=tiny_model(), tokenizer=tok, attribute="gender", epochs=1,
+            batch_size=8, data_path=ff_root,
+            checkpoint_dir=str(tmp_path / "ckpt2"), eval_every=100,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False, progress=False,
+        )
+        import torch
+
+        t = torch.load(result["export"], map_location="cpu", weights_only=True)
+        assert tuple(t.shape) == (2, 32)
+
+
+class TestCLI:
+    def test_help(self):
+        from debias_vision_lang_tpu.cli import main
+
+        with pytest.raises(SystemExit) as e:
+            main(["--help"])
+        assert e.value.code == 0
+
+    def test_measure_bias_cmd(self, ff_root, capsys, monkeypatch):
+        """measure-bias subcommand end-to-end with injected tiny tokenizer."""
+        import debias_vision_lang_tpu.cli as cli
+        from debias_vision_lang_tpu.models import loader as loader_mod
+
+        def fake_loader(name, pretrained=True, **kw):
+            m = tiny_model()
+            from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+            return m, Preprocess(PX), tok, "tiny"
+
+        monkeypatch.setattr("debias_vision_lang_tpu.models.loader.model_loader",
+                            fake_loader)
+        cli.main(["measure-bias", "--model", "openai/CLIP/ViT-B/16",
+                  "--attribute", "gender", "--data-path", ff_root,
+                  "--topn", "5", "--batch-size", "8", "--random-weights"])
+        out = json.loads(capsys.readouterr().out)
+        assert set(out) == {"maxskew", "ndkl"}
