@@ -46,14 +46,26 @@ def main():
     # kernel at S=197/D=64 (lane-padding waste) — default off until it wins.
     use_pallas = bool(int(os.environ.get("BENCH_PALLAS", "0"))) and on_tpu
 
+    quant = bool(int(os.environ.get("BENCH_QUANT", "0")))
+
     cfg = resolve_arch("openai/CLIP/ViT-B/16")
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
-    @jax.jit
-    def embed(p, images_u8):
-        x = preprocess_batch(images_u8, cfg.vision.image_size)
-        return clip_model.encode_image(p, x, cfg, dtype=dtype,
-                                       use_pallas=use_pallas).astype(jnp.float32)
+    if quant:
+        from debias_vision_lang_tpu.ops.quant import quantize_vit_visual, encode_image_vit_q
+
+        params = quantize_vit_visual(params["visual"])
+
+        @jax.jit
+        def embed(p, images_u8):
+            x = preprocess_batch(images_u8, cfg.vision.image_size)
+            return encode_image_vit_q(p, x, cfg.vision, dtype=dtype).astype(jnp.float32)
+    else:
+        @jax.jit
+        def embed(p, images_u8):
+            x = preprocess_batch(images_u8, cfg.vision.image_size)
+            return clip_model.encode_image(p, x, cfg, dtype=dtype,
+                                           use_pallas=use_pallas).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     params = jax.device_put(params)

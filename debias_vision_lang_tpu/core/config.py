@@ -157,6 +157,9 @@ class EvalConfig:
     progress: bool = False
     # "oracle" = numpy/pandas transliteration; "tpu" = jitted vectorized path
     engine: str = "tpu"
+    # embedding compute precision: "float32" (reference-parity) | "bfloat16"
+    # (TPU speed path; rank metrics are stable under the precision change)
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

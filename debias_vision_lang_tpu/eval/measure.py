@@ -78,6 +78,7 @@ def get_labels_img_embeddings(
     mesh=None,
     progress: bool = False,
     host_transform: Optional[Callable] = None,
+    dtype: str = "float32",
 ):
     """Embed every image; returns (labels [N], embeddings [N, D] on device).
 
@@ -87,17 +88,19 @@ def get_labels_img_embeddings(
     """
     from ..parallel.mesh import shard_batch_arrays
 
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
     # the model rides as a pytree ARGUMENT: weights ship as device buffers,
     # not compile-time constants (required by the remote-compile path), and
     # repeated measure_bias calls reuse the compilation
     @jax.jit
     def embed_step(m, images_u8):
         x = preprocess_batch(images_u8, n_px)
-        return m.encode_image(x).astype(jnp.float32)
+        return m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
 
     @jax.jit
     def embed_step_pre(m, images_f32):
-        return m.encode_image(images_f32).astype(jnp.float32)
+        return m.encode_image(images_f32, dtype=compute_dtype).astype(jnp.float32)
 
     all_embs, all_labels = [], []
     iterator = loader
@@ -196,7 +199,7 @@ def measure_bias(
     mesh = extra.get("mesh")
     labels, img_embs = get_labels_img_embeddings(
         loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
-        host_transform=host_transform)
+        host_transform=host_transform, dtype=cfg.dtype)
 
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)

@@ -68,10 +68,12 @@ def _pad_len(s: int, dtype) -> int:
     return max(mult * ((s + mult - 1) // mult), mult)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
-def _attention_pallas_padded(q, k, v, mask, group: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("group", "interpret", "scale"))
+def _attention_pallas_padded(q, k, v, mask, group: int, interpret: bool,
+                             scale: float):
+    # NB: scale comes from the ORIGINAL head dim — q here is lane-padded,
+    # so deriving it from q.shape would be wrong.
     bh, s, d = q.shape
-    scale = 1.0 / math.sqrt(d)
     grid = (bh // group,)
     kernel = functools.partial(_attn_kernel, scale=scale)
     return pl.pallas_call(
@@ -128,12 +130,17 @@ def attention_pallas(
 
     qp, kp, vp = prep(q), prep(k), prep(v)
 
-    g = group
+    # group size: largest divisor of B·H that fits the working set in VMEM
+    # (q/k/v/out blocks + per-slice f32 scores), leaving headroom for the
+    # pipeline's double buffering
+    bytes_per_slice = 4 * sp * dp * 4 + sp * sp * 4
+    budget = 12 * 1024 * 1024
+    g = max(min(group, budget // max(bytes_per_slice, 1)), 1)
     while bh % g != 0:
-        g //= 2
-    g = max(g, 1)
+        g -= 1
 
-    out = _attention_pallas_padded(qp, kp, vp, pmask, g, interpret)
+    out = _attention_pallas_padded(qp, kp, vp, pmask, g, interpret,
+                                   1.0 / math.sqrt(d))
     return out[:, :s, :d].reshape(b, h, s, d)
 
 

@@ -1,0 +1,149 @@
+"""Int8 inference path: numerics, rank stability, wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.models.loader import CLIP
+from debias_vision_lang_tpu.ops.quant import (
+    QuantizedCLIP,
+    int8_matmul,
+    quantize_weight,
+)
+
+
+class TestQuantPrimitives:
+    def test_quantize_weight_range(self, rng):
+        w = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+        q = quantize_weight(w)
+        assert q["q"].dtype == jnp.int8
+        assert np.abs(np.asarray(q["q"])).max() <= 127
+        # dequantized weight close to original
+        deq = np.asarray(q["q"], np.float32) * np.asarray(q["scale"])
+        assert np.abs(deq - np.asarray(w)).max() <= np.abs(np.asarray(w)).max() / 127 + 1e-6
+
+    def test_int8_matmul_accuracy(self, rng):
+        x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        exact = np.asarray(x @ w + b)
+        approx = np.asarray(int8_matmul(x, quantize_weight(w), b))
+        rel = np.abs(approx - exact).max() / np.abs(exact).max()
+        assert rel < 0.05
+
+    def test_stacked_weight_scales(self, rng):
+        w = jnp.asarray(rng.normal(size=(3, 8, 16)).astype(np.float32))  # [L,in,out]
+        q = quantize_weight(w)
+        assert q["scale"].shape == (3, 1, 16)  # per layer per out-channel
+
+
+class TestQuantizedCLIP:
+    def test_embedding_cosine_parity(self, tiny_clip, rng):
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        e_fp = np.asarray(base.encode_image(images, use_pallas=False, dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_image(images, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        assert cos.min() > 0.99
+
+    def test_ranking_stability(self, tiny_clip, rng):
+        """Rank order of images against a prompt is preserved under int8."""
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        images = jnp.asarray(rng.normal(size=(12, 32, 32, 3)).astype(np.float32))
+        prompt = rng.normal(size=(cfg.embed_dim,)).astype(np.float32)
+        s_fp = np.asarray(base.encode_image(images, use_pallas=False,
+                                            dtype=jnp.float32)) @ prompt
+        s_q = np.asarray(qmodel.encode_image(images, dtype=jnp.float32)) @ prompt
+        # rank-level check: top-3 sets overlap strongly
+        top_fp = set(np.argsort(-s_fp)[:3])
+        top_q = set(np.argsort(-s_q)[:3])
+        assert len(top_fp & top_q) >= 2
+
+    def test_text_tower_untouched(self, tiny_clip):
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        v = cfg.text.vocab_size
+        t = np.zeros((1, 16), np.int32)
+        t[:, 0], t[:, 1], t[:, 2] = v - 2, 3, v - 1
+        np.testing.assert_array_equal(
+            np.asarray(base.encode_text(t, use_pallas=False)),
+            np.asarray(qmodel.encode_text(t, use_pallas=False)))
+
+    def test_resnet_rejected(self):
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+
+        cfg = CLIPConfig(
+            name="rn", vision=VisionConfig(kind="resnet", image_size=64, width=16,
+                                           layers=(1, 1, 1, 1), heads=8,
+                                           embed_dim=32),
+            text=TextConfig(vocab_size=64, context_length=8, width=32, layers=1,
+                            heads=2, embed_dim=32))
+        base = CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+        with pytest.raises(NotImplementedError):
+            QuantizedCLIP(base)
+
+    def test_jit_as_pytree(self, tiny_clip, rng):
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg))
+
+        @jax.jit
+        def embed(m, x):
+            return m.encode_image(x, dtype=jnp.float32)
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        out = embed(qmodel, x)
+        assert out.shape == (2, 32)
+
+    def test_measure_bias_with_quantized_model(self, tiny_clip, rng, tmp_path):
+        """QuantizedCLIP drops into the measure_bias pipeline unchanged."""
+        import os
+
+        import pandas as pd
+        from PIL import Image
+
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        root = tmp_path / "ff"
+        os.makedirs(root / "imgs" / "train_val" / "v")
+        races = ["White", "Southeast Asian", "Middle Eastern", "Black",
+                 "Indian", "Latino_Hispanic", "East Asian"]
+        ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59",
+                "60-69", "more than 70"]
+        rows = []
+        for i in range(12):
+            f = f"v/{i}.jpg"
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                            ).save(root / "imgs" / "train_val" / f)
+            rows.append({"file": f, "age": ages[i % 9],
+                         "gender": "Male" if i % 2 else "Female",
+                         "race": races[i % 7]})
+        for m in ("train", "val"):
+            os.makedirs(root / "labels" / m)
+            pd.DataFrame(rows).to_csv(root / "labels" / m / f"{m}_labels.csv",
+                                      index=False)
+
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg))
+
+        def tok(texts):
+            out = np.zeros((len(texts), 16), np.int32)
+            out[:, 0] = cfg.text.vocab_size - 2
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = cfg.text.vocab_size - 1
+            return out
+
+        res = measure_bias(qmodel, Preprocess(32), tok, "gender",
+                           opts={"batch_size": 8, "topn": 6,
+                                 "data_path": str(root)})
+        assert np.isfinite(res["ndkl"]["eq_opp"])
