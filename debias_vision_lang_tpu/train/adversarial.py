@@ -78,6 +78,7 @@ class TrainStepFns:
     embed_images: Callable  # uint8/float images [B,H,W,3] → [B,D]
     adversary_step: Callable
     prompt_step: Callable
+    prompt_step_with_layers: Callable
     eval_scores: Callable
 
 
@@ -153,6 +154,24 @@ def build_train_steps(
         adv_params = optax.apply_updates(adv_params, updates)
         return adv_params, adv_opt_state, loss
 
+    def _prompt_losses(cp, deb, adv_params, image_embs, attr_labels,
+                       caption_image_embs, caption_tokens):
+        # scores computed WITHOUT stop_gradient on cp: in the with-layers
+        # variant the adversarial term must reach the unfrozen text layers
+        # (the frozen variant stop-gradients cp before calling)
+        txt = encode_sensitive(cp, deb)
+        scores = similarity_scores(image_embs, txt,
+                                   jax.lax.stop_gradient(cp["logit_scale"]))
+        logits = adversary_model.apply_logits(
+            jax.lax.stop_gradient(adv_params), scores)[:, 0]
+        adv_loss = sigmoid_bce(logits, attr_labels)
+        cap_txt = encode_captions(cp, deb, caption_tokens)
+        con_loss = clip_contrastive_loss(caption_image_embs, cap_txt,
+                                         jax.lax.stop_gradient(cp["logit_scale"]))
+        total = (train_cfg.contrastive_weight * con_loss
+                 - train_cfg.adversarial_weight * adv_loss)
+        return total, (adv_loss, con_loss)
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     def prompt_step(
         cp: Params,
@@ -169,16 +188,8 @@ def build_train_steps(
         cp = jax.lax.stop_gradient(cp)
 
         def loss_fn(deb):
-            scores = eval_scores(cp, deb, image_embs)
-            logits = adversary_model.apply_logits(
-                jax.lax.stop_gradient(adv_params), scores)[:, 0]
-            adv_loss = sigmoid_bce(logits, attr_labels)
-            cap_txt = encode_captions(cp, deb, caption_tokens)
-            con_loss = clip_contrastive_loss(caption_image_embs, cap_txt,
-                                             cp["logit_scale"])
-            total = (train_cfg.contrastive_weight * con_loss
-                     - train_cfg.adversarial_weight * adv_loss)
-            return total, (adv_loss, con_loss)
+            return _prompt_losses(cp, deb, adv_params, image_embs, attr_labels,
+                                  caption_image_embs, caption_tokens)
 
         (loss, (adv_loss, con_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(debias_tokens)
@@ -189,10 +200,43 @@ def build_train_steps(
             "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
         }
 
+    @functools.partial(jax.jit, donate_argnums=(0, 2), static_argnums=())
+    def prompt_step_with_layers(
+        cp: Params,
+        debias_tokens: jax.Array,
+        joint_opt_state,
+        grad_mask: Params,
+        adv_params: Params,
+        image_embs: jax.Array,
+        attr_labels: jax.Array,
+        caption_image_embs: jax.Array,
+        caption_tokens: jax.Array,
+    ):
+        """Variant that also trains the unfrozen CLIP layers: gradients over
+        (prompt array, clip params) with the reference's freezing policy
+        applied as a multiplier pytree (models/debias.py::trainable_mask —
+        replaces requires_grad walking, model/model.py:291-334)."""
+
+        def loss_fn(args):
+            deb, cpp = args
+            return _prompt_losses(cpp, deb, adv_params, image_embs, attr_labels,
+                                  caption_image_embs, caption_tokens)
+
+        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
+            loss_fn, has_aux=True)((debias_tokens, cp))
+        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
+        updates, joint_opt_state = prompt_optimizer.update(
+            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
+        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
+        return debias_tokens, cp, joint_opt_state, {
+            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
+        }
+
     fns = TrainStepFns(
         embed_images=embed_images,
         adversary_step=adversary_step,
         prompt_step=prompt_step,
+        prompt_step_with_layers=prompt_step_with_layers,
         eval_scores=eval_scores,
     )
     return fns, prompt_optimizer, adversary_optimizer
@@ -219,6 +263,9 @@ class AdversarialTrainer:
     step_count: int = 0
     best_ndkl: float = float("inf")
     best_tokens: Optional[np.ndarray] = None
+    # set when the debias config unfreezes CLIP layers/projections: the
+    # freezing-policy multiplier pytree and a joint (prompt, clip) optimizer
+    grad_mask: Optional[Params] = None
 
     @staticmethod
     def create(
@@ -232,13 +279,23 @@ class AdversarialTrainer:
             model.clip_cfg, model.debias_cfg, adversary.cfg,
             train_cfg, sensitive_tokens, use_pallas=use_pallas,
         )
+        dcfg = model.debias_cfg
+        trains_layers = (dcfg.n_train_text_layers > 0
+                         or dcfg.n_train_vid_layers > 0
+                         or not dcfg.freeze_proj)
+        grad_mask = model.trainable_mask() if trains_layers else None
+        if trains_layers:
+            prompt_opt_state = p_opt.init((model.debias_tokens, model.clip_params))
+        else:
+            prompt_opt_state = p_opt.init(model.debias_tokens)
         return AdversarialTrainer(
             model=model,
             adversary_params=adversary.params,
             fns=fns,
-            prompt_opt_state=p_opt.init(model.debias_tokens),
+            prompt_opt_state=prompt_opt_state,
             adv_opt_state=a_opt.init(adversary.params),
             train_cfg=train_cfg,
+            grad_mask=grad_mask,
         )
 
     def step(self, images, attr_labels, caption_images, caption_tokens) -> Dict:
@@ -255,11 +312,19 @@ class AdversarialTrainer:
                     cp, self.adversary_params, self.adv_opt_state,
                     self.model.debias_tokens, image_embs, labels))
 
-        self.model.debias_tokens, self.prompt_opt_state, metrics = (
-            self.fns.prompt_step(
+        cap_tok = jnp.asarray(np.asarray(caption_tokens), jnp.int32)
+        if self.grad_mask is not None:
+            (self.model.debias_tokens, self.model.clip_params,
+             self.prompt_opt_state, metrics) = self.fns.prompt_step_with_layers(
                 cp, self.model.debias_tokens, self.prompt_opt_state,
-                self.adversary_params, image_embs, labels,
-                cap_embs, jnp.asarray(np.asarray(caption_tokens), jnp.int32)))
+                self.grad_mask, self.adversary_params, image_embs, labels,
+                cap_embs, cap_tok)
+        else:
+            self.model.debias_tokens, self.prompt_opt_state, metrics = (
+                self.fns.prompt_step(
+                    cp, self.model.debias_tokens, self.prompt_opt_state,
+                    self.adversary_params, image_embs, labels,
+                    cap_embs, cap_tok))
         self.step_count += 1
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["adversary_bce"] = float(adv_loss)

@@ -1,0 +1,126 @@
+"""Layer-training mode: top-N resblocks / projections update under the
+freezing policy; everything else stays bit-identical."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.core.config import (
+    AdversaryConfig,
+    CLIPConfig,
+    DebiasConfig,
+    TextConfig,
+    TrainConfig,
+    VisionConfig,
+)
+from debias_vision_lang_tpu.models.adversary import Adversary, init_adversary_params
+from debias_vision_lang_tpu.models.clip import init_clip_params
+from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
+from debias_vision_lang_tpu.train.adversarial import AdversarialTrainer
+
+CTX, VOCAB = 16, 128
+
+
+def make_model(**debias_kw):
+    cfg = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(kind="vit", image_size=16, patch_size=8, width=32,
+                            layers=2, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=VOCAB, context_length=CTX, width=32,
+                        layers=2, heads=2, embed_dim=16),
+    )
+    params = init_clip_params(jax.random.key(0), cfg)
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32, max_tokens=CTX,
+                        **debias_kw)
+    deb = init_debias_tokens(jax.random.key(1), params, dcfg)
+    return DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
+                      debias_cfg=dcfg)
+
+
+def make_adversary(n):
+    cfg = AdversaryConfig(n_input=n, hidden_size=8)
+    return Adversary(params=init_adversary_params(jax.random.key(2), cfg), cfg=cfg)
+
+
+def sens_tokens(n):
+    rng = np.random.default_rng(0)
+    t = np.zeros((n, CTX), np.int32)
+    t[:, 0] = VOCAB - 2
+    t[:, 1] = rng.integers(1, 100, n)
+    t[:, 2] = VOCAB - 1
+    return t
+
+
+def batch(rng, b=8):
+    return (rng.normal(size=(b, 16, 16, 3)).astype(np.float32),
+            (rng.random(b) < 0.5).astype(np.float32),
+            rng.normal(size=(b, 16, 16, 3)).astype(np.float32),
+            sens_tokens(b))
+
+
+class TestLayerTraining:
+    def test_top_text_layer_trains(self):
+        model = make_model(n_train_text_layers=1)
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), model.clip_params)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        assert trainer.grad_mask is not None
+        rng = np.random.default_rng(3)
+        for _ in range(2):
+            m = trainer.step(*batch(rng))
+        after = trainer.model.clip_params
+
+        # top text layer changed
+        b_w = before["text"]["resblocks"]["attn"]["wqkv"]
+        a_w = np.asarray(after["text"]["resblocks"]["attn"]["wqkv"])
+        assert np.abs(a_w[1] - b_w[1]).max() > 0  # layer 1 (top) trained
+        np.testing.assert_array_equal(a_w[0], b_w[0])  # bottom frozen
+
+        # image tower + projections + token embedding bit-identical
+        for path in (("visual", "resblocks", "attn", "wqkv"),
+                     ("text", "token_embedding"),
+                     ("text", "text_projection")):
+            b_leaf, a_leaf = before, after
+            for k in path:
+                b_leaf, a_leaf = b_leaf[k], a_leaf[k]
+            np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
+        assert np.isfinite(m["loss"])
+
+    def test_unfreeze_proj_trains_projections(self):
+        model = make_model(freeze_proj=False)
+        before_proj = np.asarray(model.clip_params["text"]["text_projection"]).copy()
+        before_tok = np.asarray(model.clip_params["text"]["token_embedding"]).copy()
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(4)
+        trainer.step(*batch(rng))
+        after = trainer.model.clip_params
+        assert np.abs(np.asarray(after["text"]["text_projection"]) - before_proj).max() > 0
+        # tokens never train (reference model/model.py:323-324)
+        np.testing.assert_array_equal(
+            np.asarray(after["text"]["token_embedding"]), before_tok)
+
+    def test_frozen_default_has_no_mask(self):
+        model = make_model()
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        assert trainer.grad_mask is None
+
+    def test_vision_layer_trains_via_contrastive_images(self):
+        """n_train_vid_layers: the image tower is used under stop_gradient in
+        embed_images, so vid-layer training requires gradients through the
+        *caption* image path — which this loop embeds frozen.  The mask is
+        built (parity), and the text-side path still works."""
+        model = make_model(n_train_vid_layers=1)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        assert trainer.grad_mask is not None
+        rng = np.random.default_rng(5)
+        m = trainer.step(*batch(rng))
+        assert np.isfinite(m["loss"])
