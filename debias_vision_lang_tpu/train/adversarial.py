@@ -207,18 +207,27 @@ def build_train_steps(
         joint_opt_state,
         grad_mask: Params,
         adv_params: Params,
-        image_embs: jax.Array,
+        images: jax.Array,
         attr_labels: jax.Array,
-        caption_image_embs: jax.Array,
+        caption_images: jax.Array,
         caption_tokens: jax.Array,
     ):
         """Variant that also trains the unfrozen CLIP layers: gradients over
         (prompt array, clip params) with the reference's freezing policy
         applied as a multiplier pytree (models/debias.py::trainable_mask —
-        replaces requires_grad walking, model/model.py:291-334)."""
+        replaces requires_grad walking, model/model.py:291-334).
+
+        Unlike the frozen path, BOTH image batches are embedded inside the
+        loss so unfrozen image-tower layers receive gradients (costs one
+        image fwd+bwd per step — inherent to training vid layers)."""
 
         def loss_fn(args):
             deb, cpp = args
+            image_embs = clip_model.encode_image(
+                cpp, images, clip_cfg, use_pallas=use_pallas).astype(jnp.float32)
+            caption_image_embs = clip_model.encode_image(
+                cpp, caption_images, clip_cfg, use_pallas=use_pallas
+            ).astype(jnp.float32)
             return _prompt_losses(cpp, deb, adv_params, image_embs, attr_labels,
                                   caption_image_embs, caption_tokens)
 
@@ -314,11 +323,12 @@ class AdversarialTrainer:
 
         cap_tok = jnp.asarray(np.asarray(caption_tokens), jnp.int32)
         if self.grad_mask is not None:
+            # raw images go in: the step embeds them differentiably
             (self.model.debias_tokens, self.model.clip_params,
              self.prompt_opt_state, metrics) = self.fns.prompt_step_with_layers(
                 cp, self.model.debias_tokens, self.prompt_opt_state,
-                self.grad_mask, self.adversary_params, image_embs, labels,
-                cap_embs, cap_tok)
+                self.grad_mask, self.adversary_params, jnp.asarray(images),
+                labels, jnp.asarray(caption_images), cap_tok)
         else:
             self.model.debias_tokens, self.prompt_opt_state, metrics = (
                 self.fns.prompt_step(

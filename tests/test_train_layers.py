@@ -111,12 +111,12 @@ class TestLayerTraining:
                                             use_pallas=False)
         assert trainer.grad_mask is None
 
-    def test_vision_layer_trains_via_contrastive_images(self):
-        """n_train_vid_layers: the image tower is used under stop_gradient in
-        embed_images, so vid-layer training requires gradients through the
-        *caption* image path — which this loop embeds frozen.  The mask is
-        built (parity), and the text-side path still works."""
+    def test_vision_layer_trains(self):
+        """n_train_vid_layers: the with-layers step embeds images inside the
+        loss, so the top image resblock receives gradients."""
         model = make_model(n_train_vid_layers=1)
+        before = np.asarray(
+            model.clip_params["visual"]["resblocks"]["attn"]["wqkv"]).copy()
         trainer = AdversarialTrainer.create(model, make_adversary(4),
                                             TrainConfig(), sens_tokens(4),
                                             use_pallas=False)
@@ -124,3 +124,7 @@ class TestLayerTraining:
         rng = np.random.default_rng(5)
         m = trainer.step(*batch(rng))
         assert np.isfinite(m["loss"])
+        after = np.asarray(
+            trainer.model.clip_params["visual"]["resblocks"]["attn"]["wqkv"])
+        assert np.abs(after[1] - before[1]).max() > 0  # top vid layer trained
+        np.testing.assert_array_equal(after[0], before[0])  # bottom frozen
