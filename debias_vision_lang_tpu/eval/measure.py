@@ -204,6 +204,20 @@ def measure_bias(
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)
 
+    if extra.get("sharded_metrics") and mesh is not None:
+        # keep embeddings sharded end-to-end: per-shard top-k + ICI merge
+        from ..metrics.distributed import sharded_eval_ranking
+
+        n = img_embs.shape[0]
+        n_shards = mesh.shape["data"]
+        keep = (n // n_shards) * n_shards  # drop the ragged tail across shards
+        return {
+            evaluation: sharded_eval_ranking(
+                labels[:keep], img_embs[:keep], prompt_embs, evaluation,
+                topn=cfg.topn, mesh=mesh)
+            for evaluation in cfg.evaluations
+        }
+
     return {
         evaluation: eval_ranking(labels, img_embs, prompt_embs, evaluation,
                                  topn=cfg.topn, engine=cfg.engine)

@@ -52,23 +52,18 @@ def desired_distributions(labels: jax.Array, n_classes: int) -> Dict[str, jax.Ar
     }
 
 
-@functools.partial(jax.jit, static_argnames=("top_n", "n_classes"))
-def ranking_metrics(
-    scores: jax.Array,
-    labels: jax.Array,
+def metrics_from_top_labels(
+    top_labels: jax.Array,
+    desired: Dict[str, jax.Array],
     top_n: int,
     n_classes: int,
 ) -> Dict[str, jax.Array]:
-    """All four sub-metrics for a batch of prompts at once.
+    """Metric core over already-ranked label lists.
 
-    scores: [P, N] (P prompts × N images), labels: [N] int.
-    Returns dict of [P] arrays: maxskew_eq_opp, maxskew_dem_par,
-    ndkl_eq_opp, ndkl_dem_par.
+    top_labels: [P, top_n] labels of the ranked list per prompt (descending
+    score); desired: the two target distributions.  Shared by the
+    single-device and the sharded (top-k-merge) paths.
     """
-    desired = desired_distributions(labels, n_classes)
-
-    _, top_idx = jax.lax.top_k(scores, top_n)  # [P, top_n]
-    top_labels = labels[top_idx]  # [P, top_n]
     onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, top_n, C]
     prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, top_n, C]
 
@@ -95,6 +90,25 @@ def ranking_metrics(
         # reference max starts from 0 → never negative
         out[f"maxskew_{name}"] = jnp.maximum(jnp.max(skew, axis=-1), 0.0)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("top_n", "n_classes"))
+def ranking_metrics(
+    scores: jax.Array,
+    labels: jax.Array,
+    top_n: int,
+    n_classes: int,
+) -> Dict[str, jax.Array]:
+    """All four sub-metrics for a batch of prompts at once.
+
+    scores: [P, N] (P prompts × N images), labels: [N] int.
+    Returns dict of [P] arrays: maxskew_eq_opp, maxskew_dem_par,
+    ndkl_eq_opp, ndkl_dem_par.
+    """
+    desired = desired_distributions(labels, n_classes)
+    _, top_idx = jax.lax.top_k(scores, top_n)  # [P, top_n]
+    top_labels = labels[top_idx]  # [P, top_n]
+    return metrics_from_top_labels(top_labels, desired, top_n, n_classes)
 
 
 def eval_ranking(

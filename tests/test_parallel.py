@@ -119,3 +119,46 @@ class TestGraftEntry:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert np.isfinite(np.asarray(out[0])).all()
+
+
+class TestShardedRankingMetrics:
+    """Exact equivalence of the ICI top-k-merge path vs single-device."""
+
+    @pytest.mark.parametrize("topn", [1, 7, 16, 1.0, 0.5])
+    def test_equivalence(self, rng, topn):
+        from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
+
+        n, d, p_n = 64, 16, 4
+        img = rng.normal(size=(n, d)).astype(np.float32)
+        prm = rng.normal(size=(p_n, d)).astype(np.float32)
+        labels = (rng.random(n) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
+        mesh = create_mesh()
+        for ev in ("maxskew", "ndkl"):
+            a = sharded_eval_ranking(labels, img, prm, ev, topn, mesh)
+            b = eval_ranking(labels, img, prm, ev, topn)
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=f"{ev}/{k}")
+
+    def test_multiclass(self, rng):
+        from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
+
+        n = 56
+        img = rng.normal(size=(n, 8)).astype(np.float32)
+        prm = rng.normal(size=(3, 8)).astype(np.float32)
+        labels = np.concatenate([np.arange(7), rng.integers(0, 7, n - 7)]).astype(np.int32)
+        mesh = create_mesh()
+        a = sharded_eval_ranking(labels, img, prm, "ndkl", 10, mesh)
+        b = eval_ranking(labels, img, prm, "ndkl", 10)
+        np.testing.assert_allclose(a["eq_opp"], b["eq_opp"], atol=1e-5)
+
+    def test_indivisible_raises(self, rng):
+        from debias_vision_lang_tpu.metrics.distributed import sharded_ranking_metrics
+
+        mesh = create_mesh()
+        with pytest.raises(ValueError, match="divisible"):
+            sharded_ranking_metrics(
+                np.zeros((30, 4), np.float32), np.zeros(30, np.int32),
+                np.zeros((2, 4), np.float32), 5, 2, mesh)
