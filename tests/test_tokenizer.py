@@ -137,3 +137,42 @@ class TestRealVocabGolden:
         out = tok(["a photo of a cat"])[0]
         assert out[0] == 49406
         assert out[int(np.argmax(out))] == 49407
+
+
+class TestTokenizerEdgeCases:
+    def test_unicode_bytes_roundtrip(self, toy_tokenizer):
+        # non-ASCII text encodes through the byte map without loss
+        ids = toy_tokenizer.encode("café ☕")
+        assert toy_tokenizer.decode(ids).strip() == "café ☕"
+
+    def test_contractions_split(self, toy_tokenizer):
+        # pattern isolates 's as its own chunk
+        a = toy_tokenizer.encode("cat's")
+        b = toy_tokenizer.encode("cat 's")
+        c = toy_tokenizer.encode("cat")
+        # "cat's" = tokens("cat") + tokens("'s"): contraction split off
+        assert a[: len(c)] == c
+
+    def test_punctuation_runs_grouped(self, toy_tokenizer):
+        # "!!" is one pre-token chunk (punctuation run), not two
+        ids_single = toy_tokenizer.encode("!")
+        ids_double = toy_tokenizer.encode("!!")
+        # without merges for "!!" it stays two byte symbols inside one chunk
+        assert len(ids_double) >= len(ids_single)
+
+    def test_numbers_tokenized_per_digit(self, toy_tokenizer):
+        ids = toy_tokenizer.encode("12")
+        # \p{N} matches single digits → two separate chunks
+        assert len(ids) == 2
+
+    def test_empty_string(self, toy_tokenizer):
+        out = toy_tokenizer([""])
+        assert out[0][0] == toy_tokenizer.sot_token
+        assert out[0][1] == toy_tokenizer.eot_token
+
+    def test_whitespace_only(self, toy_tokenizer):
+        out = toy_tokenizer(["   \t\n "])
+        assert out[0][1] == toy_tokenizer.eot_token
+
+    def test_html_entity_cleaning(self, toy_tokenizer):
+        assert (toy_tokenizer("the &amp;amp; cat") == toy_tokenizer("the & cat")).all()
