@@ -39,12 +39,16 @@ class HostLoader:
         num_workers: int = 6,
         prefetch: int = 2,
         drop_remainder: bool = False,
+        shuffle: bool = False,
+        seed: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
         self.drop_remainder = drop_remainder
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -54,6 +58,8 @@ class HostLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         n = len(self.dataset)
+        # fresh permutation each epoch when shuffling (training mode)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         bounds = [
             (s, min(s + self.batch_size, n))
             for s in range(0, n, self.batch_size)
@@ -76,7 +82,7 @@ class HostLoader:
                 nonlocal next_submit
                 while next_submit < min(until, last):
                     futures[next_submit] = pool.submit(
-                        self.dataset.load_image, next_submit
+                        self.dataset.load_image, int(order[next_submit])
                     )
                     next_submit += 1
 
@@ -85,7 +91,8 @@ class HostLoader:
                 top_up(e + window)
                 images = [futures.pop(i).result() for i in range(s, e)]
                 labels = np.asarray(
-                    [self.dataset.iat_labels[i] for i in range(s, e)], np.int32
+                    [self.dataset.iat_labels[int(order[i])] for i in range(s, e)],
+                    np.int32,
                 )
                 num_valid = e - s
                 if num_valid < self.batch_size:  # pad to fixed shape

@@ -35,12 +35,39 @@ DEFAULT_NUM_FRAMES = 4
 
 
 def init_video_vit_params(rng, cfg: VisionConfig,
-                          num_frames: int = DEFAULT_NUM_FRAMES) -> Params:
+                          num_frames: int = DEFAULT_NUM_FRAMES,
+                          divided: bool = False) -> Params:
     p = clip_model.init_vit_params(rng, cfg)
     k = jax.random.fold_in(rng, 17)
     p["temporal_embedding"] = (cfg.width ** -0.5) * jax.random.normal(
         k, (num_frames, cfg.width), jnp.float32)
+    if divided:
+        p["temporal_attn"] = init_temporal_attn_params(
+            jax.random.fold_in(rng, 19), cfg)
     return p
+
+
+def init_temporal_attn_params(rng, cfg: VisionConfig) -> Params:
+    """Per-block temporal attention for divided space-time mode.
+
+    Upstream Frozen-in-Time's key trick: the temporal attention's OUTPUT
+    projection is ZERO-initialized, so a freshly-added temporal path is an
+    identity and image-pretrained weights keep working; training grows the
+    temporal pathway from zero.
+    """
+    from .layers import init_resblocks
+
+    width, layers = cfg.width, cfg.layers
+    base = init_resblocks(rng, layers, width)
+    return {
+        "ln_t": base["ln_1"],
+        "attn": {
+            "wqkv": base["attn"]["wqkv"],
+            "bqkv": base["attn"]["bqkv"],
+            "wo": jnp.zeros_like(base["attn"]["wo"]),  # zero-init output
+            "bo": jnp.zeros_like(base["attn"]["bo"]),
+        },
+    }
 
 
 def encode_video(
@@ -80,6 +107,71 @@ def encode_video(
                     use_pallas=use_pallas, remat=remat)
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
     return jnp.dot(x, p["proj"].astype(dtype))
+
+
+def encode_video_divided(
+    params: Params,
+    videos: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Divided space-time attention (TimeSformer-style, upstream FiT's
+    formulation): per block, temporal attention across frames at each spatial
+    location (zero-initialized output → starts as identity), then spatial
+    attention within each frame, then the MLP.  Mean-pooled embedding.
+
+    [B, T, H, W, 3] → [B, embed_dim].  Requires params built with
+    ``init_video_vit_params(..., divided=True)``.
+    """
+    from .layers import layer_norm as ln
+    from .layers import multi_head_attention, quick_gelu, linear
+
+    p = params
+    if "temporal_attn" not in p:
+        raise ValueError("divided mode needs init_video_vit_params(divided=True)")
+    if videos.ndim == 4:
+        videos = videos[:, None]
+    b, t, h, w, c = videos.shape
+    max_t = p["temporal_embedding"].shape[0]
+    if t > max_t:
+        idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
+        videos = videos[:, idx]
+        t = max_t
+
+    x = clip_model.patch_embed(
+        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
+    n = x.shape[1]
+    x = x.reshape(b, t, n, cfg.width)
+    x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]
+    x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
+    x = ln(p["ln_pre"], x)
+
+    layers = p["resblocks"]["ln_1"]["scale"].shape[0]
+    for i in range(layers):
+        sp = jax.tree.map(lambda a: a[i], p["resblocks"])
+        tp = jax.tree.map(lambda a: a[i], p["temporal_attn"])
+        # temporal: attend over T at each spatial location
+        xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, cfg.width)
+        at = multi_head_attention(tp["attn"], ln(tp["ln_t"], xt), cfg.heads,
+                                  use_pallas=use_pallas)
+        x = x + at.reshape(b, n, t, cfg.width).transpose(0, 2, 1, 3)
+        # spatial: attend within each frame
+        xs = x.reshape(b * t, n, cfg.width)
+        asp = multi_head_attention(sp["attn"], ln(sp["ln_1"], xs), cfg.heads,
+                                   use_pallas=use_pallas)
+        x = x + asp.reshape(b, t, n, cfg.width)
+        # MLP
+        hdn = linear({"kernel": sp["mlp"]["w1"], "bias": sp["mlp"]["b1"]},
+                     ln(sp["ln_2"], x))
+        x = x + linear({"kernel": sp["mlp"]["w2"], "bias": sp["mlp"]["b2"]},
+                       quick_gelu(hdn))
+
+    pooled = jnp.mean(x.reshape(b, t * n, cfg.width), axis=1)
+    pooled = ln(p["ln_post"], pooled[:, None, :])[:, 0, :]
+    return jnp.dot(pooled, p["proj"].astype(dtype))
 
 
 def init_fit_params(rng, cfg: CLIPConfig,

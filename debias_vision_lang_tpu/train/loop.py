@@ -133,7 +133,8 @@ def run_training(
     train_ds = FairFace(mode="train", iat_type=attribute, data_path=data_path)
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
                       _n_samples=eval_n_samples)
-    loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True)
+    loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True,
+                        shuffle=True, seed=seed)
     caption_iter = _caption_batches(pairs_path, tokenizer, batch_size, train_ds,
                                     n_px, rng)
     logger = MetricsLogger(log_dir or os.path.join(checkpoint_dir, "logs"))

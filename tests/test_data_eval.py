@@ -246,3 +246,36 @@ class TestMeasureBias:
             r_tpu["ndkl"]["eq_opp"], r_orc["ndkl"]["eq_opp"], atol=1e-4)
         np.testing.assert_allclose(
             r_tpu["ndkl"]["dem_par"], r_orc["ndkl"]["dem_par"], atol=1e-4)
+
+
+class TestLoaderShuffle:
+    def test_shuffle_permutes_and_pairs_labels(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        loader = HostLoader(ds, batch_size=24, shuffle=True, seed=3)
+        batch = next(iter(loader))
+        # all images present exactly once (compare via per-image checksums)
+        sums_got = sorted(batch.images.reshape(24, -1).sum(axis=1).tolist())
+        sums_exp = sorted(
+            ds.load_image(i).reshape(-1).sum() for i in range(24))
+        np.testing.assert_allclose(sums_got, sums_exp)
+        # labels follow the same permutation as images
+        by_sum = {ds.load_image(i).reshape(-1).sum(): ds.iat_labels[i]
+                  for i in range(24)}
+        for img, lbl in zip(batch.images, batch.labels):
+            assert by_sum[img.reshape(-1).sum()] == lbl
+
+    def test_epochs_differ(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        loader = HostLoader(ds, batch_size=24, shuffle=True, seed=3)
+        b1 = next(iter(loader))
+        b2 = next(iter(loader))
+        assert not np.array_equal(b1.images, b2.images)
+
+    def test_no_shuffle_stable(self, fake_fairface):
+        ds = FairFace(mode="val", iat_type="gender", data_path=fake_fairface,
+                      download=False)
+        loader = HostLoader(ds, batch_size=24)
+        np.testing.assert_array_equal(next(iter(loader)).images,
+                                      next(iter(loader)).images)

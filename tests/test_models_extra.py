@@ -218,3 +218,66 @@ class TestObservability:
         logger.close()
         assert box["elapsed"] >= 0
         assert "step_time_s" in open(logger.path).read()
+
+
+class TestDividedSpaceTime:
+    @pytest.fixture(scope="class")
+    def divided_setup(self):
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            init_video_vit_params)
+
+        vcfg = VisionConfig(kind="video_vit", image_size=16, patch_size=8,
+                            width=32, layers=2, heads=2, embed_dim=16)
+        params = init_video_vit_params(jax.random.key(0), vcfg, num_frames=4,
+                                       divided=True)
+        return vcfg, params
+
+    def test_shape(self, divided_setup):
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video_divided)
+
+        vcfg, params = divided_setup
+        v = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 3))
+        out = encode_video_divided(params, v, vcfg, use_pallas=False)
+        assert out.shape == (2, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_zero_init_temporal_is_identity(self, divided_setup):
+        """At init the temporal output proj is zero → shuffling the frame
+        ORDER must not change the output (temporal path contributes nothing,
+        aside from the temporal embedding, which we zero for this check)."""
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video_divided)
+
+        vcfg, params = divided_setup
+        p = dict(params)
+        p["temporal_embedding"] = jnp.zeros_like(params["temporal_embedding"])
+        v = jax.random.normal(jax.random.key(2), (1, 4, 16, 16, 3))
+        fwd = encode_video_divided(p, v, vcfg, use_pallas=False)
+        rev = encode_video_divided(p, v[:, ::-1], vcfg, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(fwd), np.asarray(rev), atol=1e-5)
+
+    def test_trained_temporal_breaks_symmetry(self, divided_setup):
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video_divided)
+
+        vcfg, params = divided_setup
+        p = jax.tree.map(lambda x: x, params)
+        p["temporal_attn"] = dict(p["temporal_attn"])
+        p["temporal_attn"]["attn"] = dict(p["temporal_attn"]["attn"])
+        p["temporal_attn"]["attn"]["wo"] = 0.1 * jax.random.normal(
+            jax.random.key(3), params["temporal_attn"]["attn"]["wo"].shape)
+        v = jax.random.normal(jax.random.key(4), (1, 4, 16, 16, 3))
+        fwd = encode_video_divided(p, v, vcfg, use_pallas=False)
+        rev = encode_video_divided(p, v[:, ::-1], vcfg, use_pallas=False)
+        assert np.abs(np.asarray(fwd) - np.asarray(rev)).max() > 1e-6
+
+    def test_requires_divided_params(self):
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video_divided, init_video_vit_params)
+
+        vcfg = VisionConfig(kind="video_vit", image_size=16, patch_size=8,
+                            width=32, layers=1, heads=2, embed_dim=16)
+        params = init_video_vit_params(jax.random.key(0), vcfg)  # no divided
+        with pytest.raises(ValueError, match="divided"):
+            encode_video_divided(params, jnp.zeros((1, 2, 16, 16, 3)), vcfg)
