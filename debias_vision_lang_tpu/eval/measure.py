@@ -95,7 +95,13 @@ def get_labels_img_embeddings(
     # repeated measure_bias calls reuse the compilation
     @jax.jit
     def embed_step(m, images_u8):
-        x = preprocess_batch(images_u8, n_px)
+        if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
+            b, t = images_u8.shape[:2]
+            x = preprocess_batch(images_u8.reshape((b * t,) + images_u8.shape[2:]),
+                                 n_px)
+            x = x.reshape((b, t) + x.shape[1:])
+        else:
+            x = preprocess_batch(images_u8, n_px)
         return m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
 
     @jax.jit
@@ -183,6 +189,12 @@ def measure_bias(
 
         ds = UTKFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
                      equal_split=equal_split, data_path=data_path)
+    elif dataset_name == "video":
+        from ..data.video import VideoDataset
+
+        ds = VideoDataset(data_path=data_path, iat_type=attribute,
+                          _n_samples=n_samples, equal_split=equal_split,
+                          num_frames=extra.get("num_frames", 4))
     else:
         raise NotImplementedError(f"dataset={dataset_name!r}")
 
