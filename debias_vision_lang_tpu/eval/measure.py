@@ -209,6 +209,10 @@ def measure_bias(
         n_px, host_transform = 224, img_preproc
 
     mesh = extra.get("mesh")
+    if mesh == "auto":
+        from ..parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     labels, img_embs = get_labels_img_embeddings(
         loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
         host_transform=host_transform, dtype=cfg.dtype)

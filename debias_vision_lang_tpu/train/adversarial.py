@@ -48,6 +48,16 @@ def sigmoid_bce(logits: jax.Array, labels: jax.Array) -> jax.Array:
     )
 
 
+def adversary_loss(logits: jax.Array, labels: jax.Array, n_output: int) -> jax.Array:
+    """Attribute-prediction loss: binary (sigmoid BCE, the reference's
+    ADV_N_OUTPUT=1 gender setup — model/model.py:348,361) or multiclass
+    (softmax CE over n_output classes: race/age debiasing)."""
+    if n_output == 1:
+        return sigmoid_bce(logits[:, 0], labels)
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels.astype(jnp.int32)).mean()
+
+
 def clip_contrastive_loss(
     image_embs: jax.Array, text_embs: jax.Array, logit_scale: jax.Array
 ) -> jax.Array:
@@ -145,8 +155,8 @@ def build_train_steps(
         scores = jax.lax.stop_gradient(eval_scores(cp, debias_tokens, image_embs))
 
         def loss_fn(ap):
-            logits = adversary_model.apply_logits(ap, scores)[:, 0]
-            return sigmoid_bce(logits, attr_labels)
+            logits = adversary_model.apply_logits(ap, scores)
+            return adversary_loss(logits, attr_labels, adv_cfg.n_output)
 
         loss, grads = jax.value_and_grad(loss_fn)(adv_params)
         updates, adv_opt_state = adversary_optimizer.update(grads, adv_opt_state,
@@ -163,8 +173,8 @@ def build_train_steps(
         scores = similarity_scores(image_embs, txt,
                                    jax.lax.stop_gradient(cp["logit_scale"]))
         logits = adversary_model.apply_logits(
-            jax.lax.stop_gradient(adv_params), scores)[:, 0]
-        adv_loss = sigmoid_bce(logits, attr_labels)
+            jax.lax.stop_gradient(adv_params), scores)
+        adv_loss = adversary_loss(logits, attr_labels, adv_cfg.n_output)
         cap_txt = encode_captions(cp, deb, caption_tokens)
         con_loss = clip_contrastive_loss(caption_image_embs, cap_txt,
                                          jax.lax.stop_gradient(cp["logit_scale"]))

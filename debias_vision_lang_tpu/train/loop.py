@@ -78,6 +78,7 @@ def run_training(
     log_dir: Optional[str] = None,
     use_pallas: Optional[bool] = None,
     progress: bool = True,
+    resume: bool = False,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -129,6 +130,12 @@ def run_training(
                                     checkpoint_dir=checkpoint_dir, seed=seed)
     trainer = AdversarialTrainer.create(model, adversary, tcfg, sens_tokens,
                                         use_pallas=use_pallas)
+    if resume:
+        from .state import latest_checkpoint, restore_checkpoint
+
+        ckpt = latest_checkpoint(checkpoint_dir)
+        if ckpt is not None:
+            restore_checkpoint(ckpt, trainer)
 
     train_ds = FairFace(mode="train", iat_type=attribute, data_path=data_path)
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,

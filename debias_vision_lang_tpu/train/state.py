@@ -72,6 +72,22 @@ def restore_checkpoint(path: str, trainer) -> None:
         trainer.best_tokens = np.asarray(state["meta"]["best_tokens"])
 
 
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Highest-step checkpoint path under ``directory``, or None."""
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(os.path.abspath(directory), max(steps)[1])
+
+
 def export_reference_pt(trainer, path: str, use_best: bool = True) -> str:
     """Export prompt embeddings in the reference's bare-tensor .pt format
     (drop-in loadable by the upstream hub, model/clip.py:75-81)."""

@@ -262,6 +262,10 @@ class TestEndToEnd:
         )
         assert alias == "oai-clip-vit-b-16"
         assert model.debias_tokens.shape == (2, 512)
+        assert model.clip_params["visual"]["proj"].shape == (768, 512)
+        assert preprocess.n_px == 224
+        # (full-size forward is exercised by __graft_entry__ / bench paths;
+        # running it here on CPU costs ~40s for no extra coverage)
 
     def test_tiny_forward_consistency(self, tiny_clip):
         cfg, params = tiny_clip

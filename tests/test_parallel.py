@@ -124,7 +124,7 @@ class TestGraftEntry:
 class TestShardedRankingMetrics:
     """Exact equivalence of the ICI top-k-merge path vs single-device."""
 
-    @pytest.mark.parametrize("topn", [1, 7, 16, 1.0, 0.5])
+    @pytest.mark.parametrize("topn", [7, 1.0, 0.5])
     def test_equivalence(self, rng, topn):
         from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
         from debias_vision_lang_tpu.metrics.ranking import eval_ranking

@@ -196,3 +196,39 @@ class TestCheckpointing:
         path = export_reference_pt(trainer, str(tmp_path / "best.pt"))
         t = torch.load(path, map_location="cpu", weights_only=True)
         assert tuple(t.shape) == (2, 32)  # bare [P, width] tensor
+
+
+class TestMulticlassAdversary:
+    def test_race_debiasing_loop(self, setup):
+        """n_output=7 adversary (race): softmax-CE path, full step runs."""
+        from debias_vision_lang_tpu.core.config import AdversaryConfig
+        from debias_vision_lang_tpu.models.adversary import (
+            Adversary, init_adversary_params)
+
+        model, _, sens = setup
+        acfg = AdversaryConfig(n_input=sens.shape[0], n_output=7, hidden_size=8)
+        adv = Adversary(params=init_adversary_params(jax.random.key(9), acfg),
+                        cfg=acfg)
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(11)
+        images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+        labels = rng.integers(0, 7, 8).astype(np.float32)  # class ids
+        cap_images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+        cap_tokens = np.zeros((8, CTX), np.int32)
+        cap_tokens[:, 0], cap_tokens[:, 1], cap_tokens[:, 2] = VOCAB - 2, 4, VOCAB - 1
+        m = trainer.step(images, labels, cap_images, cap_tokens)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["adversary_bce"])
+
+        # adversary-only updates (prompts held fixed) must reduce the CE
+        img_embs = trainer.fns.embed_images(model.clip_params,
+                                            jnp.asarray(images))
+        lbls = jnp.asarray(labels)
+        ap, ast = trainer.adversary_params, trainer.adv_opt_state
+        first = last = None
+        for _ in range(10):
+            ap, ast, loss = trainer.fns.adversary_step(
+                model.clip_params, ap, ast, model.debias_tokens, img_embs, lbls)
+            first = first if first is not None else float(loss)
+            last = float(loss)
+        assert last < first

@@ -143,3 +143,23 @@ class TestCLI:
                   "--topn", "5", "--batch-size", "8", "--random-weights"])
         out = json.loads(capsys.readouterr().out)
         assert set(out) == {"maxskew", "ndkl"}
+
+
+class TestResume:
+    def test_resume_restores_latest(self, ff_root, tmp_path):
+        from debias_vision_lang_tpu.train.loop import run_training
+        from debias_vision_lang_tpu.train.state import latest_checkpoint
+
+        ckpt_dir = str(tmp_path / "ckpt_resume")
+        common = dict(
+            tokenizer=tok, attribute="gender", epochs=1, batch_size=8,
+            data_path=ff_root, checkpoint_dir=ckpt_dir, eval_every=100,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False, progress=False,
+        )
+        r1 = run_training(model=tiny_model(), **common)
+        assert latest_checkpoint(ckpt_dir) is not None
+        # resume continues the step counter instead of starting at 0
+        r2 = run_training(model=tiny_model(), resume=True, **common)
+        assert r2["steps"] == r1["steps"] + 2  # another epoch of 2 steps
