@@ -24,6 +24,7 @@ reference README advertises a 2-arg call that its own code never supported
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional, Union
 
 import jax
@@ -213,9 +214,22 @@ def measure_bias(
         from ..parallel.mesh import default_mesh
 
         mesh = default_mesh()
-    labels, img_embs = get_labels_img_embeddings(
-        loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
-        host_transform=host_transform, dtype=cfg.dtype)
+
+    # optional embedding cache: re-evaluating prompt sets / topn settings on
+    # the same (model, dataset) skips the expensive image-tower pass — the
+    # reference's IATDataset reserves an image_embeddings slot for this idea
+    # (datasets.py:22) but never implements it
+    cache_path = extra.get("cache_embeddings")
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        labels, img_embs = data["labels"], jnp.asarray(data["embeddings"])
+    else:
+        labels, img_embs = get_labels_img_embeddings(
+            loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
+            host_transform=host_transform, dtype=cfg.dtype)
+        if cache_path:
+            np.savez(cache_path, labels=labels,
+                     embeddings=np.asarray(img_embs))
 
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)

