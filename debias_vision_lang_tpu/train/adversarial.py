@@ -142,17 +142,18 @@ def build_train_steps(
         txt = encode_sensitive(cp, debias_tokens)
         return similarity_scores(image_embs, txt, cp["logit_scale"])
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def adversary_step(
-        cp: Params,
         adv_params: Params,
         adv_opt_state,
-        debias_tokens: jax.Array,
-        image_embs: jax.Array,
+        scores: jax.Array,
         attr_labels: jax.Array,
     ):
-        """Adversary minimizes attribute-prediction BCE (README.md:153)."""
-        scores = jax.lax.stop_gradient(eval_scores(cp, debias_tokens, image_embs))
+        """Adversary minimizes attribute-prediction BCE (README.md:153).
+
+        Takes precomputed similarity scores: within one outer step the prompt
+        array is fixed, so the 319-prompt text tower runs ONCE per outer step
+        (fns.eval_scores) instead of once per adversary sub-step."""
 
         def loss_fn(ap):
             logits = adversary_model.apply_logits(ap, scores)
@@ -325,11 +326,11 @@ class AdversarialTrainer:
         labels = jnp.asarray(np.asarray(attr_labels), jnp.float32)
 
         adv_loss = None
+        scores = self.fns.eval_scores(cp, self.model.debias_tokens, image_embs)
         for _ in range(self.train_cfg.adversary_steps_per_prompt_step):
             self.adversary_params, self.adv_opt_state, adv_loss = (
                 self.fns.adversary_step(
-                    cp, self.adversary_params, self.adv_opt_state,
-                    self.model.debias_tokens, image_embs, labels))
+                    self.adversary_params, self.adv_opt_state, scores, labels))
 
         cap_tok = jnp.asarray(np.asarray(caption_tokens), jnp.int32)
         if self.grad_mask is not None:

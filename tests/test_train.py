@@ -223,12 +223,13 @@ class TestMulticlassAdversary:
         # adversary-only updates (prompts held fixed) must reduce the CE
         img_embs = trainer.fns.embed_images(model.clip_params,
                                             jnp.asarray(images))
+        scores = trainer.fns.eval_scores(model.clip_params,
+                                         model.debias_tokens, img_embs)
         lbls = jnp.asarray(labels)
         ap, ast = trainer.adversary_params, trainer.adv_opt_state
         first = last = None
         for _ in range(10):
-            ap, ast, loss = trainer.fns.adversary_step(
-                model.clip_params, ap, ast, model.debias_tokens, img_embs, lbls)
+            ap, ast, loss = trainer.fns.adversary_step(ap, ast, scores, lbls)
             first = first if first is not None else float(loss)
             last = float(loss)
         assert last < first
