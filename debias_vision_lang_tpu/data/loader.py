@@ -44,7 +44,13 @@ class HostLoader:
     ):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.num_workers = num_workers
+        # Cap decode threads at 2× the core count: oversubscribed decode
+        # threads starve the device-runtime client threads (measured 40×
+        # slowdown at 12 workers on a 1-core host — PERF.md).  The reference's
+        # num_workers=6 (measuring_bias.py:142) is a request, not a mandate.
+        import os as _os
+
+        self.num_workers = max(1, min(num_workers, 2 * (_os.cpu_count() or 1)))
         self.prefetch = max(prefetch, 1)
         self.drop_remainder = drop_remainder
         self.shuffle = shuffle
