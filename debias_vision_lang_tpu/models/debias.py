@@ -188,6 +188,47 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
+def classify_params(clip_params: Params) -> Tuple[Dict[str, int], List[Dict[str, Any]]]:
+    """Structured parameter classification — the reference's ``clip_layers``
+    introspection surface (model/model.py:36-82): returns
+    ``({type: count}, [{"type", "index", "param", "name"}, ...])`` with types
+    proj / image / text / tokens / other.
+
+    Names are slash-joined pytree paths (our layout, not torch's); per-layer
+    resblock entries are the stacked leaves with ``index`` = -1 (a stacked
+    leaf covers all layers; the per-layer counts live in metadata, and
+    slice-level freezing uses trainable_mask).
+    """
+    metadata = {k: 0 for k in ("text", "image", "proj", "tokens", "other")}
+    classed: List[Dict[str, Any]] = []
+
+    def classify(path: str) -> str:
+        if (path.startswith("text/ln_final") or path.startswith("text/text_projection")
+                or path == "logit_scale" or path.startswith("visual/ln_post")
+                or path == "visual/proj"):
+            return "proj"
+        if path.startswith("visual/resblocks"):
+            return "image"
+        if path.startswith("text/resblocks"):
+            return "text"
+        if path.startswith("text/token_embedding"):
+            return "tokens"
+        return "other"
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(clip_params)
+    for key_path, leaf in flat:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
+        t = classify(name)
+        classed.append({"type": t, "index": metadata[t], "param": leaf,
+                        "name": name})
+        metadata[t] += 1
+    counts = layer_counts(clip_params)
+    metadata["image"] = counts["image"]
+    metadata["text"] = counts["text"]
+    return metadata, classed
+
+
 def layer_counts(clip_params: Params) -> Dict[str, int]:
     """Per-tower resblock counts (reference metadata, model/model.py:74-80)."""
     counts = {}

@@ -300,3 +300,23 @@ class TestEndToEnd:
         e1 = debias_model.encode_text(params, deb1, jnp.asarray(t), cfg, dcfg, use_pallas=False)
         e2 = debias_model.encode_text(params, deb2, jnp.asarray(t), cfg, dcfg, use_pallas=False)
         assert np.abs(np.asarray(e1) - np.asarray(e2)).max() > 1e-4
+
+
+class TestClassifyParams:
+    def test_classification_groups(self, tiny_clip):
+        from debias_vision_lang_tpu.models.debias import classify_params
+
+        cfg, params = tiny_clip
+        metadata, classed = classify_params(params)
+        by_name = {c["name"]: c["type"] for c in classed}
+        assert by_name["logit_scale"] == "proj"
+        assert by_name["visual/proj"] == "proj"
+        assert by_name["text/text_projection"] == "proj"
+        assert by_name["text/token_embedding"] == "tokens"
+        assert by_name["visual/class_embedding"] == "other"
+        assert by_name["text/positional_embedding"] == "other"
+        assert all(v == "image" for k, v in by_name.items()
+                   if k.startswith("visual/resblocks"))
+        # metadata reports resblock counts per tower (reference semantics)
+        assert metadata["image"] == cfg.vision.layers
+        assert metadata["text"] == cfg.text.layers
