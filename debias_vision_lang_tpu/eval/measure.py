@@ -126,9 +126,11 @@ def get_labels_img_embeddings(
             if mesh is not None:
                 imgs = shard_batch_arrays(mesh, imgs)
             emb = embed_step(model, imgs)
-        all_embs.append(np.asarray(emb[: batch.num_valid]))
+        # embeddings STAY on device (async); no per-batch D2H sync — the
+        # reference pays a D2H+H2D round-trip per batch (measuring_bias.py:95)
+        all_embs.append(emb[: batch.num_valid])
         all_labels.append(batch.labels[: batch.num_valid])
-    return np.concatenate(all_labels), jnp.asarray(np.concatenate(all_embs))
+    return np.concatenate(all_labels), jnp.concatenate(all_embs, axis=0)
 
 
 def eval_ranking(

@@ -162,6 +162,16 @@ def model_loader(
         params = _resolve_pretrained(arch, cfg, weights) if arch else None
         if params is None and weights is not None:
             params = _load_weights_file(weights, cfg)
+        if params is None:
+            import warnings
+
+            warnings.warn(
+                f"pretrained weights for {model_name} could not be resolved "
+                f"(no local file, $DEBIAS_VLT_WEIGHTS_DIR entry, or HF cache/"
+                f"network) — falling back to RANDOM initialization. Pass "
+                f"pretrained=False to silence, or weights=<path>.",
+                stacklevel=2,
+            )
     if params is None:
         params = clip_model.init_clip_params(jax.random.key(seed), cfg)
 
