@@ -167,9 +167,16 @@ def main(argv=None):
 
         dl_main(args.assets)
     elif args.cmd == "bench":
+        import os
         import runpy
 
-        runpy.run_path("bench.py", run_name="__main__")
+        # repo checkout first (bench.py lives at the root, not in the package)
+        cand = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        if not os.path.exists(cand):
+            cand = "bench.py"  # cwd fallback
+        if not os.path.exists(cand):
+            sys.exit("bench.py not found (run from a repo checkout)")
+        runpy.run_path(cand, run_name="__main__")
 
 
 if __name__ == "__main__":

@@ -25,7 +25,12 @@ class ImageCaptionPairs:
         csv_name: str = "captions.csv",
         images_subdir: str = "images",
         _n_samples: Optional[int] = None,
+        image_size: Optional[int] = 224,
     ):
+        """``image_size``: real caption corpora (flickr30k, COCO) have
+        heterogeneous image sizes; each image is short-side resized (bicubic)
+        and center-cropped to this size on the host so batches stack.  Pass
+        None only for corpora with uniform sizes."""
         self.data_path = str(data_path)
         csv_path = os.path.join(self.data_path, csv_name)
         self.captions = pd.read_csv(csv_path, keep_default_na=False)
@@ -34,6 +39,7 @@ class ImageCaptionPairs:
         if _n_samples is not None:
             self.captions = self.captions.iloc[:_n_samples]
         self._img_dir = os.path.join(self.data_path, images_subdir)
+        self.image_size = image_size
 
     def __len__(self) -> int:
         return len(self.captions)
@@ -41,10 +47,19 @@ class ImageCaptionPairs:
     def load_image(self, index: int) -> np.ndarray:
         from PIL import Image
 
+        from ..vision.preprocess import center_crop_slice, resize_output_size
+
         fname = os.path.join(self._img_dir, self.captions.iloc[index]["file"])
         with Image.open(fname) as im:
             if im.mode != "RGB":
                 im = im.convert("RGB")
+            if self.image_size is not None:
+                n = self.image_size
+                rh, rw = resize_output_size(im.height, im.width, n)
+                if (rh, rw) != (im.height, im.width):
+                    im = im.resize((rw, rh), Image.BICUBIC)
+                arr = np.asarray(im)
+                return arr[center_crop_slice(rh, n), center_crop_slice(rw, n)]
             return np.asarray(im)
 
     def caption(self, index: int) -> str:

@@ -24,6 +24,7 @@ reference README advertises a 2-arg call that its own code never supported
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Dict, List, Optional, Union
 
@@ -36,8 +37,6 @@ from ..core.config import Dotdict, EvalConfig
 from ..core.paths import PROMPT_DATA_PATH
 from ..data.loader import HostLoader
 from ..metrics import oracle as metrics_oracle
-from ..metrics.oracle import resolve_topn
-from ..metrics.ranking import ranking_metrics
 from ..vision.preprocess import Preprocess, preprocess_batch
 
 
@@ -72,6 +71,27 @@ def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
     return _encode_prompts_jit(model, tokens)
 
 
+# Module-level jits (jax caches by function identity: a per-call closure
+# would retrace the full tower at EVERY measure_bias/eval invocation).  The
+# model rides as a pytree ARGUMENT: weights ship as device buffers, not
+# compile-time constants (required by the remote-compile path).
+@functools.partial(jax.jit, static_argnames=("n_px", "compute_dtype"))
+def _embed_step(model, images_u8, n_px, compute_dtype):
+    if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
+        b, t = images_u8.shape[:2]
+        x = preprocess_batch(images_u8.reshape((b * t,) + images_u8.shape[2:]),
+                             n_px)
+        x = x.reshape((b, t) + x.shape[1:])
+    else:
+        x = preprocess_batch(images_u8, n_px)
+    return model.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _embed_step_pre(model, images_f32, compute_dtype):
+    return model.encode_image(images_f32, dtype=compute_dtype).astype(jnp.float32)
+
+
 def get_labels_img_embeddings(
     loader: HostLoader,
     model,
@@ -91,24 +111,6 @@ def get_labels_img_embeddings(
 
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-    # the model rides as a pytree ARGUMENT: weights ship as device buffers,
-    # not compile-time constants (required by the remote-compile path), and
-    # repeated measure_bias calls reuse the compilation
-    @jax.jit
-    def embed_step(m, images_u8):
-        if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
-            b, t = images_u8.shape[:2]
-            x = preprocess_batch(images_u8.reshape((b * t,) + images_u8.shape[2:]),
-                                 n_px)
-            x = x.reshape((b, t) + x.shape[1:])
-        else:
-            x = preprocess_batch(images_u8, n_px)
-        return m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
-
-    @jax.jit
-    def embed_step_pre(m, images_f32):
-        return m.encode_image(images_f32, dtype=compute_dtype).astype(jnp.float32)
-
     all_embs, all_labels = [], []
     iterator = loader
     if progress:
@@ -120,12 +122,12 @@ def get_labels_img_embeddings(
             imgs = np.stack([host_transform(im) for im in batch.images])
             if mesh is not None:
                 imgs = shard_batch_arrays(mesh, imgs)
-            emb = embed_step_pre(model, imgs)
+            emb = _embed_step_pre(model, imgs, compute_dtype)
         else:
             imgs = batch.images
             if mesh is not None:
                 imgs = shard_batch_arrays(mesh, imgs)
-            emb = embed_step(model, imgs)
+            emb = _embed_step(model, imgs, n_px, compute_dtype)
         # embeddings STAY on device (async); no per-batch D2H sync — the
         # reference pays a D2H+H2D round-trip per batch (measuring_bias.py:95)
         all_embs.append(emb[: batch.num_valid])
@@ -148,16 +150,10 @@ def eval_ranking(
         return metrics_oracle.eval_ranking_oracle(
             np.asarray(labels_list), np.asarray(image_embeddings),
             np.asarray(prompts_embeddings), evaluation, topn)
-    labels = jnp.asarray(np.asarray(labels_list), jnp.int32)
-    img = jnp.asarray(image_embeddings, jnp.float32)
-    prm = jnp.asarray(prompts_embeddings, jnp.float32)
-    top_n = resolve_topn(topn, img.shape[0])
-    n_classes = int(np.asarray(labels_list).max()) + 1
-    scores = prm @ img.T
-    metrics = ranking_metrics(scores, labels, top_n, n_classes)
-    prefix = evaluation + "_"
-    return {k[len(prefix):]: float(jnp.mean(v))
-            for k, v in metrics.items() if k.startswith(prefix)}
+    from ..metrics.ranking import eval_ranking as ranking_eval_ranking
+
+    return ranking_eval_ranking(labels_list, image_embeddings,
+                                prompts_embeddings, evaluation, topn)
 
 
 def measure_bias(
@@ -243,6 +239,14 @@ def measure_bias(
         n = img_embs.shape[0]
         n_shards = mesh.shape["data"]
         keep = (n // n_shards) * n_shards  # drop the ragged tail across shards
+        if keep < n:
+            import warnings
+
+            warnings.warn(
+                f"sharded_metrics drops {n - keep} trailing image(s) so N is "
+                f"divisible by the {n_shards}-way data axis; results can "
+                f"differ slightly from the single-device engine.",
+                stacklevel=2)
         return {
             evaluation: sharded_eval_ranking(
                 labels[:keep], img_embs[:keep], prompt_embs, evaluation,

@@ -66,10 +66,12 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int):
         p_n = vals.shape[0]
         vals_m = vals_all.transpose(1, 0, 2).reshape(p_n, n_shards * k)
         labels_m = labels_all.transpose(1, 0, 2).reshape(p_n, n_shards * k)
-        top_vals, top_pos = jax.lax.top_k(vals_m, top_n)
+        k_global = min(top_n, n_shards * k)
+        top_vals, top_pos = jax.lax.top_k(vals_m, k_global)
         top_labels = jnp.take_along_axis(labels_m, top_pos, axis=1)
 
-        metrics = metrics_from_top_labels(top_labels, desired, top_n, n_classes)
+        metrics = metrics_from_top_labels(top_labels, desired, k_global,
+                                          n_classes, norm_top_n=top_n)
         # identical on every shard: outputs are replicated
         return {k_: v for k_, v in metrics.items()}
 

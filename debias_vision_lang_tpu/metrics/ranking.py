@@ -57,34 +57,43 @@ def metrics_from_top_labels(
     desired: Dict[str, jax.Array],
     top_n: int,
     n_classes: int,
+    norm_top_n: int = None,
 ) -> Dict[str, jax.Array]:
     """Metric core over already-ranked label lists.
 
-    top_labels: [P, top_n] labels of the ranked list per prompt (descending
+    top_labels: [P, k] labels of the ranked list per prompt (descending
     score); desired: the two target distributions.  Shared by the
     single-device and the sharded (top-k-merge) paths.
+
+    ``norm_top_n``: the REQUESTED top-n used in the normalizers — when the
+    request exceeds the dataset size the reference still normalizes by the
+    request (Z over 1..top_n at measuring_bias.py:39; p = count/top_n at :61)
+    while ranking only the N available rows; ``top_labels`` then has k = N
+    columns but Z and the skew denominators use ``norm_top_n``.
     """
-    onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, top_n, C]
-    prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, top_n, C]
+    k = top_labels.shape[1]
+    norm_top_n = norm_top_n if norm_top_n is not None else top_n
+    onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, k, C]
+    prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, k, C]
 
-    ranks = jnp.arange(1, top_n + 1, dtype=jnp.float32)  # [top_n]
-    prefix_p = prefix_counts / ranks[None, :, None]  # [P, top_n, C]
+    ranks = jnp.arange(1, k + 1, dtype=jnp.float32)  # [k]
+    prefix_p = prefix_counts / ranks[None, :, None]  # [P, k, C]
 
-    # NDKL: Σ_i KL(prefix_i ‖ q) / log2(i+1), / Z
+    # NDKL: Σ_i KL(prefix_i ‖ q) / log2(i+1), / Z(norm_top_n)
     log_p = _safe_log(prefix_p)
-    discounts = 1.0 / jnp.log2(ranks + 1.0)  # [top_n]
-    z = jnp.sum(discounts)
+    discounts = 1.0 / jnp.log2(ranks + 1.0)  # [k]
+    z = jnp.sum(1.0 / jnp.log2(jnp.arange(1, norm_top_n + 1, dtype=jnp.float32) + 1.0))
     out: Dict[str, jax.Array] = {}
     for name, q in desired.items():
         kl_terms = jnp.where(
             prefix_p > 0, prefix_p * (log_p - _safe_log(q)[None, None, :]), 0.0
         )
-        kl_per_rank = jnp.sum(kl_terms, axis=-1)  # [P, top_n]
+        kl_per_rank = jnp.sum(kl_terms, axis=-1)  # [P, k]
         out[f"ndkl_{name}"] = jnp.sum(kl_per_rank * discounts[None, :], axis=-1) / z
 
-    # MaxSkew at the full top_n prefix
-    p_top = prefix_counts[:, -1, :] / top_n  # [P, C]
-    p_top = jnp.where(p_top == 0, 1.0 / top_n, p_top)  # zero clamp
+    # MaxSkew at the full kept prefix, normalized by the requested top-n
+    p_top = prefix_counts[:, -1, :] / norm_top_n  # [P, C]
+    p_top = jnp.where(p_top == 0, 1.0 / norm_top_n, p_top)  # zero clamp
     for name, q in desired.items():
         skew = jnp.log(p_top) - jnp.log(q)[None, :]  # [P, C]
         # reference max starts from 0 → never negative
@@ -103,12 +112,15 @@ def ranking_metrics(
 
     scores: [P, N] (P prompts × N images), labels: [N] int.
     Returns dict of [P] arrays: maxskew_eq_opp, maxskew_dem_par,
-    ndkl_eq_opp, ndkl_dem_par.
+    ndkl_eq_opp, ndkl_dem_par.  ``top_n`` larger than N keeps all N rows but
+    normalizes by the request (reference semantics — see metrics_from_top_labels).
     """
     desired = desired_distributions(labels, n_classes)
-    _, top_idx = jax.lax.top_k(scores, top_n)  # [P, top_n]
-    top_labels = labels[top_idx]  # [P, top_n]
-    return metrics_from_top_labels(top_labels, desired, top_n, n_classes)
+    k = min(top_n, scores.shape[1])
+    _, top_idx = jax.lax.top_k(scores, k)  # [P, k]
+    top_labels = labels[top_idx]  # [P, k]
+    return metrics_from_top_labels(top_labels, desired, k, n_classes,
+                                   norm_top_n=top_n)
 
 
 def eval_ranking(

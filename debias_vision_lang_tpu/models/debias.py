@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import CLIPConfig, DebiasConfig, Dotdict, debias_config_from_dotdict
-from ..core.registry import alias_name, resolve_arch
+from ..core.registry import resolve_arch
 from . import clip as clip_model
 from .layers import Params
 
@@ -347,7 +347,13 @@ class DebiasCLIP:
     @staticmethod
     def from_cfg(cfg: Union[dict, Dotdict], rng: Optional[jax.Array] = None):
         """Build from an UPPERCASE-key config dict.  Extra keys are ignored
-        (the reference swallows them via **_kwargs)."""
+        (the reference swallows them via **_kwargs).
+
+        Like the reference constructor (model/model.py:133-136, which loads a
+        PRETRAINED CLIP through model_loader), the wrapped CLIP resolves
+        pretrained weights by default; set ``PRETRAINED: False`` for random
+        init (the loader warns loudly when resolution falls back to random).
+        """
         cfg = Dotdict(cfg)
         if rng is None:
             rng = jax.random.key(cfg.SEED if cfg.SEED is not None else 0)
@@ -356,24 +362,23 @@ class DebiasCLIP:
         # match hidden_dim to the arch's text width unless explicitly set
         if cfg.HIDDEN_DIM is None:
             debias_cfg = dataclasses.replace(debias_cfg, hidden_dim=clip_cfg.text.width)
-        k_clip, k_deb = jax.random.split(jnp.asarray(rng))
-        clip_params = clip_model.init_clip_params(k_clip, clip_cfg)
 
-        from ..vision.preprocess import build_preprocess
-        tokenizer = cfg._tokenizer
-        if tokenizer is None:
-            from ..text.tokenizer import load_tokenizer
+        from .loader import model_loader
 
-            try:
-                tokenizer = load_tokenizer()
-            except FileNotFoundError:
-                tokenizer = None
+        pretrained = True if cfg.PRETRAINED is None else bool(cfg.PRETRAINED)
+        base, preprocess, tokenizer, alias = model_loader(
+            cfg.CLIP_ARCH, device=cfg.DEVICE, pretrained=pretrained,
+            weights=cfg.WEIGHTS,
+            seed=int(cfg.SEED) if cfg.SEED is not None else 0)
+        clip_params = base.params
+        if cfg._tokenizer is not None:
+            tokenizer = cfg._tokenizer
 
+        _, k_deb = jax.random.split(jnp.asarray(rng))
         debias_tokens = init_debias_tokens(k_deb, clip_params, debias_cfg, tokenizer)
         model = DebiasCLIP(clip_params=clip_params, debias_tokens=debias_tokens,
                            clip_cfg=clip_cfg, debias_cfg=debias_cfg)
-        preprocess = build_preprocess(clip_cfg.vision.image_size)
-        return model, preprocess, tokenizer, alias_name(cfg.CLIP_ARCH)
+        return model, preprocess, tokenizer, alias
 
 
 # Models are pytrees: params/prompt array are traced children, configs are

@@ -138,21 +138,24 @@ def quantize_vit_visual(visual: Params) -> Params:
 
 def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
                        dtype=jnp.bfloat16) -> jax.Array:
-    """Int8 ViT forward: [B, H, W, 3] → [B, embed_dim]."""
-    from ..models.clip import patch_embed  # layout contract
+    """Int8 ViT forward: [B, H, W, 3] → [B, embed_dim].
 
+    Mirrors the fp path's architecture branches (models/clip.py:109-121):
+    SLIP's timm-style tower has no pre-LN and uses plain GELU."""
     p = params_q
     b, hh, ww, c = images.shape
     patch = cfg.patch_size
     gh, gw = hh // patch, ww // patch
+    act = quick_gelu if cfg.kind == "vit" else jax.nn.gelu
     x = images.astype(dtype).reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
     x = int8_matmul(x, p["conv1"])
     cls = jnp.broadcast_to(p["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["positional_embedding"].astype(x.dtype)
-    x = layer_norm(p["ln_pre"], x)
-    x = transformer_q(p["resblocks"], x, cfg.heads)
+    if cfg.kind == "vit":
+        x = layer_norm(p["ln_pre"], x)
+    x = transformer_q(p["resblocks"], x, cfg.heads, act=act)
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
     return jnp.dot(x, p["proj"].astype(x.dtype))
 

@@ -120,8 +120,12 @@ def run_training(
     prompts = sensitive_prompts if sensitive_prompts is not None else gen_prompts()
     sens_tokens = np.asarray(tokenizer(prompts), np.int32)
 
+    train_ds = FairFace(mode="train", iat_type=attribute, data_path=data_path)
+    # adversary head matches the attribute: binary (sigmoid, the reference's
+    # ADV_N_OUTPUT=1 gender setup) or one logit per class (softmax CE)
+    n_output = 1 if train_ds.n_iat_classes == 2 else train_ds.n_iat_classes
     adversary = Adversary.from_cfg({
-        "ADV_N_INPUT": len(prompts), "ADV_N_OUTPUT": 1,
+        "ADV_N_INPUT": len(prompts), "ADV_N_OUTPUT": n_output,
         "ADV_HIDDEN_SIZE": adversary_hidden, "SEED": seed,
     })
 
@@ -137,7 +141,6 @@ def run_training(
         if ckpt is not None:
             restore_checkpoint(ckpt, trainer)
 
-    train_ds = FairFace(mode="train", iat_type=attribute, data_path=data_path)
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
                       _n_samples=eval_n_samples)
     loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True,

@@ -39,6 +39,11 @@ def save_checkpoint(directory: str, trainer, step: Optional[int] = None) -> str:
             "has_best": np.asarray(trainer.best_tokens is not None),
         },
     }
+    # layer-training mode mutates CLIP weights and the joint optimizer holds
+    # their Adam moments — restoring those against reverted pretrained weights
+    # would be inconsistent, so the weights checkpoint too
+    if getattr(trainer, "grad_mask", None) is not None:
+        state["clip_params"] = trainer.model.clip_params
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
     return path
@@ -60,8 +65,12 @@ def restore_checkpoint(path: str, trainer) -> None:
             "has_best": np.asarray(False),
         },
     }
+    if getattr(trainer, "grad_mask", None) is not None:
+        template["clip_params"] = trainer.model.clip_params
     with ocp.PyTreeCheckpointer() as ckptr:
         state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+    if "clip_params" in state:
+        trainer.model.clip_params = state["clip_params"]
     trainer.model.debias_tokens = state["debias_tokens"]
     trainer.adversary_params = state["adversary_params"]
     trainer.prompt_opt_state = state["prompt_opt_state"]

@@ -28,7 +28,8 @@ def main():
     if args.random_weights:
         # offline smoke path: random base + fresh prompt array (no downloads)
         model, preprocess, _, _ = debias_clip.DebiasCLIP.from_cfg(
-            {"CLIP_ARCH": "openai/CLIP/ViT-B/16", "NUM_DEBIAS_TOKENS": 2})
+            {"CLIP_ARCH": "openai/CLIP/ViT-B/16", "NUM_DEBIAS_TOKENS": 2,
+             "PRETRAINED": False})
     else:
         model, preprocess = debias_clip.load(args.model)
     try:

@@ -257,6 +257,7 @@ class TestEndToEnd:
             {
                 "CLIP_ARCH": "openai/CLIP/ViT-B/16",
                 "NUM_DEBIAS_TOKENS": 2,
+                "PRETRAINED": False,  # offline test: random init, no warning
                 "DEVICE": "tpu",  # ignored: sharding decides placement
             }
         )

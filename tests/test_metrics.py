@@ -157,3 +157,37 @@ class TestJittedVsOracle:
         out_frac = eval_ranking(labels, img, prm, "maxskew", topn=0.5)
         out_abs = eval_ranking(labels, img, prm, "maxskew", topn=10)
         np.testing.assert_allclose(out_frac["eq_opp"], out_abs["eq_opp"], atol=1e-6)
+
+
+class TestTopNExceedsDataset:
+    def test_jitted_matches_oracle_when_topn_gt_n(self, rng):
+        """topn > N: rank all N rows but normalize by the REQUEST (reference
+        Z and p denominators use top_n — measuring_bias.py:39,61).  The jitted
+        path must not crash and must match the oracle."""
+        n = 12
+        scores = rng.normal(size=(2, n)).astype(np.float32)
+        labels = (rng.random(n) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
+        out = ranking_metrics(scores, labels, 30, 2)  # top_n=30 > N=12
+        for p in range(2):
+            ms = oracle.maxskew(scores[p], labels, 30)
+            nd = oracle.ndkl(scores[p], labels, 30)
+            np.testing.assert_allclose(float(out["maxskew_eq_opp"][p]),
+                                       ms["maxskew_eq_opp"], atol=1e-5)
+            np.testing.assert_allclose(float(out["ndkl_eq_opp"][p]),
+                                       nd["ndkl_eq_opp"], atol=1e-4)
+
+    def test_sharded_matches_too(self, rng):
+        from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        n = 32
+        img = rng.normal(size=(n, 8)).astype(np.float32)
+        prm = rng.normal(size=(2, 8)).astype(np.float32)
+        labels = (rng.random(n) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
+        mesh = create_mesh()
+        a = sharded_eval_ranking(labels, img, prm, "ndkl", 100, mesh)
+        b = eval_ranking(labels, img, prm, "ndkl", 100)
+        np.testing.assert_allclose(a["eq_opp"], b["eq_opp"], atol=1e-5)

@@ -177,7 +177,7 @@ class TestImageCaptionPairs:
     def test_batches(self, pairs_dir):
         from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
 
-        ds = ImageCaptionPairs(pairs_dir)
+        ds = ImageCaptionPairs(pairs_dir, image_size=None)  # uniform corpus
         assert len(ds) == 10
 
         def tok(texts):
@@ -281,3 +281,33 @@ class TestDividedSpaceTime:
         params = init_video_vit_params(jax.random.key(0), vcfg)  # no divided
         with pytest.raises(ValueError, match="divided"):
             encode_video_divided(params, jnp.zeros((1, 2, 16, 16, 3)), vcfg)
+
+
+class TestPairsHeterogeneousSizes:
+    def test_mixed_sizes_batch(self, tmp_path):
+        """Real corpora (flickr30k) have varying image sizes — host resize +
+        crop makes batches stack."""
+        import pandas as pd
+        from PIL import Image
+
+        from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
+
+        root = tmp_path / "pairs_mixed"
+        (root / "images").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        for i, (h, w) in enumerate([(64, 48), (100, 120), (80, 80), (48, 96)]):
+            f = f"{i}.jpg"
+            Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                            ).save(root / "images" / f)
+            rows.append({"file": f, "caption": f"caption {i}"})
+        pd.DataFrame(rows).to_csv(root / "captions.csv", index=False)
+
+        ds = ImageCaptionPairs(str(root), image_size=32)
+
+        def tok(texts):
+            return np.zeros((len(texts), 8), np.int32)
+
+        imgs, toks = next(ds.batches(tok, batch_size=4))
+        assert imgs.shape == (4, 32, 32, 3)
+        assert imgs.dtype == np.uint8

@@ -147,3 +147,30 @@ class TestQuantizedCLIP:
                            opts={"batch_size": 8, "topn": 6,
                                  "data_path": str(root)})
         assert np.isfinite(res["ndkl"]["eq_opp"])
+
+
+class TestQuantizedSlip:
+    def test_slip_arch_branches_match_fp(self, rng):
+        """Int8 SLIP tower must take the same architecture branches as fp
+        (no ln_pre, plain GELU) — cosine parity like the CLIP kind."""
+        import jax
+
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+
+        cfg = CLIPConfig(
+            name="tiny-slip",
+            vision=VisionConfig(kind="slip_vit", image_size=32, patch_size=8,
+                                width=64, layers=2, heads=2, embed_dim=32),
+            text=TextConfig(vocab_size=512, context_length=16, width=32,
+                            layers=2, heads=2, embed_dim=32))
+        base = CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+        e_fp = np.asarray(base.encode_image(images, use_pallas=False,
+                                            dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_image(images, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        assert cos.min() > 0.99

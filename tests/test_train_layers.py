@@ -128,3 +128,29 @@ class TestLayerTraining:
             trainer.model.clip_params["visual"]["resblocks"]["attn"]["wqkv"])
         assert np.abs(after[1] - before[1]).max() > 0  # top vid layer trained
         np.testing.assert_array_equal(after[0], before[0])  # bottom frozen
+
+
+class TestLayerTrainingCheckpoint:
+    def test_clip_params_checkpointed(self, tmp_path):
+        """Layer-training runs must checkpoint the mutated CLIP weights."""
+        from debias_vision_lang_tpu.train.state import (
+            restore_checkpoint, save_checkpoint)
+
+        model = make_model(n_train_text_layers=1)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(0)
+        trainer.step(*batch(rng))
+        mutated = np.asarray(
+            trainer.model.clip_params["text"]["resblocks"]["attn"]["wqkv"]).copy()
+        path = save_checkpoint(str(tmp_path / "ck"), trainer)
+
+        fresh = make_model(n_train_text_layers=1)
+        trainer2 = AdversarialTrainer.create(fresh, make_adversary(4),
+                                             TrainConfig(), sens_tokens(4),
+                                             use_pallas=False)
+        restore_checkpoint(path, trainer2)
+        np.testing.assert_allclose(
+            np.asarray(trainer2.model.clip_params["text"]["resblocks"]["attn"]["wqkv"]),
+            mutated)
