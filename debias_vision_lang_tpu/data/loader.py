@@ -15,8 +15,7 @@ XLA) and accompanied by a validity count so consumers can drop the padding.
 from __future__ import annotations
 
 import concurrent.futures
-import threading
-from typing import Iterator, NamedTuple, Optional
+from typing import Iterator, NamedTuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ with top-k accuracy, sharded over the data mesh like the bias pipeline.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ bypass (model/clip.py:9-10); checkpoints also accepted as local paths or
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

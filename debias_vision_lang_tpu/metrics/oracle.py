@@ -25,7 +25,7 @@ These functions are the correctness oracle for the jitted TPU path
 from __future__ import annotations
 
 import math
-from typing import Dict, Sequence, Union
+from typing import Dict, Union
 
 import numpy as np
 

@@ -25,7 +25,6 @@ exactly, and tests pin both the agreement (no ties) and the divergence (ties).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, Union
 
 import jax

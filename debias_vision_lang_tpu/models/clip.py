@@ -15,11 +15,10 @@ run as ``lax.scan`` over stacked resblocks with fused Pallas attention.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.config import CLIPConfig, TextConfig, VisionConfig
 from .layers import (

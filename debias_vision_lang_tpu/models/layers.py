@@ -16,7 +16,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

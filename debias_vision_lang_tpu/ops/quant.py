@@ -15,7 +15,7 @@ accumulation lowers directly onto the MXU — no hand-scheduling needed.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,8 +88,6 @@ def quantize_resblocks(stacked: Params) -> Params:
 def resblock_q(p: Params, x: jax.Array, heads: int,
                mask: Optional[jax.Array] = None, act=quick_gelu) -> jax.Array:
     """Pre-LN residual block with int8 matmuls (attention core in fp)."""
-    import math
-
     from ..ops.attention import attention_reference
 
     b, s, d = x.shape

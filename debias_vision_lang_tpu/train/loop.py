@@ -15,7 +15,6 @@ alignment pressure without an external dataset.
 
 from __future__ import annotations
 
-import itertools
 import os
 from typing import Dict, Optional
 

@@ -23,7 +23,7 @@ dense [out, in] weight matrix applied along each axis — pure MXU work.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
