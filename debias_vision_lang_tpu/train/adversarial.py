@@ -286,6 +286,9 @@ class AdversarialTrainer:
     # set when the debias config unfreezes CLIP layers/projections: the
     # freezing-policy multiplier pytree and a joint (prompt, clip) optimizer
     grad_mask: Optional[Params] = None
+    # multi-chip data parallelism: batches shard over the mesh's data axis,
+    # params/optimizer state replicate; XLA inserts the gradient psums
+    mesh: Optional[object] = None
 
     @staticmethod
     def create(
@@ -294,6 +297,7 @@ class AdversarialTrainer:
         train_cfg: TrainConfig,
         sensitive_tokens: np.ndarray,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ) -> "AdversarialTrainer":
         fns, p_opt, a_opt = build_train_steps(
             model.clip_cfg, model.debias_cfg, adversary.cfg,
@@ -308,7 +312,7 @@ class AdversarialTrainer:
             prompt_opt_state = p_opt.init((model.debias_tokens, model.clip_params))
         else:
             prompt_opt_state = p_opt.init(model.debias_tokens)
-        return AdversarialTrainer(
+        trainer = AdversarialTrainer(
             model=model,
             adversary_params=adversary.params,
             fns=fns,
@@ -316,14 +320,35 @@ class AdversarialTrainer:
             adv_opt_state=a_opt.init(adversary.params),
             train_cfg=train_cfg,
             grad_mask=grad_mask,
+            mesh=mesh,
         )
+        if mesh is not None:
+            # replicate everything stateful once; batches shard in step()
+            from ..parallel.mesh import replicate_params
+
+            trainer.model.clip_params = replicate_params(model.clip_params, mesh)
+            trainer.model.debias_tokens = replicate_params(model.debias_tokens, mesh)
+            trainer.adversary_params = replicate_params(trainer.adversary_params, mesh)
+            trainer.prompt_opt_state = replicate_params(trainer.prompt_opt_state, mesh)
+            trainer.adv_opt_state = replicate_params(trainer.adv_opt_state, mesh)
+            if trainer.grad_mask is not None:
+                trainer.grad_mask = replicate_params(trainer.grad_mask, mesh)
+        return trainer
+
+    def _shard(self, x):
+        # device arrays pass through untouched (no host round-trip)
+        if self.mesh is None:
+            return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x))
+        from ..parallel.mesh import shard_batch_arrays
+
+        return shard_batch_arrays(self.mesh, x)
 
     def step(self, images, attr_labels, caption_images, caption_tokens) -> Dict:
         """One outer step: K adversary updates, then one prompt update."""
         cp = self.model.clip_params
-        image_embs = self.fns.embed_images(cp, jnp.asarray(images))
-        cap_embs = self.fns.embed_images(cp, jnp.asarray(caption_images))
-        labels = jnp.asarray(np.asarray(attr_labels), jnp.float32)
+        image_embs = self.fns.embed_images(cp, self._shard(images))
+        cap_embs = self.fns.embed_images(cp, self._shard(caption_images))
+        labels = self._shard(np.asarray(attr_labels, np.float32))
 
         adv_loss = None
         scores = self.fns.eval_scores(cp, self.model.debias_tokens, image_embs)
@@ -332,14 +357,14 @@ class AdversarialTrainer:
                 self.fns.adversary_step(
                     self.adversary_params, self.adv_opt_state, scores, labels))
 
-        cap_tok = jnp.asarray(np.asarray(caption_tokens), jnp.int32)
+        cap_tok = self._shard(np.asarray(caption_tokens, np.int32))
         if self.grad_mask is not None:
             # raw images go in: the step embeds them differentiably
             (self.model.debias_tokens, self.model.clip_params,
              self.prompt_opt_state, metrics) = self.fns.prompt_step_with_layers(
                 cp, self.model.debias_tokens, self.prompt_opt_state,
-                self.grad_mask, self.adversary_params, jnp.asarray(images),
-                labels, jnp.asarray(caption_images), cap_tok)
+                self.grad_mask, self.adversary_params, self._shard(images),
+                labels, self._shard(caption_images), cap_tok)
         else:
             self.model.debias_tokens, self.prompt_opt_state, metrics = (
                 self.fns.prompt_step(

@@ -154,3 +154,40 @@ class TestLayerTrainingCheckpoint:
         np.testing.assert_allclose(
             np.asarray(trainer2.model.clip_params["text"]["resblocks"]["attn"]["wqkv"]),
             mutated)
+
+
+class TestDataParallelTrainer:
+    def test_dp_step_matches_single_device(self):
+        """One trainer step with batches sharded over the 8-device mesh must
+        produce the same prompt update as single-device execution."""
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(0)
+        b = batch(rng, b=16)
+
+        t_single = AdversarialTrainer.create(make_model(), make_adversary(4),
+                                             TrainConfig(), sens_tokens(4),
+                                             use_pallas=False)
+        m1 = t_single.step(*b)
+
+        mesh = create_mesh()
+        t_dp = AdversarialTrainer.create(make_model(), make_adversary(4),
+                                         TrainConfig(), sens_tokens(4),
+                                         use_pallas=False, mesh=mesh)
+        m2 = t_dp.step(*b)
+
+        np.testing.assert_allclose(
+            np.asarray(t_dp.model.debias_tokens),
+            np.asarray(t_single.model.debias_tokens), atol=1e-5)
+        assert abs(m1["loss"] - m2["loss"]) < 1e-4
+
+    def test_dp_with_layer_training(self):
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(1)
+        mesh = create_mesh()
+        trainer = AdversarialTrainer.create(
+            make_model(n_train_text_layers=1), make_adversary(4),
+            TrainConfig(), sens_tokens(4), use_pallas=False, mesh=mesh)
+        m = trainer.step(*batch(rng, b=16))
+        assert np.isfinite(m["loss"])
