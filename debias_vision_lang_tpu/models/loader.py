@@ -126,7 +126,17 @@ def _resolve_pretrained(arch: str, cfg: CLIPConfig, weights: Optional[str]) -> O
         try:
             from transformers import CLIPModel
 
-            hf = CLIPModel.from_pretrained(_HF_NAMES[arch])
+            # local cache first — the networked path retries DNS for ~a
+            # minute on offline machines, so only attempt it when the hub
+            # is actually reachable
+            try:
+                hf = CLIPModel.from_pretrained(_HF_NAMES[arch],
+                                               local_files_only=True)
+            except Exception:
+                import socket
+
+                socket.create_connection(("huggingface.co", 443), timeout=3)
+                hf = CLIPModel.from_pretrained(_HF_NAMES[arch])
             return convert.from_hf_model(hf, cfg)
         except Exception:
             return None

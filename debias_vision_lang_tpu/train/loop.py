@@ -78,6 +78,7 @@ def run_training(
     use_pallas: Optional[bool] = None,
     progress: bool = True,
     resume: bool = False,
+    mesh=None,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -131,8 +132,12 @@ def run_training(
     tcfg = train_cfg or TrainConfig(batch_size=batch_size, num_epochs=epochs,
                                     eval_every_steps=eval_every,
                                     checkpoint_dir=checkpoint_dir, seed=seed)
+    if mesh == "auto":
+        from ..parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     trainer = AdversarialTrainer.create(model, adversary, tcfg, sens_tokens,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas, mesh=mesh)
     if resume:
         from .state import latest_checkpoint, restore_checkpoint
 
