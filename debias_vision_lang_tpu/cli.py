@@ -73,6 +73,10 @@ def _add_train(sub):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--eval-every", default=500, type=int)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--mesh", default=None, choices=[None, "auto"],
+                   help="'auto' = data-parallel over all visible chips")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --checkpoint-dir")
 
 
 def _cmd_train(args):
@@ -90,6 +94,8 @@ def _cmd_train(args):
         checkpoint_dir=args.checkpoint_dir,
         eval_every=args.eval_every,
         pretrained=not args.random_weights,
+        mesh=args.mesh,
+        resume=args.resume,
     )
     print(json.dumps(best, indent=2))
 
