@@ -1,0 +1,138 @@
+"""Downloader (retry/checksum/idempotence via a local HTTP server) and the
+model_loader weight-resolution chain ($DEBIAS_VLT_WEIGHTS_DIR / explicit
+paths / torch state_dicts)."""
+
+import hashlib
+import http.server
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.data.download import fetch
+
+
+@pytest.fixture(scope="module")
+def http_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("www")
+    (root / "asset.bin").write_bytes(b"hello tpu world" * 100)
+    server = http.server.HTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(root), **k),
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield root, f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+class TestFetch:
+    def test_basic_fetch(self, http_root, tmp_path):
+        root, url = http_root
+        dest = str(tmp_path / "a.bin")
+        out = fetch(f"{url}/asset.bin", dest, progress=False)
+        assert out == dest
+        assert open(dest, "rb").read() == (root / "asset.bin").read_bytes()
+
+    def test_checksum_validated(self, http_root, tmp_path):
+        root, url = http_root
+        good = hashlib.sha256((root / "asset.bin").read_bytes()).hexdigest()
+        dest = str(tmp_path / "b.bin")
+        fetch(f"{url}/asset.bin", dest, sha256=good, progress=False)
+        assert os.path.exists(dest)
+
+    def test_checksum_mismatch_raises_and_leaves_no_file(self, http_root, tmp_path):
+        _, url = http_root
+        dest = str(tmp_path / "c.bin")
+        with pytest.raises(RuntimeError, match="Could not download"):
+            fetch(f"{url}/asset.bin", dest, sha256="0" * 64, retries=1,
+                  progress=False)
+        assert not os.path.exists(dest)  # no corrupt artifact left behind
+
+    def test_idempotent_skip(self, http_root, tmp_path):
+        _, url = http_root
+        dest = str(tmp_path / "d.bin")
+        fetch(f"{url}/asset.bin", dest, progress=False)
+        mtime = os.path.getmtime(dest)
+        fetch(f"{url}/asset.bin", dest, progress=False)  # no-op
+        assert os.path.getmtime(dest) == mtime
+
+    def test_corrupt_existing_refetched(self, http_root, tmp_path):
+        root, url = http_root
+        good = hashlib.sha256((root / "asset.bin").read_bytes()).hexdigest()
+        dest = str(tmp_path / "e.bin")
+        open(dest, "wb").write(b"corrupt")
+        fetch(f"{url}/asset.bin", dest, sha256=good, progress=False)
+        assert open(dest, "rb").read() == (root / "asset.bin").read_bytes()
+
+    def test_404_raises_with_hint(self, http_root, tmp_path):
+        _, url = http_root
+        with pytest.raises(RuntimeError, match="fetch the asset manually"):
+            fetch(f"{url}/missing.bin", str(tmp_path / "f.bin"), retries=1,
+                  progress=False)
+
+
+class TestWeightResolution:
+    @pytest.fixture(scope="class")
+    def npz_weights_dir(self, tmp_path_factory, tiny_clip):
+        """Export tiny params as an OpenAI-named .npz under the weights dir
+        convention (alias-named file)."""
+        from debias_vision_lang_tpu.models.convert import to_openai_state_dict
+
+        cfg, params = tiny_clip
+        wdir = tmp_path_factory.mktemp("weights")
+        sd = to_openai_state_dict(params, cfg)
+        np.savez(wdir / "custom.npz", **sd)
+        return str(wdir), cfg, params
+
+    def test_explicit_npz_weights_path(self, npz_weights_dir):
+        """model_loader(weights=<path.npz>) loads the exact exported params."""
+        import jax
+
+        from debias_vision_lang_tpu.models.loader import _load_weights_file
+
+        wdir, cfg, params = npz_weights_dir
+        loaded = _load_weights_file(os.path.join(wdir, "custom.npz"), cfg)
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_torch_state_dict_pt(self, npz_weights_dir, tmp_path):
+        """A torch-saved OpenAI-named state_dict loads through the same chain."""
+        import jax
+        import torch
+
+        from debias_vision_lang_tpu.models.convert import to_openai_state_dict
+        from debias_vision_lang_tpu.models.loader import _load_weights_file
+
+        _, cfg, params = npz_weights_dir
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in to_openai_state_dict(params, cfg).items()}
+        path = str(tmp_path / "model.pt")
+        torch.save(sd, path)
+        loaded = _load_weights_file(path, cfg)
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_weights_dir_env_resolution(self, tmp_path, monkeypatch):
+        """$DEBIAS_VLT_WEIGHTS_DIR/<alias>.npz resolves for a real arch name
+        (full ViT-B/32 shape, random init exported then reloaded)."""
+        import jax
+
+        from debias_vision_lang_tpu.core.registry import resolve_arch
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+        from debias_vision_lang_tpu.models.convert import to_openai_state_dict
+        from debias_vision_lang_tpu.models.loader import model_loader
+
+        cfg = resolve_arch("openai/CLIP/ViT-B/32")
+        params = init_clip_params(jax.random.key(7), cfg)
+        sd = to_openai_state_dict(params, cfg)
+        np.savez(tmp_path / "oai-clip-vit-b-32.npz", **sd)
+        monkeypatch.setenv("DEBIAS_VLT_WEIGHTS_DIR", str(tmp_path))
+
+        model, _, _, alias = model_loader("openai/CLIP/ViT-B/32", pretrained=True)
+        assert alias == "oai-clip-vit-b-32"
+        np.testing.assert_allclose(
+            np.asarray(model.params["text"]["token_embedding"][:8]),
+            np.asarray(params["text"]["token_embedding"][:8]), atol=1e-7)
