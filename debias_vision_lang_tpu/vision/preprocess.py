@@ -14,10 +14,18 @@ Reference chain semantics (torchvision + PIL):
 
 PIL parity: resample weights are computed with PIL's exact sampling grid
 (pixel centers at (i+0.5)·scale, bicubic a=-0.5, support 2·scale, per-output
-normalization, window clipping at borders).  PIL's uint8 path rounds to uint8
-after each of its two passes; ``emulate_uint8_rounding=True`` reproduces that
-(parity mode), the fast path keeps float32 end-to-end.  Resize itself is a
-dense [out, in] weight matrix applied along each axis — pure MXU work.
+normalization, window clipping at borders).
+
+Two parity tiers:
+  * ``Preprocess`` (host, default) — BIT-EXACT vs PIL/torchvision.  PIL's
+    uint8 path quantizes normalized coefficients to INT32 fixed point
+    (PRECISION_BITS = 32-8-2 = 22, Pillow Resample.c normalize_coeffs_8bpc),
+    accumulates in int32 and emits ``clip8((sum + 2^21) >> 22)`` per pass;
+    ``resize_bicubic_pil_exact`` replicates that arithmetic in integer numpy
+    (0 LSB on the reference figures — tested).
+  * ``preprocess_batch`` (device, fused into the eval jit) — float32 matmul
+    resize on the MXU; ≤2 LSB vs PIL (float weights, no fixed-point).  The
+    throughput path; use the host path when golden parity matters.
 """
 
 from __future__ import annotations
@@ -62,14 +70,81 @@ def resize_weights(in_size: int, out_size: int) -> np.ndarray:
 
 
 def resize_output_size(h: int, w: int, n_px: int) -> Tuple[int, int]:
-    """torchvision Resize(int) semantics: short side → n_px, aspect kept."""
+    """torchvision Resize(int) semantics: short side → n_px, aspect kept.
+
+    The long side TRUNCATES — ``int(size * long / short)`` — matching
+    torchvision's ``_compute_resized_output_size`` (not round())."""
     if h <= w:
         if h == n_px:
             return h, w
-        return n_px, max(int(round(w * n_px / h)), 1)
+        return n_px, max(int(n_px * w / h), 1)
     if w == n_px:
         return h, w
-    return max(int(round(h * n_px / w)), 1), n_px
+    return max(int(n_px * h / w), 1), n_px
+
+
+# --- PIL bit-exact path (host) -------------------------------------------
+#
+# Pillow's uint8 resample (Resample.c): coefficients are computed in double,
+# normalized, then quantized to INT32 fixed point with PRECISION_BITS =
+# 32 - 8 - 2 = 22 (half-away-from-zero, C (int) truncation); each pass
+# accumulates pixel*coeff in int32 and emits clip8((sum + 2^21) >> 22).
+# Horizontal pass first, then vertical, each through uint8.
+
+_PIL_PRECISION_BITS = 22
+
+
+@functools.lru_cache(maxsize=64)
+def resize_weights_pil_fixed(in_size: int, out_size: int) -> np.ndarray:
+    """[out_size, in_size] int32 matrix of PIL's quantized bicubic coeffs.
+
+    Scalar Python loops on purpose: C accumulates the normalizer ``ww``
+    sequentially in double; numpy's pairwise summation can differ in the
+    last ulp, which moves the quantized coefficient."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    inv = 1.0 / filterscale
+    one = 1 << _PIL_PRECISION_BITS
+    m = np.zeros((out_size, in_size), np.int32)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        if xmin < 0:
+            xmin = 0
+        xmax = int(center + support + 0.5)
+        if xmax > in_size:
+            xmax = in_size
+        ks = [float(_bicubic(np.float64((x + xmin - center + 0.5) * inv)))
+              for x in range(xmax - xmin)]
+        ww = 0.0
+        for k in ks:
+            ww += k
+        for i, k in enumerate(ks):
+            if ww != 0.0:
+                k = k / ww
+            m[xx, xmin + i] = int(k * one + 0.5) if k >= 0 else int(k * one - 0.5)
+    return m
+
+
+def _clip8(ss: np.ndarray) -> np.ndarray:
+    """Pillow clip8: 0 if <=0, 255 if >= 2^30, else >> PRECISION_BITS."""
+    ss = np.clip(ss, 0, (1 << 30) - 1)
+    return (ss >> _PIL_PRECISION_BITS).astype(np.uint8)
+
+
+def resize_bicubic_pil_exact(arr_u8: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bit-exact PIL BICUBIC resize of a uint8 [H, W, C] array (host numpy)."""
+    h, w, _ = arr_u8.shape
+    half = 1 << (_PIL_PRECISION_BITS - 1)
+    x = arr_u8.astype(np.int64)
+    if w != out_w:
+        m = resize_weights_pil_fixed(w, out_w).astype(np.int64)
+        x = _clip8(np.einsum("ow,hwc->hoc", m, x) + half).astype(np.int64)
+    if h != out_h:
+        m = resize_weights_pil_fixed(h, out_h).astype(np.int64)
+        x = _clip8(np.einsum("oh,hwc->owc", m, x) + half).astype(np.int64)
+    return x.astype(np.uint8)
 
 
 def _round_u8(x: jax.Array) -> jax.Array:
@@ -127,9 +202,11 @@ def preprocess_batch(
     rh, rw = resize_output_size(h, w, n_px)
     x = resize_bicubic(x, rh, rw, emulate_uint8_rounding)
     if rh < n_px or rw < n_px:  # CenterCrop pads when smaller
+        # torchvision pads ltrb = (d//2, d//2, (d+1)//2, (d+1)//2): the
+        # EXTRA pixel goes right/bottom.
         ph, pw = max(n_px - rh, 0), max(n_px - rw, 0)
-        x = jnp.pad(x, ((0, 0), (ph // 2 + ph % 2, ph // 2),
-                        (pw // 2 + pw % 2, pw // 2), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (ph // 2, (ph + 1) // 2),
+                        (pw // 2, (pw + 1) // 2), (0, 0)))
         rh, rw = x.shape[1], x.shape[2]
     x = x[:, center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
     mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
@@ -141,8 +218,16 @@ class Preprocess:
     """Per-image callable mirroring the reference's preprocess transform
     (PIL.Image or uint8 array → normalized float32 [n_px, n_px, 3] HWC).
 
-    Batched use should go through ``preprocess_batch`` directly — this
-    per-image wrapper exists for reference-API parity in datasets / examples.
+    ``emulate_uint8_rounding=True`` (default) runs the BIT-EXACT host path:
+    PIL fixed-point resize (``resize_bicubic_pil_exact``), torchvision crop
+    offsets, and the float32 ``(u8/255 - mean)/std`` normalize in
+    torchvision's operation order — output matches the reference transform
+    bit-for-bit (0 LSB through resize, identical float32 normalize).
+    ``False`` routes through the device fast path (``preprocess_batch``).
+
+    Batched throughput use should go through ``preprocess_batch`` directly —
+    this per-image wrapper exists for reference-API parity in datasets /
+    examples (reference: debias_clip/datasets.py:58,122).
     """
 
     def __init__(self, n_px: int = 224, emulate_uint8_rounding: bool = True):
@@ -151,10 +236,32 @@ class Preprocess:
 
     def __call__(self, img) -> np.ndarray:
         arr = to_rgb_array(img)
-        out = preprocess_batch(
-            jnp.asarray(arr[None]), self.n_px, self.emulate_uint8_rounding
-        )
-        return np.asarray(out[0])
+        if not self.emulate_uint8_rounding:
+            return np.asarray(
+                preprocess_batch(jnp.asarray(arr[None]), self.n_px, False)[0])
+        return preprocess_host_exact(arr, self.n_px)
+
+
+def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
+    """Bit-exact host replica of the reference transform chain:
+    Resize(n_px, BICUBIC) → CenterCrop(n_px) → ToTensor → Normalize.
+
+    uint8 [H, W, 3] → float32 [n_px, n_px, 3] (HWC)."""
+    h, w, _ = arr_u8.shape
+    rh, rw = resize_output_size(h, w, n_px)
+    x = resize_bicubic_pil_exact(arr_u8, rh, rw)
+    if rh < n_px or rw < n_px:
+        ph, pw = max(n_px - rh, 0), max(n_px - rw, 0)
+        x = np.pad(x, ((ph // 2, (ph + 1) // 2), (pw // 2, (pw + 1) // 2),
+                       (0, 0)))
+        rh, rw = x.shape[0], x.shape[1]
+    x = x[center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
+    # torchvision op order in float32: ToTensor divides by 255, Normalize
+    # subtracts then divides.
+    out = x.astype(np.float32) / np.float32(255.0)
+    out = out - np.asarray(CLIP_MEAN, np.float32)
+    out = out / np.asarray(CLIP_STD, np.float32)
+    return out
 
 
 def to_rgb_array(img) -> np.ndarray:

@@ -7,9 +7,12 @@ from debias_vision_lang_tpu.vision.preprocess import (
     CLIP_STD,
     Preprocess,
     preprocess_batch,
+    preprocess_host_exact,
     resize_bicubic,
+    resize_bicubic_pil_exact,
     resize_output_size,
     resize_weights,
+    to_rgb_array,
 )
 
 
@@ -28,8 +31,17 @@ class TestResizeWeights:
 
 class TestResizeOutputSize:
     def test_short_side_semantics(self):
-        assert resize_output_size(300, 400, 224) == (224, 299)
-        assert resize_output_size(400, 300, 224) == (299, 224)
+        # torchvision TRUNCATES the long side: int(224 * 400 / 300) = 298
+        assert resize_output_size(300, 400, 224) == (224, 298)
+        assert resize_output_size(400, 300, 224) == (298, 224)
+
+    def test_truncation_matches_torchvision(self):
+        # _compute_resized_output_size uses int(size * long / short)
+        for (h, w) in [(300, 421), (129, 500), (333, 500), (97, 311)]:
+            rh, rw = resize_output_size(h, w, 224)
+            short, long = (h, w) if h <= w else (w, h)
+            expect_long = int(224 * long / short)
+            assert max(rh, rw) == expect_long
 
     def test_short_circuit(self):
         # torchvision skips when short side already matches
@@ -61,6 +73,63 @@ class TestPILParity:
         )[0]
         ref = _pil_resize(arr, 398, 224).astype(np.float32)
         assert np.abs(ours - ref).max() <= 1.0 + 1e-4
+
+
+class TestPILBitExact:
+    """The host path must be BIT-exact (0 LSB) vs PIL's uint8 fixed-point
+    resample — the offline-verifiable prerequisite for golden-prob parity."""
+
+    @pytest.mark.parametrize("shape,out", [
+        ((300, 400), (224, 298)),   # downsample
+        ((196, 198), (224, 226)),   # upsample (woman.jpg geometry)
+        ((500, 333), (336, 224)),
+        ((224, 160), (313, 224)),
+    ])
+    def test_resize_bit_exact_vs_pil(self, rng, shape, out):
+        arr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(arr).resize((out[1], out[0]), Image.BICUBIC))
+        got = resize_bicubic_pil_exact(arr, out[0], out[1])
+        assert np.array_equal(ref, got)
+
+    @pytest.mark.parametrize("name", ["woman.jpg", "man.jpg"])
+    def test_reference_figures_bit_exact(self, name):
+        import os
+        path = f"/root/reference/figures/{name}"
+        if not os.path.exists(path):
+            pytest.skip("reference figures not available")
+        img = Image.open(path)
+        arr = to_rgb_array(img)
+        h, w = arr.shape[:2]
+        rh, rw = resize_output_size(h, w, 224)
+        ref = np.asarray(img.convert("RGB").resize((rw, rh), Image.BICUBIC))
+        got = resize_bicubic_pil_exact(arr, rh, rw)
+        assert np.array_equal(ref, got), (
+            f"max err {np.abs(ref.astype(int) - got.astype(int)).max()} LSB")
+
+    def test_full_chain_bit_exact(self, rng):
+        """preprocess_host_exact == PIL resize + torchvision crop + float32
+        ToTensor/Normalize, bit-for-bit."""
+        import torch
+        for (h, w) in [(320, 280), (196, 198), (64, 100), (224, 224)]:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            img = Image.fromarray(arr)
+            rh, rw = resize_output_size(h, w, 224)
+            if (rh, rw) != (h, w):
+                img = img.resize((rw, rh), Image.BICUBIC)
+            a = np.asarray(img)
+            if rh < 224 or rw < 224:
+                ph, pw = max(224 - rh, 0), max(224 - rw, 0)
+                a = np.pad(a, ((ph // 2, (ph + 1) // 2),
+                               (pw // 2, (pw + 1) // 2), (0, 0)))
+            hh, ww_ = a.shape[:2]
+            top = int(round((hh - 224) / 2.0))
+            left = int(round((ww_ - 224) / 2.0))
+            a = a[top:top + 224, left:left + 224]
+            t = torch.from_numpy(a.copy()).to(torch.float32).div(255)
+            t = t.sub(torch.as_tensor(CLIP_MEAN)).div(torch.as_tensor(CLIP_STD))
+            ref = t.numpy()
+            got = preprocess_host_exact(arr, 224)
+            assert np.array_equal(ref, got), (h, w)
 
 
 class TestPreprocessBatch:
