@@ -236,20 +236,11 @@ def measure_bias(
         # keep embeddings sharded end-to-end: per-shard top-k + ICI merge
         from ..metrics.distributed import sharded_eval_ranking
 
-        n = img_embs.shape[0]
-        n_shards = mesh.shape["data"]
-        keep = (n // n_shards) * n_shards  # drop the ragged tail across shards
-        if keep < n:
-            import warnings
-
-            warnings.warn(
-                f"sharded_metrics drops {n - keep} trailing image(s) so N is "
-                f"divisible by the {n_shards}-way data axis; results can "
-                f"differ slightly from the single-device engine.",
-                stacklevel=2)
+        # ragged N is padded (not dropped) inside sharded_ranking_metrics:
+        # results are exactly the single-device engine's
         return {
             evaluation: sharded_eval_ranking(
-                labels[:keep], img_embs[:keep], prompt_embs, evaluation,
+                labels, img_embs, prompt_embs, evaluation,
                 topn=cfg.topn, mesh=mesh)
             for evaluation in cfg.evaluations
         }

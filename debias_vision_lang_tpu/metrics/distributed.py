@@ -31,28 +31,40 @@ from .oracle import resolve_topn
 from .ranking import metrics_from_top_labels
 
 
-def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int):
+def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
+                        n_real: int, k_local: int):
+    """Build the shard_map kernel.
+
+    ``n_real``: number of REAL (non-pad) rows globally — pad rows (ragged-N
+    padding to a multiple of the axis size) carry score −inf and are
+    excluded from both the desired-distribution counts and the kept list.
+    ``k_local``: per-shard candidate budget (tie-extended); the host wrapper
+    escalates to n_local when the returned overflow flag is set.
+    """
     n_shards = mesh.shape[axis]
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None, None)),
-        out_specs=P(),
+        in_specs=(P(axis, None), P(axis), P(axis), P(None, None)),
+        out_specs=(P(), P()),
         # outputs ARE replicated (they only depend on all_gather/psum
         # results); the varying-mesh-axes inference can't prove it
         check_vma=False,
     )
-    def fn(img_shard: jax.Array, labels_shard: jax.Array, prompts: jax.Array):
+    def fn(img_shard: jax.Array, labels_shard: jax.Array,
+           valid_shard: jax.Array, prompts: jax.Array):
         n_local = img_shard.shape[0]
-        k = min(top_n, n_local)
+        k = min(k_local, n_local)
         scores = prompts @ img_shard.T  # [Pn, N_local]
+        scores = jnp.where(valid_shard[None, :], scores, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, k)  # [Pn, k]
         cand_labels = labels_shard[idx]
 
-        # global label counts for the desired distributions
+        # global label counts for the desired distributions (real rows only)
         local_counts = jnp.sum(
-            jax.nn.one_hot(labels_shard, n_classes, dtype=jnp.float32), axis=0)
+            jax.nn.one_hot(labels_shard, n_classes, dtype=jnp.float32)
+            * valid_shard[:, None], axis=0)
         counts = jax.lax.psum(local_counts, axis)
         n_total = jnp.sum(counts)
         desired = {
@@ -60,20 +72,35 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int):
             "dem_par": jnp.maximum(counts, 1.0) / n_total,
         }
 
-        # merge candidates across shards (exact global top-k)
+        # merge candidates across shards (contains the exact global kept
+        # list: every kept entry beats each shard's k-th candidate or the
+        # shard overflow flag fires)
         vals_all = jax.lax.all_gather(vals, axis)  # [C, Pn, k]
         labels_all = jax.lax.all_gather(cand_labels, axis)
         p_n = vals.shape[0]
         vals_m = vals_all.transpose(1, 0, 2).reshape(p_n, n_shards * k)
         labels_m = labels_all.transpose(1, 0, 2).reshape(p_n, n_shards * k)
-        k_global = min(top_n, n_shards * k)
-        top_vals, top_pos = jax.lax.top_k(vals_m, k_global)
+        m_total = n_shards * k
+        top_vals, top_pos = jax.lax.top_k(vals_m, m_total)  # full merged sort
         top_labels = jnp.take_along_axis(labels_m, top_pos, axis=1)
 
-        metrics = metrics_from_top_labels(top_labels, desired, k_global,
-                                          n_classes, norm_top_n=top_n)
+        # boundary-tie-extended kept mask (nlargest keep="all")
+        kt = min(top_n, n_real)
+        threshold = top_vals[:, kt - 1]  # [Pn]
+        kept = top_vals >= threshold[:, None]
+        # a shard whose LAST candidate still clears the threshold may hold
+        # more tied rows beyond its budget → escalate
+        if k < n_local:
+            shard_last = vals_all[:, :, -1]  # [C, Pn]
+            overflow = jnp.any(shard_last >= threshold[None, :])
+        else:
+            overflow = jnp.asarray(False)
+
+        metrics = metrics_from_top_labels(top_labels, desired, kt,
+                                          n_classes, norm_top_n=top_n,
+                                          kept_mask=kept)
         # identical on every shard: outputs are replicated
-        return {k_: v for k_, v in metrics.items()}
+        return {k_: v for k_, v in metrics.items()}, overflow
 
     return fn
 
@@ -89,25 +116,44 @@ def sharded_ranking_metrics(
 ) -> Dict[str, jax.Array]:
     """Exact global MaxSkew/NDKL with image embeddings sharded over ``axis``.
 
-    Constraint: the per-shard candidate count min(top_n, N_local) must reach
-    the global top-k — guaranteed because the union of shard top-k's always
-    contains the global top-k when each shard keeps min(top_n, N_local).
-    N must be divisible by the axis size (pad embeddings with -inf-scoring
-    rows upstream if needed).
-    """
-    n = image_embeddings.shape[0]
-    n_shards = mesh.shape[axis]
-    if n % n_shards != 0:
-        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_shards}")
+    Ragged N is handled exactly: when N is not divisible by the axis size,
+    the embedding/label arrays are padded to the next multiple with rows
+    that score −inf (excluded from the desired distributions and the kept
+    list) — results are identical to the single-device engine.
 
-    img = jax.device_put(jnp.asarray(image_embeddings, jnp.float32),
-                         NamedSharding(mesh, P(axis, None)))
-    lbl = jax.device_put(jnp.asarray(np.asarray(labels), jnp.int32),
-                         NamedSharding(mesh, P(axis)))
+    Boundary ties follow pandas ``nlargest(keep="all")``: the kernel keeps
+    a tie-extended candidate budget per shard and reports overflow; this
+    wrapper escalates the budget to the full shard (always exact) when ties
+    exceed it.
+    """
+    from .ranking import TIE_PAD
+
+    n = int(image_embeddings.shape[0])
+    n_shards = mesh.shape[axis]
+    img = jnp.asarray(image_embeddings, jnp.float32)
+    lbl = jnp.asarray(np.asarray(labels), jnp.int32)
+    valid = np.ones(n, bool)
+    if n % n_shards != 0:
+        pad = n_shards - n % n_shards
+        img = jnp.concatenate([img, jnp.zeros((pad, img.shape[1]), img.dtype)])
+        lbl = jnp.concatenate([lbl, jnp.zeros((pad,), lbl.dtype)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+
+    img = jax.device_put(img, NamedSharding(mesh, P(axis, None)))
+    lbl = jax.device_put(lbl, NamedSharding(mesh, P(axis)))
+    vld = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis)))
     prm = jax.device_put(jnp.asarray(prompt_embeddings, jnp.float32),
                          NamedSharding(mesh, P(None, None)))
-    fn = _sharded_metrics_fn(mesh, axis, top_n, n_classes)
-    return fn(img, lbl, prm)
+
+    n_local = img.shape[0] // n_shards
+    kt = min(top_n, n)
+    k_local = min(kt + TIE_PAD, n_local)
+    fn = _sharded_metrics_fn(mesh, axis, top_n, n_classes, n, k_local)
+    metrics, overflow = fn(img, lbl, vld, prm)
+    if k_local < n_local and bool(overflow):
+        fn = _sharded_metrics_fn(mesh, axis, top_n, n_classes, n, n_local)
+        metrics, _ = fn(img, lbl, vld, prm)
+    return metrics
 
 
 def sharded_eval_ranking(
@@ -125,9 +171,11 @@ def sharded_eval_ranking(
         from ..parallel.mesh import default_mesh
 
         mesh = default_mesh()
+    from .oracle import validate_dense_labels
+
     n = np.asarray(image_embeddings).shape[0]
     top_n = resolve_topn(topn, n)
-    n_classes = int(np.asarray(labels).max()) + 1
+    n_classes = validate_dense_labels(labels)
     metrics = sharded_ranking_metrics(
         jnp.asarray(image_embeddings), labels, jnp.asarray(prompt_embeddings),
         top_n, n_classes, mesh, axis)

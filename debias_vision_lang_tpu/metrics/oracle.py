@@ -41,13 +41,23 @@ def _kept_top_indices(scores: np.ndarray, top_n: int) -> np.ndarray:
     return order[:m]
 
 
-def _desired_dists(labels: np.ndarray) -> Dict[str, np.ndarray]:
-    classes, counts = np.unique(labels, return_counts=True)
+def validate_dense_labels(labels: np.ndarray) -> int:
+    """Labels must be dense 0..k-1 (the reference indexes count arrays by
+    label value; eq_opp is uniform over DISTINCT PRESENT labels).  Returns
+    the class count.  Raises ValueError otherwise — both the oracle and the
+    jitted/sharded engines validate identically."""
+    classes = np.unique(np.asarray(labels))
     if not np.array_equal(classes, np.arange(len(classes))):
         raise ValueError(
             f"labels must be dense 0..k-1 (reference indexes count arrays by "
             f"label value); got classes {classes}"
         )
+    return len(classes)
+
+
+def _desired_dists(labels: np.ndarray) -> Dict[str, np.ndarray]:
+    classes, counts = np.unique(labels, return_counts=True)
+    validate_dense_labels(labels)
     n = len(labels)
     return {
         "eq_opp": np.full(len(classes), 1.0 / len(classes)),

@@ -14,12 +14,15 @@ with one fused computation:
 Everything is fixed-shape: top_n, n_classes are static arguments, so the
 whole evaluation jit-compiles once per configuration and vmaps over prompts.
 
-Tie policy (documented divergence): ``lax.top_k`` keeps exactly top_n items,
-breaking ties by lowest index; the reference's ``nlargest(keep="all")``
-*extends* the list through boundary ties (can exceed top_n — verified,
-SURVEY.md §6).  For continuous cosine scores exact boundary ties have measure
-zero; the numpy oracle (metrics/oracle.py) preserves the reference behavior
-exactly, and tests pin both the agreement (no ties) and the divergence (ties).
+Tie policy: EXACT ``nlargest(keep="all")`` emulation in fixed shapes.  The
+reference extends the kept list through boundary ties (can exceed top_n —
+verified, SURVEY.md §6).  The jitted kernel ranks a tie-extended static
+budget ``k_ext ≥ top_n``, derives the boundary threshold (the top_n-th
+score) and a per-rank KEPT MASK ``score >= threshold``; tie order matches
+pandas because ``lax.top_k`` also breaks ties by lowest index.  If ties
+overflow the static budget the kernel reports an overflow flag and the host
+wrapper re-runs with ``k_ext = N`` (always sufficient) — one extra compile
+in the pathological case, zero cost in the common no-tie case.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .oracle import resolve_topn
+from .oracle import resolve_topn, validate_dense_labels
 
 
 def _safe_log(x: jax.Array) -> jax.Array:
@@ -57,6 +60,7 @@ def metrics_from_top_labels(
     top_n: int,
     n_classes: int,
     norm_top_n: int = None,
+    kept_mask: jax.Array = None,
 ) -> Dict[str, jax.Array]:
     """Metric core over already-ranked label lists.
 
@@ -69,10 +73,18 @@ def metrics_from_top_labels(
     request (Z over 1..top_n at measuring_bias.py:39; p = count/top_n at :61)
     while ranking only the N available rows; ``top_labels`` then has k = N
     columns but Z and the skew denominators use ``norm_top_n``.
+
+    ``kept_mask``: [P, k] bool, True for ranks in the kept list (a prefix
+    per prompt).  Implements ``nlargest(keep="all")``: ranks past the
+    boundary-tie extension contribute to neither the NDKL sum nor the
+    MaxSkew counts.  None = all kept.
     """
     k = top_labels.shape[1]
     norm_top_n = norm_top_n if norm_top_n is not None else top_n
     onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, k, C]
+    if kept_mask is not None:
+        keep_f = kept_mask.astype(jnp.float32)  # [P, k]
+        onehot = onehot * keep_f[:, :, None]
     prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, k, C]
 
     ranks = jnp.arange(1, k + 1, dtype=jnp.float32)  # [k]
@@ -81,6 +93,10 @@ def metrics_from_top_labels(
     # NDKL: Σ_i KL(prefix_i ‖ q) / log2(i+1), / Z(norm_top_n)
     log_p = _safe_log(prefix_p)
     discounts = 1.0 / jnp.log2(ranks + 1.0)  # [k]
+    if kept_mask is not None:
+        discounts = discounts[None, :] * keep_f  # [P, k]
+    else:
+        discounts = jnp.broadcast_to(discounts[None, :], (top_labels.shape[0], k))
     z = jnp.sum(1.0 / jnp.log2(jnp.arange(1, norm_top_n + 1, dtype=jnp.float32) + 1.0))
     out: Dict[str, jax.Array] = {}
     for name, q in desired.items():
@@ -88,7 +104,7 @@ def metrics_from_top_labels(
             prefix_p > 0, prefix_p * (log_p - _safe_log(q)[None, None, :]), 0.0
         )
         kl_per_rank = jnp.sum(kl_terms, axis=-1)  # [P, k]
-        out[f"ndkl_{name}"] = jnp.sum(kl_per_rank * discounts[None, :], axis=-1) / z
+        out[f"ndkl_{name}"] = jnp.sum(kl_per_rank * discounts, axis=-1) / z
 
     # MaxSkew at the full kept prefix, normalized by the requested top-n
     p_top = prefix_counts[:, -1, :] / norm_top_n  # [P, C]
@@ -100,7 +116,36 @@ def metrics_from_top_labels(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("top_n", "n_classes"))
+# static extension budget for boundary ties; overflow triggers an exact
+# re-run with k_ext = N (host retry in ranking_metrics)
+TIE_PAD = 16
+
+
+@functools.partial(jax.jit, static_argnames=("top_n", "n_classes", "k_ext"))
+def _ranking_metrics_ext(
+    scores: jax.Array,
+    labels: jax.Array,
+    top_n: int,
+    n_classes: int,
+    k_ext: int,
+):
+    """Tie-exact kernel: rank k_ext ≥ min(top_n, N) candidates, keep the
+    boundary-tie-extended prefix via a mask, flag overflow when ties may
+    continue past the budget."""
+    n = scores.shape[1]
+    desired = desired_distributions(labels, n_classes)
+    k = min(k_ext, n)
+    kt = min(top_n, n)  # boundary rank (reference keeps all N if top_n > N)
+    vals, top_idx = jax.lax.top_k(scores, k)  # [P, k]
+    top_labels = labels[top_idx]
+    threshold = vals[:, kt - 1]  # [P]
+    kept = vals >= threshold[:, None]  # prefix mask, ≥ kt wide
+    overflow = jnp.any((vals[:, -1] >= threshold)) if k < n else jnp.asarray(False)
+    metrics = metrics_from_top_labels(top_labels, desired, kt, n_classes,
+                                      norm_top_n=top_n, kept_mask=kept)
+    return metrics, overflow
+
+
 def ranking_metrics(
     scores: jax.Array,
     labels: jax.Array,
@@ -113,13 +158,19 @@ def ranking_metrics(
     Returns dict of [P] arrays: maxskew_eq_opp, maxskew_dem_par,
     ndkl_eq_opp, ndkl_dem_par.  ``top_n`` larger than N keeps all N rows but
     normalizes by the request (reference semantics — see metrics_from_top_labels).
+
+    Boundary ties are handled EXACTLY (pandas ``nlargest(keep="all")``):
+    the jitted kernel keeps a tie-extended prefix; if ties overflow the
+    static TIE_PAD budget this wrapper re-runs with the full N (always
+    exact).
     """
-    desired = desired_distributions(labels, n_classes)
-    k = min(top_n, scores.shape[1])
-    _, top_idx = jax.lax.top_k(scores, k)  # [P, k]
-    top_labels = labels[top_idx]  # [P, k]
-    return metrics_from_top_labels(top_labels, desired, k, n_classes,
-                                   norm_top_n=top_n)
+    n = scores.shape[1]
+    k_ext = min(min(top_n, n) + TIE_PAD, n)
+    metrics, overflow = _ranking_metrics_ext(scores, labels, top_n,
+                                             n_classes, k_ext)
+    if k_ext < n and bool(overflow):
+        metrics, _ = _ranking_metrics_ext(scores, labels, top_n, n_classes, n)
+    return metrics
 
 
 def eval_ranking(
@@ -138,7 +189,7 @@ def eval_ranking(
     img = jnp.asarray(image_embeddings, jnp.float32)
     prm = jnp.asarray(prompt_embeddings, jnp.float32)
     top_n = resolve_topn(topn, img.shape[0])
-    n_classes = int(np.asarray(labels).max()) + 1
+    n_classes = validate_dense_labels(labels)
     scores = prm @ img.T  # [P, N]
     metrics = ranking_metrics(scores, labels, top_n, n_classes)
     prefix = evaluation + "_"

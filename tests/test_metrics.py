@@ -123,17 +123,68 @@ class TestJittedVsOracle:
             np.testing.assert_allclose(
                 float(jit_out["ndkl_dem_par"][p]), nd["ndkl_dem_par"], atol=1e-4)
 
-    def test_tie_divergence_documented(self):
-        """With boundary ties the jitted top-k keeps exactly top_n while the
-        oracle extends (keep='all') — this is the documented divergence."""
+    def test_tie_extension_matches_oracle(self):
+        """Boundary ties: the jitted path now implements nlargest(keep='all')
+        exactly — the kept list EXTENDS through the tie, matching the oracle
+        (and the reference, measuring_bias.py:29,57)."""
         scores = np.array([[0.9, 0.5, 0.5, 0.5, 0.1]], np.float32)
         labels = np.array([0, 1, 1, 1, 0], np.int32)
         jit_out = ranking_metrics(scores, labels, 2, 2)
         orc = oracle.maxskew(scores[0], labels, 2)
-        # oracle kept 4 rows (counts [1,3], p=count/2 can exceed 1!)
+        nd = oracle.ndkl(scores[0], labels, 2)
+        # oracle keeps 4 rows (counts [1,3], p=count/2 can exceed 1!)
         assert orc["maxskew_eq_opp"] == pytest.approx(math.log((3 / 2) / 0.5))
-        # jitted kept exactly 2 rows (counts [1,1])
-        assert float(jit_out["maxskew_eq_opp"][0]) == pytest.approx(0.0)
+        assert float(jit_out["maxskew_eq_opp"][0]) == pytest.approx(
+            orc["maxskew_eq_opp"], abs=1e-6)
+        assert float(jit_out["ndkl_eq_opp"][0]) == pytest.approx(
+            nd["ndkl_eq_opp"], abs=1e-5)
+
+    def test_tie_overflow_escalation(self):
+        """More tied rows than the static TIE_PAD budget → the host wrapper
+        re-runs with k_ext=N and still matches the oracle exactly."""
+        from debias_vision_lang_tpu.metrics.ranking import TIE_PAD
+
+        n = TIE_PAD + 40
+        scores = np.full((1, n), 0.5, np.float32)  # ALL rows tied
+        scores[0, 0] = 0.9
+        labels = (np.arange(n) % 2).astype(np.int32)
+        jit_out = ranking_metrics(scores, labels, 2, 2)
+        orc = oracle.maxskew(scores[0], labels, 2)
+        nd = oracle.ndkl(scores[0], labels, 2)
+        assert float(jit_out["maxskew_eq_opp"][0]) == pytest.approx(
+            orc["maxskew_eq_opp"], abs=1e-6)
+        assert float(jit_out["ndkl_eq_opp"][0]) == pytest.approx(
+            nd["ndkl_eq_opp"], abs=1e-4)
+
+    def test_tie_property_quantized_scores(self, rng):
+        """bf16-style quantized scores produce REAL ties; jitted == oracle on
+        every prompt."""
+        n = 60
+        scores = rng.normal(size=(4, n)).astype(np.float32)
+        scores = np.round(scores * 8) / 8  # coarse grid → frequent ties
+        labels = (np.arange(n) % 3).astype(np.int32)
+        for top_n in (1, 7, 20):
+            out = ranking_metrics(scores, labels, top_n, 3)
+            for p in range(4):
+                ms = oracle.maxskew(scores[p], labels, top_n)
+                nd = oracle.ndkl(scores[p], labels, top_n)
+                np.testing.assert_allclose(float(out["maxskew_eq_opp"][p]),
+                                           ms["maxskew_eq_opp"], atol=1e-5)
+                np.testing.assert_allclose(float(out["maxskew_dem_par"][p]),
+                                           ms["maxskew_dem_par"], atol=1e-5)
+                np.testing.assert_allclose(float(out["ndkl_eq_opp"][p]),
+                                           nd["ndkl_eq_opp"], atol=1e-4)
+                np.testing.assert_allclose(float(out["ndkl_dem_par"][p]),
+                                           nd["ndkl_dem_par"], atol=1e-4)
+
+    def test_dense_label_validation(self, rng):
+        """Non-dense label sets fail loudly on the tpu engine too (the
+        oracle already raised; the engines must agree on validation)."""
+        img = rng.normal(size=(10, 4)).astype(np.float32)
+        prm = rng.normal(size=(2, 4)).astype(np.float32)
+        labels = np.array([0, 2] * 5, np.int32)  # label 1 missing
+        with pytest.raises(ValueError, match="dense"):
+            eval_ranking(labels, img, prm, "maxskew", topn=5)
 
     def test_eval_ranking_wrapper(self, rng):
         n, d, p = 40, 8, 5

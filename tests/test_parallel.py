@@ -154,11 +154,43 @@ class TestShardedRankingMetrics:
         b = eval_ranking(labels, img, prm, "ndkl", 10)
         np.testing.assert_allclose(a["eq_opp"], b["eq_opp"], atol=1e-5)
 
-    def test_indivisible_raises(self, rng):
-        from debias_vision_lang_tpu.metrics.distributed import sharded_ranking_metrics
+    @pytest.mark.parametrize("n", [30, 61, 7])
+    def test_ragged_n_exact(self, rng, n):
+        """N not divisible by the axis size: the sharded engine pads with
+        −inf-scoring rows and matches the single-device engine EXACTLY (no
+        tail dropping)."""
+        from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
 
+        img = rng.normal(size=(n, 8)).astype(np.float32)
+        prm = rng.normal(size=(3, 8)).astype(np.float32)
+        labels = (rng.random(n) < 0.5).astype(np.int32)
+        labels[:2] = [0, 1]
         mesh = create_mesh()
-        with pytest.raises(ValueError, match="divisible"):
-            sharded_ranking_metrics(
-                np.zeros((30, 4), np.float32), np.zeros(30, np.int32),
-                np.zeros((2, 4), np.float32), 5, 2, mesh)
+        for ev in ("maxskew", "ndkl"):
+            a = sharded_eval_ranking(labels, img, prm, ev, 5, mesh)
+            b = eval_ranking(labels, img, prm, ev, 5)
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], atol=1e-5,
+                                           err_msg=f"n={n} {ev}/{k}")
+
+    def test_boundary_ties_exact(self, rng):
+        """Engineered boundary ties spanning shards: sharded == oracle
+        (nlargest keep='all'), including the escalation path."""
+        from debias_vision_lang_tpu.metrics import oracle
+        from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
+
+        n = 64
+        img = np.zeros((n, 4), np.float32)
+        img[:, 0] = 1.0          # all images identical → ALL scores tied
+        img[5, 0] = 2.0          # except one clear winner
+        prm = np.zeros((2, 4), np.float32)
+        prm[:, 0] = 1.0
+        labels = (np.arange(n) % 2).astype(np.int32)
+        mesh = create_mesh()
+        a = sharded_eval_ranking(labels, img, prm, "maxskew", 3, mesh)
+        ms = oracle.maxskew(img @ prm[0], labels, 3)
+        np.testing.assert_allclose(a["eq_opp"], ms["maxskew_eq_opp"], atol=1e-5)
+        nd_sh = sharded_eval_ranking(labels, img, prm, "ndkl", 3, mesh)
+        nd = oracle.ndkl(img @ prm[0], labels, 3)
+        np.testing.assert_allclose(nd_sh["eq_opp"], nd["ndkl_eq_opp"], atol=1e-4)
