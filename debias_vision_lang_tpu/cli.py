@@ -16,6 +16,27 @@ import json
 import sys
 
 
+def _parse_topn(s: str):
+    """Dispatch on the literal's type: '1000' → absolute k (int), '0.5' or
+    '1.0' → dataset fraction (float).  '--topn 1' means top-1; '--topn 2.5'
+    is rejected (a fraction must be ≤ 1.0, an absolute k must be integral)."""
+    try:
+        v = int(s)
+    except ValueError:
+        try:
+            v = float(s)
+        except ValueError:
+            raise argparse.ArgumentTypeError(f"invalid topn: {s!r}")
+        if not 0.0 < v <= 1.0:
+            raise argparse.ArgumentTypeError(
+                f"fractional topn must be in (0, 1]; for an absolute top-k "
+                f"pass an integer literal (got {s!r})")
+        return v
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"absolute topn must be >= 1 (got {s!r})")
+    return v
+
+
 def _add_measure(sub):
     p = sub.add_parser("measure-bias", help="MaxSkew/NDKL on FairFace or UTKFace")
     p.add_argument("--model", default="openai/CLIP/ViT-B/16",
@@ -24,8 +45,10 @@ def _add_measure(sub):
                    choices=["gender", "race", "age"])
     p.add_argument("--dataset", default="fairface", choices=["fairface", "utkface"])
     p.add_argument("--data-path", default=None)
-    p.add_argument("--topn", default=1.0, type=float,
-                   help="float fraction (1.0 = whole set) or integer top-k")
+    p.add_argument("--topn", default="1.0", type=_parse_topn,
+                   help="integer literal = absolute top-k (e.g. 1000, incl. "
+                        "1); float literal = dataset fraction (e.g. 0.5, "
+                        "1.0 = whole set) — matches resolve_topn semantics")
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
     p.add_argument("--random-weights", action="store_true",
@@ -48,10 +71,9 @@ def _cmd_measure(args):
             args.model, pretrained=not args.random_weights)
     if tokenizer is None:
         sys.exit("No BPE vocab available: run `... cli download bpe` first")
-    topn = int(args.topn) if args.topn > 1 else args.topn
     result = measure_bias(
         model, preprocess, tokenizer, attribute=args.attribute,
-        opts={"topn": topn, "batch_size": args.batch_size, "engine": args.engine,
+        opts={"topn": args.topn, "batch_size": args.batch_size, "engine": args.engine,
               "dataset": args.dataset, "data_path": args.data_path,
               "progress": True})
     print(json.dumps(result, indent=2))

@@ -14,7 +14,8 @@ Divergences from the reference (documented):
   * ``iat_type=None`` raises a clear ValueError instead of the reference's
     accidental ``NotImplementedError`` from its always-called gen_labels
     (datasets.py:53,87 → :41-42).
-  * downloads are checksummed and retried (data/download.py), no subprocess
+  * downloads are retried and checksum-verified when a digest is pinned
+    (data/download.py KNOWN_SHA256), no subprocess
     ``unzip`` (python zipfile) and no SSL bypass.
 """
 

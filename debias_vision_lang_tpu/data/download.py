@@ -1,16 +1,25 @@
-"""Gated asset fetchers: FairFace, BPE vocab, pretrained prompt checkpoints.
+"""Gated asset fetchers: FairFace, UTKFace, BPE vocab, prompt checkpoints.
 
 Reference behaviors being replaced:
   * FairFace Google-Drive fetch via gdown + ``unzip`` subprocess
     (reference: debias_clip/datasets.py:89-117) → stdlib urllib with the
-    Drive confirm-token dance, python ``zipfile``, sha256 checks, retries.
+    Drive confirm-token dance, python ``zipfile``, retries, and sha256
+    verification WHEN a digest is pinned in ``KNOWN_SHA256``.
   * Checkpoint fetch with a *global SSL-verification bypass*
     (reference: debias_clip/model/clip.py:9-10,22-42) → normal verified TLS.
+  * UTKFace has no reference downloader (README.md:111 links the GitHub
+    page only) — ``ensure_utkface`` adds one for the aligned+cropped drive
+    archive.
+
+Integrity: ``KNOWN_SHA256`` maps asset filenames to digests; entries are
+pinned as assets are first fetched on a networked machine (this build
+environment is offline, so the table starts empty — fetch() still verifies
+size/completeness and any digest passed explicitly).
 
 All fetchers are no-ops when the target exists, and raise a clear
 RuntimeError naming the asset when the machine has no network.
 
-Usage:  python -m debias_vision_lang_tpu.data.download {bpe,fairface,all}
+Usage:  python -m debias_vision_lang_tpu.data.download {bpe,fairface,utkface,all}
 """
 
 from __future__ import annotations
@@ -50,12 +59,21 @@ BPE_VOCAB_URL = (
 
 PRETRAINED_PROMPTS = {
     "ViT-B/16-gender": {
-        "url": "http://www.robots.ox.ac.uk/~maxbain/oxai-bias/"
+        # https (the reference fetches this over plain http, clip.py:16-19)
+        "url": "https://www.robots.ox.ac.uk/~maxbain/oxai-bias/"
         "best_ndkl_oai-clip-vit-b-16_neptune_run_OXVLB-317_model_e4_step_5334_embeddings.pt",
         "clip_arch": "ViT-B/16",
         "num_debias_tokens": 2,
     }
 }
+
+# UTKFace "Aligned & Cropped Faces" (the variant the reference README names;
+# labels ride in the filenames [age]_[gender]_[race]_[date].jpg)
+UTKFACE_DRIVE_ID = "0BxYys69jI14kYVM3aVhKS1VhRUk"
+
+# filename → sha256.  Pinned on first fetch from a networked machine; an
+# entry here makes every later fetch of that asset verify integrity.
+KNOWN_SHA256: dict = {}
 
 
 def _sha256(path: str) -> str:
@@ -73,8 +91,13 @@ def fetch(
     retries: int = 3,
     progress: bool = True,
 ) -> str:
-    """Stream-download with retry + optional checksum. Returns dest path."""
+    """Stream-download with retry + optional checksum. Returns dest path.
+
+    When no explicit digest is given, falls back to ``KNOWN_SHA256`` keyed
+    by the destination filename."""
     dest = str(dest)
+    if sha256 is None:
+        sha256 = KNOWN_SHA256.get(os.path.basename(dest))
     if os.path.exists(dest):
         if sha256 is None or _sha256(dest) == sha256:
             return dest
@@ -156,6 +179,35 @@ def ensure_fairface(root: str) -> None:
             os.remove(out_path)
 
 
+def ensure_utkface(root: str) -> None:
+    """Idempotent UTKFace (aligned & cropped) layout: ``root/*.jpg`` with
+    labels encoded in the filenames.  Mirrors ``ensure_fairface``; the
+    archive is a Drive-hosted tar.gz (UTKFace.tar.gz with a UTKFace/
+    top-level dir — flattened into ``root``)."""
+    import tarfile
+
+    root = str(root)
+    if os.path.isdir(root) and any(
+            f.lower().endswith((".jpg", ".jpeg", ".png"))
+            for f in os.listdir(root)):
+        return  # already populated
+    os.makedirs(root, exist_ok=True)
+    archive = os.path.join(root, "UTKFace.tar.gz")
+    print("Fetching UTKFace (aligned & cropped)...", file=sys.stderr)
+    fetch_gdrive(f"https://drive.google.com/uc?id={UTKFACE_DRIVE_ID}", archive)
+    with tarfile.open(archive) as tf:
+        for member in tf.getmembers():
+            if not member.isfile():
+                continue
+            name = os.path.basename(member.name)
+            if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+                continue
+            with tf.extractfile(member) as src, \
+                    open(os.path.join(root, name), "wb") as out:
+                shutil.copyfileobj(src, out)
+    os.remove(archive)
+
+
 def fetch_bpe_vocab(dest: Optional[os.PathLike] = None) -> str:
     """Fetch the CLIP merges file to the packaged assets path."""
     return fetch(BPE_VOCAB_URL, str(dest or BPE_VOCAB_PATH))
@@ -179,6 +231,10 @@ def main(argv=None):
         from ..core.paths import FAIRFACE_DATA_PATH
 
         ensure_fairface(str(FAIRFACE_DATA_PATH))
+    if "utkface" in args or "all" in args:
+        from ..core.paths import UTKFACE_DATA_PATH
+
+        ensure_utkface(str(UTKFACE_DATA_PATH))
 
 
 if __name__ == "__main__":

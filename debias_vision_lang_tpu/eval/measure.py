@@ -171,6 +171,18 @@ def measure_bias(
     """
     cfg = _resolve_opts(opts)
     extra = dict(opts) if isinstance(opts, (dict, Dotdict)) else {}
+    if extra:
+        # fail loudly on typo'd opt keys — the reference swallows unknown
+        # kwargs via **_kwargs (measuring_bias.py:104), which it documents
+        # as a flaw; we don't reproduce that
+        known = {f.name for f in dataclasses.fields(EvalConfig)} | {
+            "dataset", "mode", "n_samples", "equal_split", "data_path",
+            "num_frames", "mesh", "sharded_metrics", "cache_embeddings"}
+        unknown = set(extra) - known
+        if unknown:
+            raise ValueError(
+                f"unknown measure_bias opts {sorted(unknown)}; known keys: "
+                f"{sorted(known)}")
 
     dataset_name = extra.get("dataset", "fairface")
     mode = extra.get("mode", "val")

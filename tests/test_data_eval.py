@@ -333,3 +333,15 @@ class TestEmbeddingCache:
         # third run on the original model
         r3 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
         assert r1 == r3
+
+
+class TestUnknownOptsRejected:
+    def test_typo_opt_raises(self):
+        """A typo'd opt key fails loudly (the reference's **_kwargs swallows
+        it — a documented flaw we do not reproduce)."""
+        import pytest as _pytest
+
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+
+        with _pytest.raises(ValueError, match="topnn"):
+            measure_bias(None, None, None, opts={"topnn": 5})

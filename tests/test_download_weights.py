@@ -136,3 +136,50 @@ class TestWeightResolution:
         np.testing.assert_allclose(
             np.asarray(model.params["text"]["token_embedding"][:8]),
             np.asarray(params["text"]["token_embedding"][:8]), atol=1e-7)
+
+
+class TestUTKFaceDownloader:
+    def test_ensure_utkface_extracts_flat(self, tmp_path, monkeypatch):
+        """ensure_utkface: drive archive → flat root/*.jpg layout, idempotent."""
+        import io
+        import tarfile
+
+        from debias_vision_lang_tpu.data import download as dl
+
+        # build a fake UTKFace.tar.gz with a top-level dir + a non-image file
+        def fake_gdrive(url, dest):
+            with tarfile.open(dest, "w:gz") as tf:
+                for name in ["UTKFace/25_0_1_20170101.jpg",
+                             "UTKFace/30_1_0_20170102.jpg",
+                             "UTKFace/README.txt"]:
+                    data = b"fakejpg" if name.endswith(".jpg") else b"doc"
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+            return dest
+
+        monkeypatch.setattr(dl, "fetch_gdrive", fake_gdrive)
+        root = tmp_path / "utk"
+        dl.ensure_utkface(str(root))
+        files = sorted(p.name for p in root.iterdir())
+        assert files == ["25_0_1_20170101.jpg", "30_1_0_20170102.jpg"]
+
+        # idempotent: a second call must not re-fetch
+        def boom(url, dest):
+            raise AssertionError("re-fetched despite populated dir")
+
+        monkeypatch.setattr(dl, "fetch_gdrive", boom)
+        dl.ensure_utkface(str(root))
+
+    def test_known_sha256_fallback(self, tmp_path, monkeypatch):
+        """fetch() picks up a pinned digest from KNOWN_SHA256 by filename."""
+        import hashlib
+
+        from debias_vision_lang_tpu.data import download as dl
+
+        target = tmp_path / "asset.bin"
+        target.write_bytes(b"content")
+        good = hashlib.sha256(b"content").hexdigest()
+        monkeypatch.setitem(dl.KNOWN_SHA256, "asset.bin", good)
+        # existing file with matching pinned digest → returned as-is
+        assert dl.fetch("http://invalid.example/asset.bin", str(target)) == str(target)
