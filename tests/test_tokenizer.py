@@ -176,3 +176,80 @@ class TestTokenizerEdgeCases:
 
     def test_html_entity_cleaning(self, toy_tokenizer):
         assert (toy_tokenizer("the &amp;amp; cat") == toy_tokenizer("the & cat")).all()
+
+
+class TestGoldenFixture:
+    """Pinned token ids (tests/fixtures/tokenizer_golden.json): the full
+    319-prompt battery + corner cases on a committed synthetic merge table.
+    Any algorithmic change to cleaning / pre-tokenization / BPE / padding
+    shows up as a diff here.  Regenerate ONLY after verifying against
+    ``clip.tokenize`` with the real merges file (network required)."""
+
+    @pytest.fixture(scope="class")
+    def fixture_data(self):
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "tokenizer_golden.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_all_cases_match(self, fixture_data):
+        merges = [tuple(m) for m in fixture_data["merges"]]
+        tok = ClipTokenizer(merges, fixture_data["context_length"])
+        bad = []
+        for case in fixture_data["cases"]:
+            ids = tok([case["text"]], truncate=True)[0].tolist()
+            if ids != case["ids"]:
+                bad.append(case["text"])
+        assert not bad, f"{len(bad)} tokenizations changed, first: {bad[0]!r}"
+
+
+class TestHFCrossImplementationParity:
+    """Independent-oracle check: our tokenizer must agree ID-for-ID with
+    HuggingFace's CLIPTokenizer (the canonical port of openai/CLIP's BPE)
+    on a shared synthetic vocab.  Known, intended divergence: HF without
+    ftfy skips OpenAI's double html.unescape — inputs with entities are
+    excluded here (ours follows OpenAI; pinned in TestGoldenFixture)."""
+
+    def test_ids_match_hf(self):
+        import json
+        import os
+        import tempfile
+
+        pytest.importorskip("transformers")
+        from transformers import CLIPTokenizer
+
+        from debias_vision_lang_tpu.text.bpe import build_vocab
+
+        merges = [("t", "h"), ("th", "e</w>"), ("p", "e"), ("pe", "r"),
+                  ("per", "s"), ("pers", "o"), ("perso", "n</w>"),
+                  ("g", "o"), ("go", "o"), ("goo", "d</w>"), ("i", "s</w>"),
+                  ("w", "o"), ("wo", "m"), ("a", "n</w>"), ("m", "an</w>"),
+                  ("wom", "an</w>"), ("i", "n"), ("in", "g</w>")]
+        vocab = build_vocab(merges)
+        texts = ["a photo of a good person", "the woman is working",
+                 "THE    Person  ", "don't stop, it's fine",
+                 "digits 123 and 45", "punct!!! ... ???", "",
+                 "café ☕", "hyphen-ated", "we'll i'm i'd",
+                 "<|startoftext|> x <|endoftext|>", "x" * 300]
+        with tempfile.TemporaryDirectory() as d:
+            vf, mf = os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+            with open(vf, "w") as f:
+                json.dump(vocab, f)
+            with open(mf, "w") as f:
+                f.write("#version: 0.2\n")
+                for a, b in merges:
+                    f.write(f"{a} {b}\n")
+            hf = CLIPTokenizer(vf, mf, model_max_length=77)
+            ours = ClipTokenizer(merges, context_length=77)
+            for t in texts:
+                h = hf(t, truncation=True, max_length=77)["input_ids"]
+                o = ours([t], truncate=True)[0].tolist()
+                # strip zero PADDING from the right only: id 0 ('!') is a
+                # real token but can never be FINAL (the last symbol of any
+                # chunk carries '</w>')
+                while o and o[-1] == 0:
+                    o.pop()
+                assert o == h, f"{t!r}: ours {o} != hf {h}"
