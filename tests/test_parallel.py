@@ -18,6 +18,8 @@ from debias_vision_lang_tpu.parallel.mesh import (
 )
 
 
+pytestmark = pytest.mark.slow  # multi-minute on 1-core hosts; run with -m '' for the full gate
+
 class TestMeshCreation:
     def test_eight_devices(self):
         mesh = create_mesh()

@@ -28,6 +28,8 @@ CTX = 16
 VOCAB = 128
 
 
+pytestmark = pytest.mark.slow  # multi-minute on 1-core hosts; run with -m '' for the full gate
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = CLIPConfig(

@@ -23,6 +23,8 @@ from debias_vision_lang_tpu.train.adversarial import AdversarialTrainer
 CTX, VOCAB = 16, 128
 
 
+pytestmark = pytest.mark.slow  # multi-minute on 1-core hosts; run with -m '' for the full gate
+
 def make_model(**debias_kw):
     cfg = CLIPConfig(
         name="tiny",

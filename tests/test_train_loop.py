@@ -22,6 +22,8 @@ from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
 CTX, VOCAB, PX = 16, 128, 32
 
 
+pytestmark = pytest.mark.slow  # multi-minute on 1-core hosts; run with -m '' for the full gate
+
 @pytest.fixture(scope="module")
 def ff_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("ff_train")
