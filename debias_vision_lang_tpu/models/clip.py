@@ -14,6 +14,7 @@ run as ``lax.scan`` over stacked resblocks with fused Pallas attention.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -97,12 +98,18 @@ def init_clip_params(rng, cfg: CLIPConfig) -> Params:
 
 
 def patch_embed(p: Params, images: jax.Array, patch: int) -> jax.Array:
-    """[B, H, W, 3] NHWC → [B, num_patches, width] via reshape + matmul."""
+    """[B, H, W, 3] NHWC → [B, num_patches, width] via reshape + matmul.
+
+    Optional ``bias``: OpenAI CLIP's patch conv is bias-free, timm-style
+    towers (SLIP, Frozen-in-Time) carry one."""
     b, h, w, c = images.shape
     gh, gw = h // patch, w // patch
     x = images.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
-    return jnp.dot(x, p["kernel"].astype(x.dtype))
+    out = jnp.dot(x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
 
 
 def encode_image_vit(
@@ -116,7 +123,9 @@ def encode_image_vit(
 ) -> jax.Array:
     """ViT forward: [B, H, W, 3] → [B, embed_dim]."""
     p = params
-    act = quick_gelu if cfg.kind == "vit" else jax.nn.gelu  # slip_vit: plain GELU
+    # slip_vit = timm tower = EXACT (erf) GELU, not jax's default tanh approx
+    act = quick_gelu if cfg.kind == "vit" else functools.partial(
+        jax.nn.gelu, approximate=False)
     x = patch_embed(p["conv1"], images.astype(dtype), cfg.patch_size)
     b = x.shape[0]
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (b, 1, cfg.width))

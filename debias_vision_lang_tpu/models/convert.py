@@ -320,3 +320,190 @@ def save_debias_prompt_pt(prompt_embeddings, path: str) -> None:
 
     arr = np.ascontiguousarray(np.asarray(prompt_embeddings, np.float32)).copy()
     torch.save(torch.from_numpy(arr), path)
+
+
+# ---------------------------------------------------------------------------
+# facebookresearch/SLIP checkpoint naming → ours
+# ---------------------------------------------------------------------------
+
+
+def _timm_blocks(sd: Dict[str, np.ndarray], prefix: str, n_layers: int):
+    """timm VisionTransformer per-block tensors → our stacked resblocks.
+
+    timm naming: norm1 / attn.qkv / attn.proj / norm2 / mlp.fc1 / mlp.fc2
+    (vs OpenAI's ln_1 / attn.in_proj / attn.out_proj / ln_2 / mlp.c_fc /
+    mlp.c_proj — same math, different labels)."""
+
+    def get(i, name):
+        return _np(sd[f"{prefix}.{i}.{name}"])
+
+    return {
+        "ln_1": {
+            "scale": np.stack([get(i, "norm1.weight") for i in range(n_layers)]),
+            "bias": np.stack([get(i, "norm1.bias") for i in range(n_layers)]),
+        },
+        "attn": {
+            "wqkv": np.stack([get(i, "attn.qkv.weight").T for i in range(n_layers)]),
+            "bqkv": np.stack([get(i, "attn.qkv.bias") for i in range(n_layers)]),
+            "wo": np.stack([get(i, "attn.proj.weight").T for i in range(n_layers)]),
+            "bo": np.stack([get(i, "attn.proj.bias") for i in range(n_layers)]),
+        },
+        "ln_2": {
+            "scale": np.stack([get(i, "norm2.weight") for i in range(n_layers)]),
+            "bias": np.stack([get(i, "norm2.bias") for i in range(n_layers)]),
+        },
+        "mlp": {
+            "w1": np.stack([get(i, "mlp.fc1.weight").T for i in range(n_layers)]),
+            "b1": np.stack([get(i, "mlp.fc1.bias") for i in range(n_layers)]),
+            "w2": np.stack([get(i, "mlp.fc2.weight").T for i in range(n_layers)]),
+            "b2": np.stack([get(i, "mlp.fc2.bias") for i in range(n_layers)]),
+        },
+    }
+
+
+def _timm_patch_embed(sd, key_prefix: str) -> Dict[str, np.ndarray]:
+    """timm patch conv [D, 3, p, p] (+bias) → flattened matmul kernel in our
+    (ph, pw, c) patch-pixel order."""
+    conv = _np(sd[f"{key_prefix}.weight"])
+    width = conv.shape[0]
+    out = {"kernel": conv.transpose(2, 3, 1, 0).reshape(-1, width)}
+    if f"{key_prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{key_prefix}.bias"])
+    return out
+
+
+def strip_prefix(sd, prefix: str = "module.") -> Dict[str, np.ndarray]:
+    """Drop a DDP/wrapper prefix from every key that carries it."""
+    return {k[len(prefix):] if k.startswith(prefix) else k: v
+            for k, v in sd.items()}
+
+
+def from_slip_state_dict(sd, cfg: Optional[CLIPConfig] = None) -> Dict:
+    """facebookresearch/SLIP checkpoint → param pytree.
+
+    Accepts either a raw ``state_dict`` or the published checkpoint dict
+    (``{"state_dict": ...}`` with DDP ``module.`` prefixes).  Mapping:
+
+      vision (timm ViT): visual.cls_token → class_embedding,
+        visual.pos_embed → positional_embedding, visual.patch_embed.proj →
+        conv1 (WITH bias), visual.blocks.N → resblocks, visual.norm →
+        ln_post, image_projection → proj.  No ln_pre (slip_vit kind skips
+        it); exact-GELU activation handled by the tower.
+      text (SLIP reuses CLIP's text transformer verbatim): same keys as
+        from_openai_state_dict.
+
+    SSL-head tensors (image_mlp/text_mlp/predictor, SimCLR/BYOL machinery)
+    are ignored — they don't participate in zero-shot inference.
+
+    Reference stub being replaced: debias_clip/model/model.py:115-118 raises
+    NotImplementedError for the SLIP family.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    sd = strip_prefix(dict(sd))
+
+    n_vis = _count_layers(sd, r"visual\.blocks\.(\d+)\.norm1\.weight")
+    visual = {
+        "conv1": _timm_patch_embed(sd, "visual.patch_embed.proj"),
+        "class_embedding": _np(sd["visual.cls_token"]).reshape(-1),
+        "positional_embedding": _np(sd["visual.pos_embed"])[0],
+        "resblocks": _timm_blocks(sd, "visual.blocks", n_vis),
+        "ln_post": {"scale": _np(sd["visual.norm.weight"]),
+                    "bias": _np(sd["visual.norm.bias"])},
+        "proj": _np(sd["image_projection"]),
+    }
+    n_text = _count_layers(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
+    text = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "resblocks": _stack_layers(sd, "transformer.resblocks", n_text),
+        "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                     "bias": _np(sd["ln_final.bias"])},
+        "text_projection": _np(sd["text_projection"]),
+    }
+    params = {
+        "visual": visual,
+        "text": text,
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# m-bain/frozen-in-time checkpoint naming → ours
+# ---------------------------------------------------------------------------
+
+
+def from_fit_state_dict(sd, text_params=None) -> Dict:
+    """m-bain/frozen-in-time checkpoint → param pytree (video tower).
+
+    Accepts the published checkpoint dict (``{"state_dict": ...}`` with
+    ``module.`` prefixes) or a raw state_dict.  Mapping (SpaceTimeTransformer,
+    upstream video_transformer.py):
+
+      video_model.cls_token/pos_embed → class_embedding/positional_embedding
+      video_model.temporal_embed [1,T,D] → temporal_embedding [T,D]
+      video_model.patch_embed.proj → conv1 (with bias)
+      video_model.blocks.N.{norm1,attn}        → spatial resblocks
+      video_model.blocks.N.{norm3,timeattn}    → temporal_attn (ln_t/attn);
+        upstream zero-inits timeattn.proj so the temporal path starts as
+        identity — preserved verbatim by the copy
+      video_model.norm → ln_post
+      vid_proj.0 (Linear WITH bias) → proj {"kernel","bias"}
+
+    DOCUMENTED DIVERGENCE: the upstream text tower is DistilBERT
+    (text_model.* / txt_proj.*) and is NOT converted — this framework keeps
+    the CLIP text transformer for tokenizer + prompt-injection compatibility
+    (see models/frozen_in_time.py module docstring).  Pass ``text_params``
+    (a CLIP text pytree) or the caller falls back to random init.
+
+    No ln_pre in the upstream tower: a zero LayerNorm-free passthrough is
+    emitted (scale=1, bias=0) because our joint-attention path applies
+    ln_pre.  Divided-attention mode consumes temporal_attn directly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    sd = strip_prefix(dict(sd))
+
+    n_layers = _count_layers(sd, r"video_model\.blocks\.(\d+)\.norm1\.weight")
+    width = _np(sd["video_model.cls_token"]).reshape(-1).shape[0]
+
+    def stk(name):
+        return np.stack([_np(sd[f"video_model.blocks.{i}.{name}"])
+                         for i in range(n_layers)])
+
+    visual = {
+        "conv1": _timm_patch_embed(sd, "video_model.patch_embed.proj"),
+        "class_embedding": _np(sd["video_model.cls_token"]).reshape(-1),
+        "positional_embedding": _np(sd["video_model.pos_embed"])[0],
+        "temporal_embedding": _np(sd["video_model.temporal_embed"])[0],
+        "ln_pre": {"scale": np.ones(width, np.float32),
+                   "bias": np.zeros(width, np.float32)},
+        "resblocks": _timm_blocks(sd, "video_model.blocks", n_layers),
+        "temporal_attn": {
+            "ln_t": {"scale": stk("norm3.weight"), "bias": stk("norm3.bias")},
+            "attn": {
+                "wqkv": np.stack([_np(sd[f"video_model.blocks.{i}.timeattn.qkv.weight"]).T
+                                  for i in range(n_layers)]),
+                "bqkv": stk("timeattn.qkv.bias"),
+                "wo": np.stack([_np(sd[f"video_model.blocks.{i}.timeattn.proj.weight"]).T
+                                for i in range(n_layers)]),
+                "bo": stk("timeattn.proj.bias"),
+            },
+        },
+        "ln_post": {"scale": _np(sd["video_model.norm.weight"]),
+                    "bias": _np(sd["video_model.norm.bias"])},
+        "proj": {"kernel": _np(sd["vid_proj.0.weight"]).T,
+                 "bias": _np(sd["vid_proj.0.bias"])},
+    }
+    params = {"visual": visual,
+              "logit_scale": np.asarray(np.log(1.0 / 0.07), np.float32)}
+    if text_params is not None:
+        params["text"] = text_params
+    return jax.tree.map(jnp.asarray, params)

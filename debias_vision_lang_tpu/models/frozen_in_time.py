@@ -34,6 +34,21 @@ from .layers import Params, layer_norm, transformer
 DEFAULT_NUM_FRAMES = 4
 
 
+def _fit_act(cfg: VisionConfig):
+    """Upstream FiT's video tower is a timm ViT → EXACT (erf) GELU."""
+    import functools
+
+    return functools.partial(jax.nn.gelu, approximate=False)
+
+
+def _project(x: jax.Array, proj, dtype) -> jax.Array:
+    """Final projection: bare matrix (CLIP style) or {'kernel','bias'} dict
+    (upstream FiT's ``vid_proj`` Linear carries a bias)."""
+    if isinstance(proj, dict):
+        return jnp.dot(x, proj["kernel"].astype(dtype)) + proj["bias"].astype(dtype)
+    return jnp.dot(x, proj.astype(dtype))
+
+
 def init_video_vit_params(rng, cfg: VisionConfig,
                           num_frames: int = DEFAULT_NUM_FRAMES,
                           divided: bool = False) -> Params:
@@ -104,9 +119,9 @@ def encode_video(
     x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.width)), x], axis=1)
     x = layer_norm(p["ln_pre"], x)
     x = transformer(p["resblocks"], x, cfg.heads, mask=None,
-                    use_pallas=use_pallas, remat=remat)
+                    use_pallas=use_pallas, remat=remat, act=_fit_act(cfg))
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
-    return jnp.dot(x, p["proj"].astype(dtype))
+    return _project(x, p["proj"], dtype)
 
 
 def encode_video_divided(
@@ -127,7 +142,7 @@ def encode_video_divided(
     ``init_video_vit_params(..., divided=True)``.
     """
     from .layers import layer_norm as ln
-    from .layers import multi_head_attention, quick_gelu, linear
+    from .layers import linear, multi_head_attention
 
     p = params
     if "temporal_attn" not in p:
@@ -163,15 +178,15 @@ def encode_video_divided(
         asp = multi_head_attention(sp["attn"], ln(sp["ln_1"], xs), cfg.heads,
                                    use_pallas=use_pallas)
         x = x + asp.reshape(b, t, n, cfg.width)
-        # MLP
+        # MLP (timm tower → exact GELU)
         hdn = linear({"kernel": sp["mlp"]["w1"], "bias": sp["mlp"]["b1"]},
                      ln(sp["ln_2"], x))
         x = x + linear({"kernel": sp["mlp"]["w2"], "bias": sp["mlp"]["b2"]},
-                       quick_gelu(hdn))
+                       jax.nn.gelu(hdn, approximate=False))
 
     pooled = jnp.mean(x.reshape(b, t * n, cfg.width), axis=1)
     pooled = ln(p["ln_post"], pooled[:, None, :])[:, 0, :]
-    return jnp.dot(pooled, p["proj"].astype(dtype))
+    return _project(pooled, p["proj"], dtype)
 
 
 def init_fit_params(rng, cfg: CLIPConfig,

@@ -80,21 +80,32 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
+def _dispatch_state_dict(obj, cfg: CLIPConfig) -> Params:
+    """Route a flat state_dict to the right converter by key naming:
+    HF CLIPModel (text_model.*), facebookresearch/SLIP (visual.blocks.* +
+    image_projection), m-bain/frozen-in-time (video_model.*), else OpenAI
+    CLIP naming."""
     from . import convert
 
+    if "state_dict" in obj and not hasattr(obj["state_dict"], "shape"):
+        obj = obj["state_dict"]
+    keys = [k[7:] if k.startswith("module.") else k for k in obj]
+    if any(k.startswith("video_model.") for k in keys):
+        return convert.from_fit_state_dict(obj)
+    if any(k.startswith("visual.blocks.") for k in keys):
+        return convert.from_slip_state_dict(obj)
+    if any(k.startswith("text_model.") for k in keys):
+        return convert.from_hf_state_dict(obj, cfg)
+    return convert.from_openai_state_dict(obj, cfg)
+
+
+def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
     if path.endswith(".npz"):
-        flat = dict(np.load(path))
-        if any(k.startswith("text_model.") for k in flat):
-            return convert.from_hf_state_dict(flat, cfg)
-        return convert.from_openai_state_dict(flat, cfg)
+        return _dispatch_state_dict(dict(np.load(path)), cfg)
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file  # optional dep, gated
 
-        flat = load_file(path)
-        if any(k.startswith("text_model.") for k in flat):
-            return convert.from_hf_state_dict(flat, cfg)
-        return convert.from_openai_state_dict(flat, cfg)
+        return _dispatch_state_dict(load_file(path), cfg)
     # torch formats (.pt/.bin): state_dict or jit archive
     import torch
 
@@ -104,10 +115,7 @@ def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
         obj = torch.jit.load(path, map_location="cpu").state_dict()
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
-    keys = list(obj)
-    if any(k.startswith("text_model.") for k in keys):
-        return convert.from_hf_state_dict(obj, cfg)
-    return convert.from_openai_state_dict(obj, cfg)
+    return _dispatch_state_dict(obj, cfg)
 
 
 def _resolve_pretrained(arch: str, cfg: CLIPConfig, weights: Optional[str]) -> Optional[Params]:
@@ -184,6 +192,20 @@ def model_loader(
             )
     if params is None:
         params = clip_model.init_clip_params(jax.random.key(seed), cfg)
+    elif "text" not in params:
+        # FiT checkpoints carry only the video tower (upstream text side is
+        # DistilBERT — documented divergence, models/frozen_in_time.py);
+        # the CLIP text tower falls back to random init unless separately
+        # loaded.
+        import warnings
+
+        warnings.warn(
+            f"{model_name}: checkpoint provided no text tower (upstream "
+            "Frozen-in-Time uses DistilBERT; this framework keeps the CLIP "
+            "text transformer) — text weights are RANDOM-initialized.",
+            stacklevel=2)
+        params["text"] = clip_model.init_clip_params(
+            jax.random.key(seed), cfg)["text"]
 
     if cfg.vision.kind == "video_vit":
         from .frozen_in_time import FrozenInTime
