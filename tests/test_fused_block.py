@@ -1,0 +1,97 @@
+"""Fused transformer-block Pallas kernels (ops/fused_block.py): interpret-mode
+equivalence vs the XLA resblock path, gradients, and the auto policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.models.layers import (
+    init_resblocks, quick_gelu, resblock, transformer)
+from debias_vision_lang_tpu.ops.fused_block import (
+    fused_blocks_fit_vmem, fused_resblock, fused_transformer,
+    fused_transformer_diff)
+
+B, S, D, H, L = 4, 13, 32, 2, 3
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    return init_resblocks(jax.random.key(0), L, D)
+
+
+@pytest.fixture(scope="module")
+def x(stacked):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+
+
+class TestForwardEquivalence:
+    def test_single_block_matches_xla(self, stacked, x):
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        ref = resblock(layer0, x, H, use_pallas=False)
+        got = fused_resblock(layer0, x, H, bb_attn=2, bb_mlp=2,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_tower_matches_xla(self, stacked, x):
+        ref = transformer(stacked, x, H, use_pallas=False)
+        got = fused_transformer(stacked, x, H, bb_attn=1, bb_mlp=1,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5)
+
+    def test_gelu_variant(self, stacked, x):
+        import functools
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        ref = resblock(layer0, x, H, use_pallas=False,
+                       act=functools.partial(jax.nn.gelu, approximate=False))
+        got = fused_resblock(layer0, x, H, act_kind="gelu", bb_attn=2,
+                             bb_mlp=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_bf16_close_to_xla_bf16(self, stacked, x):
+        xb = x.astype(jnp.bfloat16)
+        ref = np.asarray(transformer(stacked, xb, H, use_pallas=False),
+                         np.float32)
+        got = np.asarray(fused_transformer(stacked, xb, H, bb_attn=1,
+                                           bb_mlp=1, interpret=True),
+                         np.float32)
+        cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+        assert cos > 0.9999
+
+
+class TestGradients:
+    def test_vjp_matches_xla(self, stacked, x):
+        """The custom backward is an XLA recompute — gradients must equal the
+        plain path exactly (same math, same dtype)."""
+        def loss_fused(p, y):
+            return jnp.sum(fused_transformer_diff(p, y, H, interpret=True) ** 2)
+
+        def loss_xla(p, y):
+            return jnp.sum(transformer(p, y, H, use_pallas=False) ** 2)
+
+        gf = jax.grad(loss_fused)(stacked, x)
+        gx = jax.grad(loss_xla)(stacked, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3),
+            gf, gx)
+
+
+class TestPolicy:
+    def test_vmem_fit(self):
+        assert fused_blocks_fit_vmem(768, 3072)     # ViT-B
+        assert not fused_blocks_fit_vmem(1024, 4096)  # ViT-L MLP exceeds
+
+    def test_cpu_backend_never_fused(self):
+        from debias_vision_lang_tpu.core.config import VisionConfig
+        from debias_vision_lang_tpu.models.clip import _use_fused_blocks
+
+        cfg = VisionConfig(kind="vit", image_size=32, patch_size=8, width=64,
+                           layers=2, heads=2, embed_dim=32)
+        assert not _use_fused_blocks(cfg, jnp.bfloat16, None, None)  # cpu backend
+        assert _use_fused_blocks(cfg, jnp.bfloat16, None, True)      # forced
