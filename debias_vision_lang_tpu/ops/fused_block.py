@@ -80,7 +80,12 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 
 def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                      b2_ref, o_ref, *, act_kind: str):
+                      b2_ref, o_ref, acc_ref, *, act_kind: str,
+                      n_fblocks: int):
+    """MLP with the hidden dim F split over grid dim 1: each step computes a
+    gelu(xn @ W1[:, f]) @ W2[f, :] partial and accumulates in f32 scratch —
+    lets arbitrarily wide MLPs (ViT-L: F=4096) stay VMEM-resident."""
+    j = pl.program_id(1)
     x = x_ref[:]
     xn = _ln_f32(x, lns_ref[:][0], lnb_ref[:][0])
     h = jax.lax.dot_general(xn, w1_ref[:], (((2,), (0,)), ((), ())),
@@ -91,10 +96,21 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     else:  # exact erf gelu (timm towers)
         h = jax.nn.gelu(h, approximate=False)
     h = h.astype(x.dtype)
-    out = jax.lax.dot_general(h, w2_ref[:], (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out + b2_ref[:][0].astype(jnp.float32)
-    o_ref[:] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+    part = jax.lax.dot_general(h, w2_ref[:], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = (x.astype(jnp.float32)
+                      + b2_ref[:][0].astype(jnp.float32) + part)
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == n_fblocks - 1)
+    def _emit():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _row(v):
@@ -129,30 +145,54 @@ def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
       wo.astype(dt), _row(bo))
 
 
-@functools.partial(jax.jit, static_argnames=("act_kind", "bb", "interpret"))
+def _pick_fblock(d: int, f: int, itemsize: int = 2,
+                 budget: int = 10 * 1024 * 1024) -> int:
+    # budget tuned so ViT-B (W1+W2 = 9.4 MB) stays single-block — the
+    # accumulation path costs ~8% and is only worth it when weights
+    # genuinely exceed VMEM (ViT-L: 16.8 MB → fb=2048)
+    """Largest divisor of f whose W1+W2 blocks fit the weight budget."""
+    fb = f
+    while 2 * d * fb * itemsize > budget or f % fb != 0:
+        fb //= 2
+        if fb < 128:
+            return 128
+    return fb
+
+
+@functools.partial(jax.jit, static_argnames=("act_kind", "bb", "fb",
+                                             "interpret"))
 def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
-              act_kind: str = "quick_gelu", bb: int = 2,
+              act_kind: str = "quick_gelu", bb: int = 2, fb: int = None,
               interpret: bool = False):
-    """x: [B, S, D] → x + mlp(LN(x))."""
+    """x: [B, S, D] → x + mlp(LN(x)).
+
+    The hidden dim F is tiled over grid dim 1 with f32 scratch accumulation
+    (``fb`` = F-tile, auto-picked to fit VMEM) so ViT-L-sized MLPs run
+    fused too."""
     b, s, d = x.shape
     f = w1.shape[-1]
     dt = x.dtype
-    kern = functools.partial(_mlp_block_kernel, act_kind=act_kind)
+    if fb is None:
+        fb = _pick_fblock(d, f)
+    n_fb = f // fb
+    kern = functools.partial(_mlp_block_kernel, act_kind=act_kind,
+                             n_fblocks=n_fb)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
-        grid=(b // bb,),
+        grid=(b // bb, n_fb),
         in_specs=[
-            pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, fb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fb), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, s, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bb, s, d), jnp.float32)],
         interpret=interpret,
     )(x, _row(ln_scale), _row(ln_bias), w1.astype(dt), _row(b1),
       w2.astype(dt), _row(b2))
@@ -227,13 +267,13 @@ _fused_resblock_diff.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_blocks_fit_vmem(width: int, mlp_dim: int, dtype=jnp.bfloat16) -> bool:
-    """Conservative VMEM check: the MLP kernel must hold both weight
-    matrices resident (16 MB/core budget, ~12 MB usable after activations
-    and double buffering)."""
+    """Conservative VMEM check.  The MLP kernel F-splits itself, so only the
+    attention kernel's resident weights (Wqkv + Wo) gate the policy (16
+    MB/core budget, ~12 MB usable after activations and double buffering).
+    ViT-B (768) and ViT-L (1024) both pass."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
-    mlp_weights = 2 * width * mlp_dim * itemsize
     attn_weights = (3 * width + width) * width * itemsize
-    return max(mlp_weights, attn_weights) <= 12 * 1024 * 1024
+    return attn_weights <= 12 * 1024 * 1024
 
 
 def fused_transformer_diff(stacked: Params, x: jax.Array, heads: int, *,

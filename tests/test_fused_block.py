@@ -84,8 +84,25 @@ class TestGradients:
 
 class TestPolicy:
     def test_vmem_fit(self):
-        assert fused_blocks_fit_vmem(768, 3072)     # ViT-B
-        assert not fused_blocks_fit_vmem(1024, 4096)  # ViT-L MLP exceeds
+        assert fused_blocks_fit_vmem(768, 3072)    # ViT-B
+        assert fused_blocks_fit_vmem(1024, 4096)   # ViT-L (MLP F-splits)
+        assert not fused_blocks_fit_vmem(2048, 8192)  # attention weights too big
+
+    def test_fblock_split_equivalence(self, stacked, x):
+        """Forcing an F-split (fb < F) must not change the MLP result."""
+        from debias_vision_lang_tpu.ops.fused_block import mlp_block
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        full = mlp_block(x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+                         layer0["mlp"]["w1"], layer0["mlp"]["b1"],
+                         layer0["mlp"]["w2"], layer0["mlp"]["b2"],
+                         bb=2, fb=4 * D, interpret=True)
+        split = mlp_block(x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+                          layer0["mlp"]["w1"], layer0["mlp"]["b1"],
+                          layer0["mlp"]["w2"], layer0["mlp"]["b2"],
+                          bb=2, fb=D, interpret=True)  # 4 accumulation steps
+        np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                                   atol=2e-5)
 
     def test_cpu_backend_never_fused(self):
         from debias_vision_lang_tpu.core.config import VisionConfig
