@@ -129,6 +129,8 @@ def _add_zero_shot(sub):
                    help="directory layout: class-name subdirs of images")
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--imagenet-protocol", action="store_true",
+                   help="use the full 80-template OpenAI ImageNet protocol")
 
 
 def _cmd_zero_shot(args):
@@ -168,8 +170,13 @@ def _cmd_zero_shot(args):
 
     ds = FolderDataset(args.data_path)
     loader = HostLoader(ds, batch_size=args.batch_size)
+    kw = {}
+    if args.imagenet_protocol:
+        from .eval.zero_shot import imagenet_templates
+
+        kw["templates"] = imagenet_templates()
     acc = zero_shot_accuracy(model, tokenizer, loader, ds.class_names,
-                             progress=True)
+                             progress=True, **kw)
     print(json.dumps(acc, indent=2))
 
 

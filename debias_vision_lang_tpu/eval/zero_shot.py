@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The short standard template set; pass the full 80-template OpenAI list (or
-# any custom set) via `templates=` for exact paper-protocol replication.
+# The short standard template set; use `imagenet_templates()` (the full
+# 80-template OpenAI protocol list, shipped at
+# assets/zero_shot_templates_imagenet.txt) for exact paper-protocol
+# replication of the README's 68.1% table.
 DEFAULT_TEMPLATES = (
     "a photo of a {}.",
     "a bad photo of a {}.",
@@ -27,6 +29,24 @@ DEFAULT_TEMPLATES = (
     "itap of a {}.",
     "a {} in a video game.",
 )
+
+
+def imagenet_templates() -> tuple:
+    """The 80 OpenAI CLIP ImageNet prompt templates (public protocol data,
+    from CLIP's Prompt_Engineering notebook), shipped as a packaged asset.
+    Class names are dataset-derived (folder names) or caller-provided; the
+    canonical OpenAI-cleaned 1,000-name list is fetched alongside the other
+    network-gated assets."""
+    import os
+
+    from ..core.paths import PROMPT_DATA_PATH
+
+    path = os.path.join(os.path.dirname(str(PROMPT_DATA_PATH)),
+                        "zero_shot_templates_imagenet.txt")
+    with open(path) as f:
+        templates = tuple(line.strip() for line in f if line.strip())
+    assert len(templates) == 80, f"expected 80 templates, got {len(templates)}"
+    return templates
 
 
 def build_zero_shot_classifier(

@@ -345,3 +345,36 @@ class TestUnknownOptsRejected:
 
         with _pytest.raises(ValueError, match="topnn"):
             measure_bias(None, None, None, opts={"topnn": 5})
+
+
+class TestImagenetTemplates:
+    def test_eighty_unique_templates(self):
+        from debias_vision_lang_tpu.eval.zero_shot import imagenet_templates
+
+        t = imagenet_templates()
+        assert len(t) == 80 and len(set(t)) == 80
+        assert all("{}" in x and x.endswith(".") for x in t)
+
+    def test_zero_shot_with_protocol_templates(self, tiny_clip):
+        """Full-protocol classifier build runs end-to-end on a tiny model."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from debias_vision_lang_tpu.eval.zero_shot import (
+            build_zero_shot_classifier, imagenet_templates)
+        from debias_vision_lang_tpu.models.loader import CLIP
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+
+        def tok(prompts):
+            v = cfg.text.vocab_size
+            out = np.zeros((len(prompts), cfg.text.context_length), np.int32)
+            out[:, 0], out[:, 1], out[:, 2] = v - 2, 5, v - 1
+            return out
+
+        clf = build_zero_shot_classifier(model, tok, ["cat", "dog"],
+                                         templates=imagenet_templates()[:8])
+        assert clf.shape == (2, cfg.text.embed_dim)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(clf), axis=1),
+                                   1.0, atol=1e-5)
