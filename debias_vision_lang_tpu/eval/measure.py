@@ -92,6 +92,27 @@ def _embed_step_pre(model, images_f32, compute_dtype):
     return model.encode_image(images_f32, dtype=compute_dtype).astype(jnp.float32)
 
 
+@functools.cache
+def _embed_step_sharded(mesh, n_px: int, compute_dtype, pre: bool):
+    """DP embed step as an explicit shard_map over the data axis.
+
+    Plain jit-with-shardings would hand GSPMD a pallas custom call (the
+    fused-block kernels) that it cannot partition — it would all-gather the
+    batch onto every chip.  shard_map gives each device its local block, so
+    the fused path stays per-chip.  Model params are replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(model, images):
+        if pre:
+            return _embed_step_pre(model, images, compute_dtype)
+        return _embed_step(model, images, n_px, compute_dtype)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False))
+
+
 def get_labels_img_embeddings(
     loader: HostLoader,
     model,
@@ -118,15 +139,16 @@ def get_labels_img_embeddings(
 
         iterator = tqdm.tqdm(loader, desc="Embedding images")
     for batch in iterator:
-        if host_transform is not None:
-            imgs = np.stack([host_transform(im) for im in batch.images])
-            if mesh is not None:
-                imgs = shard_batch_arrays(mesh, imgs)
+        pre = host_transform is not None
+        imgs = (np.stack([host_transform(im) for im in batch.images])
+                if pre else batch.images)
+        if mesh is not None and imgs.shape[0] % mesh.shape["data"] == 0:
+            imgs = shard_batch_arrays(mesh, imgs)
+            emb = _embed_step_sharded(mesh, n_px, compute_dtype, pre)(
+                model, imgs)
+        elif pre:
             emb = _embed_step_pre(model, imgs, compute_dtype)
         else:
-            imgs = batch.images
-            if mesh is not None:
-                imgs = shard_batch_arrays(mesh, imgs)
             emb = _embed_step(model, imgs, n_px, compute_dtype)
         # embeddings STAY on device (async); no per-batch D2H sync — the
         # reference pays a D2H+H2D round-trip per batch (measuring_bias.py:95)

@@ -378,3 +378,36 @@ class TestImagenetTemplates:
         assert clf.shape == (2, cfg.text.embed_dim)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(clf), axis=1),
                                    1.0, atol=1e-5)
+
+
+class TestShardMapEmbed:
+    def test_mesh_embed_matches_single_device(self, tiny_clip):
+        """The DP embed step runs as shard_map (pallas-safe) and must equal
+        the single-device path."""
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.data.loader import HostLoader
+        from debias_vision_lang_tpu.eval.measure import get_labels_img_embeddings
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+
+        class DS:
+            def __init__(self):
+                self.iat_labels = np.arange(24) % 2
+
+            def __len__(self):
+                return 24
+
+            def load_image(self, i):
+                r = np.random.default_rng(i)
+                return r.integers(0, 256, (32, 32, 3), np.uint8)
+
+        _, e1 = get_labels_img_embeddings(
+            HostLoader(DS(), batch_size=8, num_workers=1), model, n_px=32)
+        _, e2 = get_labels_img_embeddings(
+            HostLoader(DS(), batch_size=8, num_workers=1), model, n_px=32,
+            mesh=create_mesh())
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
