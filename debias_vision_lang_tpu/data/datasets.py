@@ -31,6 +31,28 @@ from ..core.config import Dotdict
 from ..core.paths import FAIRFACE_DATA_PATH, UTKFACE_DATA_PATH
 
 
+def _load_rgb(path: str) -> np.ndarray:
+    """Decode an image file to uint8 [H, W, 3] RGB.
+
+    Routes through the native C++ decoder (libjpeg/libpng, PIL-bit-exact —
+    tests/test_native_ingest.py) when available, PIL otherwise; exotic
+    formats the native decoder rejects fall back to PIL too."""
+    from .. import native
+
+    if native.available():
+        try:
+            with open(path, "rb") as f:
+                return native.decode_jpeg(f.read())
+        except ValueError:
+            pass  # not JPEG/PNG — let PIL sort it out
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im)
+
+
 class IATDataset:
     """Base: integer label generation for a protected attribute.
 
@@ -142,12 +164,7 @@ class FairFace(IATDataset):
             self.images_list = [self[i] for i in range(len(self))]
 
     def load_image(self, index: int):
-        from PIL import Image
-
-        with Image.open(self._img_fnames[index]) as im:
-            if im.mode != "RGB":
-                im = im.convert("RGB")
-            return np.asarray(im)
+        return _load_rgb(self._img_fnames[index])
 
     def __getitem__(self, index: int) -> Dotdict:
         if self.images_list is not None:
@@ -230,12 +247,7 @@ class UTKFace(IATDataset):
         self.images_list = None
 
     def load_image(self, index: int):
-        from PIL import Image
-
-        with Image.open(self._img_fnames[index]) as im:
-            if im.mode != "RGB":
-                im = im.convert("RGB")
-            return np.asarray(im)
+        return _load_rgb(self._img_fnames[index])
 
     def __getitem__(self, index: int) -> Dotdict:
         sample = Dotdict(dict(self.labels.iloc[index]))

@@ -40,9 +40,17 @@ class HostLoader:
         drop_remainder: bool = False,
         shuffle: bool = False,
         seed: int = 0,
+        native_n_px: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        # native_n_px: when set and the native ingest runtime is available,
+        # whole batches are decoded + PIL-exact-resized + center-cropped to
+        # [B, n_px, n_px, 3] uint8 by the C++ thread pool (native/ingest.cc)
+        # — no Python in the per-image loop, and H2D ships n_px² uint8
+        # instead of raw-size images.  The device preprocess then only
+        # normalizes (resize of an already-n_px image is the identity).
+        self.native_n_px = native_n_px
         # Cap decode threads at 2× the core count: oversubscribed decode
         # threads starve the device-runtime client threads (measured 40×
         # slowdown at 12 workers on a 1-core host — PERF.md).  The reference's
@@ -61,6 +69,15 @@ class HostLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _native_active(self) -> bool:
+        if self.native_n_px is None:
+            return False
+        if not getattr(self.dataset, "_img_fnames", None):
+            return False
+        from .. import native
+
+        return native.available()
+
     def __iter__(self) -> Iterator[Batch]:
         n = len(self.dataset)
         # fresh permutation each epoch when shuffling (training mode)
@@ -72,6 +89,9 @@ class HostLoader:
         if self.drop_remainder:
             bounds = [(s, e) for s, e in bounds if e - s == self.batch_size]
         if not bounds:
+            return
+        if self._native_active():
+            yield from self._iter_native(order, bounds)
             return
 
         last = bounds[-1][1]
@@ -105,6 +125,51 @@ class HostLoader:
                     images = images + [np.zeros_like(images[0])] * pad
                     labels = np.concatenate([labels, np.zeros(pad, np.int32)])
                 yield Batch(np.stack(images), labels, num_valid)
+
+    def _iter_native(self, order: np.ndarray, bounds) -> Iterator[Batch]:
+        """Batch-at-a-time ingest through the C++ runtime: one call decodes,
+        resizes (PIL bit-exact fixed point) and crops a whole batch on the
+        native thread pool; a single-slot executor keeps the next batch in
+        flight while the device consumes the current one (the native call
+        releases the GIL)."""
+        import concurrent.futures
+
+        from .. import native
+
+        n_px = self.native_n_px
+
+        def make(s: int, e: int) -> Batch:
+            idx = [int(order[i]) for i in range(s, e)]
+            paths = [self.dataset._img_fnames[i] for i in idx]
+            imgs, ok = native.ingest_batch_files_u8(
+                paths, n_px, nthreads=self.num_workers)
+            if not ok.all():
+                # unsupported format / corrupt file: per-image PIL fallback
+                from ..vision.preprocess import resize_crop_u8, to_rgb_array
+
+                for j in np.nonzero(~ok)[0]:
+                    arr = to_rgb_array(self.dataset.load_image(idx[j]))
+                    imgs[j] = resize_crop_u8(arr, n_px)
+            labels = np.asarray([self.dataset.iat_labels[i] for i in idx],
+                                np.int32)
+            num_valid = e - s
+            if num_valid < self.batch_size:
+                pad = self.batch_size - num_valid
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], np.uint8)])
+                labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+            return Batch(imgs, labels, num_valid)
+
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            pending = [pool.submit(make, s, e)
+                       for s, e in bounds[: self.prefetch]]
+            nxt = self.prefetch
+            for _ in range(len(bounds)):
+                batch = pending.pop(0).result()
+                if nxt < len(bounds):
+                    pending.append(pool.submit(make, *bounds[nxt]))
+                    nxt += 1
+                yield batch
 
 
 def shard_batch(batch: Batch, mesh=None, data_axis: str = "data"):

@@ -231,8 +231,6 @@ def measure_bias(
     else:
         raise NotImplementedError(f"dataset={dataset_name!r}")
 
-    loader = HostLoader(ds, batch_size=cfg.batch_size, num_workers=cfg.num_workers)
-
     # our Preprocess object → fused device path; any other callable → host path
     if isinstance(img_preproc, Preprocess):
         n_px, host_transform = img_preproc.n_px, None
@@ -240,6 +238,13 @@ def measure_bias(
         n_px, host_transform = 224, None
     else:
         n_px, host_transform = 224, img_preproc
+
+    # native C++ batch ingest (decode + PIL-bit-exact resize + crop on the
+    # host thread pool) when the standard device path is in play — makes the
+    # eval preprocess bit-exact vs the reference AND cheaper on H2D
+    loader = HostLoader(ds, batch_size=cfg.batch_size,
+                        num_workers=cfg.num_workers,
+                        native_n_px=n_px if host_transform is None else None)
 
     mesh = extra.get("mesh")
     if mesh == "auto":

@@ -1,0 +1,188 @@
+"""Native host-ingest runtime (C++ / libjpeg) with ctypes bindings.
+
+The reference's host pipeline is native code it inherits from dependencies
+(PIL's C JPEG decoder + torchvision transforms inside DataLoader worker
+processes — reference: debias_clip/measuring_bias.py:142,
+debias_clip/datasets.py:122).  This package is the framework's own native
+equivalent: ``ingest.cc`` implements decode → bit-exact PIL fixed-point
+bicubic resize → center-crop → normalize with an internal thread pool; this
+module builds it on demand (one g++ invocation, cached next to the source)
+and exposes numpy-facing wrappers.
+
+Everything degrades gracefully: if g++ or libjpeg is unavailable,
+``available()`` returns False and callers fall back to the pure-Python host
+path (vision/preprocess.py), which is the bit-exactness oracle the C++ is
+tested against.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "ingest.cc")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_BUILD_ERR: Optional[str] = None
+
+
+def _lib_path() -> str:
+    cache = os.environ.get("DVL_NATIVE_CACHE",
+                           os.path.dirname(os.path.abspath(_SRC)))
+    return os.path.join(cache, "libdvl_ingest.so")
+
+
+def ensure_built(force: bool = False) -> str:
+    """Compile ingest.cc if the shared object is missing or stale.
+
+    Returns the .so path; raises RuntimeError on compile failure."""
+    so = _lib_path()
+    if (not force and os.path.exists(so)
+            and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
+        return so
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+           "-ljpeg", "-lpng", "-lpthread", "-o", so + ".tmp"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(f"native ingest build failed:\n{proc.stderr[-2000:]}")
+    os.replace(so + ".tmp", so)
+    return so
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_ERR
+    with _LOCK:
+        if _LIB is not None or _BUILD_ERR is not None:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(ensure_built())
+        except (OSError, RuntimeError, subprocess.SubprocessError) as e:
+            _BUILD_ERR = str(e)
+            return None
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_ip = ctypes.POINTER(ctypes.c_int)
+        c_fp = ctypes.POINTER(ctypes.c_float)
+        lib.dvl_decode_jpeg.argtypes = [c_u8p, ctypes.c_size_t, c_u8p,
+                                        ctypes.c_size_t, c_ip, c_ip]
+        lib.dvl_jpeg_dims.argtypes = [c_u8p, ctypes.c_size_t, c_ip, c_ip]
+        lib.dvl_resize_bicubic_u8.argtypes = [
+            c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_u8p, ctypes.c_int, ctypes.c_int]
+        lib.dvl_preprocess_u8.argtypes = [c_u8p, ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_int, c_fp]
+        lib.dvl_preprocess_batch_u8.argtypes = [
+            ctypes.POINTER(c_u8p), c_ip, c_ip, ctypes.c_int, ctypes.c_int,
+            c_fp, ctypes.c_int]
+        lib.dvl_preprocess_batch_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            c_fp, c_ip, ctypes.c_int]
+        lib.dvl_ingest_batch_files_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            c_u8p, c_ip, ctypes.c_int]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    """True when the native library is built (or buildable) and loadable."""
+    return _load() is not None
+
+
+def build_error() -> Optional[str]:
+    _load()
+    return _BUILD_ERR
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes → uint8 [H, W, 3] RGB (libjpeg, PIL-equivalent defaults)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.dvl_jpeg_dims(_u8p(buf), buf.size, ctypes.byref(h),
+                           ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"not a decodable JPEG (rc={rc})")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.dvl_decode_jpeg(_u8p(buf), buf.size, _u8p(out), out.size,
+                             ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def resize_bicubic_u8(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bit-exact PIL fixed-point bicubic resize (uint8 [H, W, C])."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((out_h, out_w, c), np.uint8)
+    rc = lib.dvl_resize_bicubic_u8(_u8p(img), h, w, c, _u8p(out), out_h, out_w)
+    if rc != 0:
+        raise ValueError(f"resize failed (rc={rc})")
+    return out
+
+
+def preprocess_u8(img: np.ndarray, n_px: int = 224) -> np.ndarray:
+    """Full reference chain on one decoded image → float32 [n_px, n_px, 3]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, _ = img.shape
+    out = np.empty((n_px, n_px, 3), np.float32)
+    rc = lib.dvl_preprocess_u8(_u8p(img), h, w, n_px,
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"preprocess failed (rc={rc})")
+    return out
+
+
+def preprocess_batch_files(paths: Sequence[str], n_px: int = 224,
+                           nthreads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Read+decode+preprocess JPEG files → (float32 [N, n_px, n_px, 3],
+    bool ok[N]).  Failed entries are zero-filled with ok=False."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    n = len(paths)
+    if nthreads <= 0:
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    out = np.zeros((n, n_px, n_px, 3), np.float32)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dvl_preprocess_batch_files(
+        arr, n, n_px, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, ok.astype(bool)
+
+
+def ingest_batch_files_u8(paths: Sequence[str], n_px: int = 224,
+                          nthreads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Read+decode+resize+crop JPEG files to uint8 [N, n_px, n_px, 3] —
+    the staging variant for on-device normalize (4× less H2D than f32)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    n = len(paths)
+    if nthreads <= 0:
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    out = np.zeros((n, n_px, n_px, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dvl_ingest_batch_files_u8(
+        arr, n, n_px, _u8p(out),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, ok.astype(bool)

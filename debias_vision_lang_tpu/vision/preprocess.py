@@ -230,23 +230,34 @@ class Preprocess:
     examples (reference: debias_clip/datasets.py:58,122).
     """
 
-    def __init__(self, n_px: int = 224, emulate_uint8_rounding: bool = True):
+    def __init__(self, n_px: int = 224, emulate_uint8_rounding: bool = True,
+                 use_native: bool = True):
         self.n_px = n_px
         self.emulate_uint8_rounding = emulate_uint8_rounding
+        self.use_native = use_native
 
     def __call__(self, img) -> np.ndarray:
         arr = to_rgb_array(img)
         if not self.emulate_uint8_rounding:
             return np.asarray(
                 preprocess_batch(jnp.asarray(arr[None]), self.n_px, False)[0])
+        if self.use_native:
+            # C++ replica of the same arithmetic (bit-equal, ~50× faster on
+            # a 1-core host — tests/test_native_ingest.py); fall back to the
+            # numpy oracle when the toolchain is unavailable
+            from .. import native
+
+            if native.available():
+                return native.preprocess_u8(arr, self.n_px)
         return preprocess_host_exact(arr, self.n_px)
 
 
-def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
-    """Bit-exact host replica of the reference transform chain:
-    Resize(n_px, BICUBIC) → CenterCrop(n_px) → ToTensor → Normalize.
-
-    uint8 [H, W, 3] → float32 [n_px, n_px, 3] (HWC)."""
+def resize_crop_u8(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
+    """The uint8 half of the reference chain — Resize(n_px, BICUBIC) →
+    CenterCrop(n_px) — bit-exact vs PIL/torchvision.  uint8 [H, W, 3] →
+    uint8 [n_px, n_px, 3].  The remaining normalize is dtype-exact wherever
+    it runs (same float32 ops on the same uint8 values), so this staging
+    keeps host→device traffic at uint8 width without breaking parity."""
     h, w, _ = arr_u8.shape
     rh, rw = resize_output_size(h, w, n_px)
     x = resize_bicubic_pil_exact(arr_u8, rh, rw)
@@ -255,7 +266,15 @@ def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
         x = np.pad(x, ((ph // 2, (ph + 1) // 2), (pw // 2, (pw + 1) // 2),
                        (0, 0)))
         rh, rw = x.shape[0], x.shape[1]
-    x = x[center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
+    return x[center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
+
+
+def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
+    """Bit-exact host replica of the reference transform chain:
+    Resize(n_px, BICUBIC) → CenterCrop(n_px) → ToTensor → Normalize.
+
+    uint8 [H, W, 3] → float32 [n_px, n_px, 3] (HWC)."""
+    x = resize_crop_u8(arr_u8, n_px)
     # torchvision op order in float32: ToTensor divides by 255, Normalize
     # subtracts then divides.
     out = x.astype(np.float32) / np.float32(255.0)

@@ -1,0 +1,206 @@
+"""Native C++ host-ingest runtime: bit-exactness vs PIL and the Python
+oracle (vision/preprocess.py), batch APIs, loader integration.
+
+The C++ library (native/ingest.cc) replaces the reference's
+dependency-provided native host path (PIL decode + torchvision transforms
+in DataLoader workers — reference: debias_clip/measuring_bias.py:142).
+Every numeric claim here is BIT-exact, not approximate: the resize is the
+same Pillow fixed-point arithmetic, the decode the same libjpeg/libpng.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"native ingest unavailable: {native.build_error()}")
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(7)
+    paths, arrays = [], []
+    for i, (h, w) in enumerate([(224, 224), (317, 211), (96, 300), (448, 448)]):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = str(d / f"img_{i}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+        # ground truth = what PIL decodes back (JPEG is lossy)
+        with Image.open(p) as im:
+            arrays.append(np.asarray(im.convert("RGB")))
+    return paths, arrays
+
+
+def test_decode_jpeg_matches_pil(jpeg_dir):
+    paths, arrays = jpeg_dir
+    for p, ref in zip(paths, arrays):
+        with open(p, "rb") as f:
+            out = native.decode_jpeg(f.read())
+        np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("mode", ["RGB", "L", "P", "RGBA"])
+def test_decode_png_modes_match_pil(mode, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (41, 57, 4), dtype=np.uint8)
+    im = Image.fromarray(arr, "RGBA").convert(mode)
+    p = str(tmp_path / f"img_{mode}.png")
+    im.save(p)
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    with open(p, "rb") as f:
+        out = native.decode_jpeg(f.read())  # magic-byte sniffed
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_decode_reference_figures_bit_exact():
+    """The reference's own golden-test images (PNG bytes under .jpg names —
+    the decoder must sniff, like PIL does)."""
+    from PIL import Image
+
+    figs = "/root/reference/figures"
+    if not os.path.isdir(figs):
+        pytest.skip("reference figures not present")
+    for name in ("woman.jpg", "man.jpg"):
+        p = os.path.join(figs, name)
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        with open(p, "rb") as f:
+            out = native.decode_jpeg(f.read())
+        np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape,out_hw", [
+    ((317, 211), (224, 336)),
+    ((64, 480), (224, 1680)),
+    ((224, 224), (128, 128)),
+    ((50, 50), (224, 224)),     # upscale
+    ((224, 224), (224, 224)),   # identity
+])
+def test_resize_bit_exact_vs_python_oracle(shape, out_hw, rng):
+    from debias_vision_lang_tpu.vision.preprocess import resize_bicubic_pil_exact
+
+    arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+    oh, ow = out_hw
+    np.testing.assert_array_equal(
+        native.resize_bicubic_u8(arr, oh, ow),
+        resize_bicubic_pil_exact(arr, oh, ow))
+
+
+def test_resize_bit_exact_vs_pil(rng):
+    from PIL import Image
+
+    arr = rng.integers(0, 256, (317, 211, 3), dtype=np.uint8)
+    ref = np.asarray(Image.fromarray(arr).resize((336, 224), Image.BICUBIC))
+    np.testing.assert_array_equal(native.resize_bicubic_u8(arr, 224, 336), ref)
+
+
+@pytest.mark.parametrize("shape", [(317, 211), (448, 448), (224, 224),
+                                   (100, 400)])
+def test_preprocess_bit_exact_vs_host_oracle(shape, rng):
+    from debias_vision_lang_tpu.vision.preprocess import preprocess_host_exact
+
+    arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+    np.testing.assert_array_equal(native.preprocess_u8(arr, 224),
+                                  preprocess_host_exact(arr, 224))
+
+
+def test_preprocess_class_routes_native(rng):
+    """Preprocess(use_native=True) must equal the pure-Python oracle path."""
+    from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+    arr = rng.integers(0, 256, (317, 211, 3), dtype=np.uint8)
+    a = Preprocess(use_native=True)(arr)
+    b = Preprocess(use_native=False)(arr)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_files_matches_single(jpeg_dir):
+    from debias_vision_lang_tpu.vision.preprocess import preprocess_host_exact
+
+    paths, arrays = jpeg_dir
+    outs, ok = native.preprocess_batch_files(paths, 224, nthreads=2)
+    assert ok.all()
+    for out, ref_arr in zip(outs, arrays):
+        np.testing.assert_array_equal(out, preprocess_host_exact(ref_arr, 224))
+
+
+def test_batch_files_failure_flags(jpeg_dir, tmp_path):
+    paths, _ = jpeg_dir
+    bogus = str(tmp_path / "missing.jpg")
+    garbled = str(tmp_path / "garbled.jpg")
+    with open(garbled, "wb") as f:
+        f.write(b"not an image at all")
+    outs, ok = native.preprocess_batch_files([paths[0], bogus, garbled], 224)
+    assert ok.tolist() == [True, False, False]
+    assert np.all(outs[1] == 0) and np.all(outs[2] == 0)
+
+
+def test_ingest_u8_staging_matches_resize_crop(jpeg_dir):
+    from debias_vision_lang_tpu.vision.preprocess import resize_crop_u8
+
+    paths, arrays = jpeg_dir
+    outs, ok = native.ingest_batch_files_u8(paths, 224, nthreads=2)
+    assert ok.all()
+    for out, ref_arr in zip(outs, arrays):
+        np.testing.assert_array_equal(out, resize_crop_u8(ref_arr, 224))
+
+
+def test_threaded_equals_sequential(jpeg_dir):
+    paths, _ = jpeg_dir
+    a, _ = native.preprocess_batch_files(paths * 4, 224, nthreads=1)
+    b, _ = native.preprocess_batch_files(paths * 4, 224, nthreads=4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hostloader_native_path_equivalence(jpeg_dir):
+    """HostLoader(native_n_px=224) must produce batches equal to the plain
+    path followed by host resize_crop, with identical labels/padding."""
+    from debias_vision_lang_tpu.data.loader import HostLoader
+    from debias_vision_lang_tpu.vision.preprocess import resize_crop_u8
+
+    paths, arrays = jpeg_dir
+
+    class DS:
+        _img_fnames = paths * 3  # 12 images → one ragged batch at bs=8
+        iat_labels = np.arange(12) % 2
+
+        def __len__(self):
+            return 12
+
+        def load_image(self, i):
+            from PIL import Image
+
+            with Image.open(self._img_fnames[i]) as im:
+                return np.asarray(im.convert("RGB"))
+
+    ds = DS()
+    native_batches = list(HostLoader(ds, batch_size=8, num_workers=2,
+                                     native_n_px=224))
+    assert [b.num_valid for b in native_batches] == [8, 4]
+    for b in native_batches:
+        assert b.images.shape == (8, 224, 224, 3)
+        assert b.images.dtype == np.uint8
+
+    # equivalent manual path
+    refs = [resize_crop_u8(ds.load_image(i), 224) for i in range(12)]
+    got = np.concatenate([b.images[: b.num_valid] for b in native_batches])
+    np.testing.assert_array_equal(got, np.stack(refs))
+    labels = np.concatenate([b.labels[: b.num_valid] for b in native_batches])
+    np.testing.assert_array_equal(labels, ds.iat_labels)
+
+
+def test_datasets_load_rgb_matches_pil(jpeg_dir):
+    from debias_vision_lang_tpu.data.datasets import _load_rgb
+
+    paths, arrays = jpeg_dir
+    for p, ref in zip(paths, arrays):
+        np.testing.assert_array_equal(_load_rgb(p), ref)
