@@ -191,6 +191,18 @@ def add_positional(params: Params, x: jax.Array) -> jax.Array:
     return x + params["positional_embedding"].astype(x.dtype)[: x.shape[1]]
 
 
+def _use_fused_text(cfg: TextConfig, dtype, use_pallas) -> bool:
+    """Fused-block gate for the text tower — same policy as the vision gate
+    (TPU + bf16 + VMEM fit), with the causal mask generated in-kernel."""
+    if use_pallas or dtype != jnp.bfloat16:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from ..ops.fused_block import fused_blocks_fit_vmem
+
+    return fused_blocks_fit_vmem(cfg.width, 4 * cfg.width, dtype)
+
+
 def run_text_transformer(
     params: Params,
     x: jax.Array,
@@ -200,9 +212,15 @@ def run_text_transformer(
     remat: bool = False,
 ) -> jax.Array:
     """Causal-masked transformer over embedded text, then final LayerNorm."""
-    mask = causal_mask(x.shape[1])
-    x = transformer(params["resblocks"], x, cfg.heads, mask=mask,
-                    use_pallas=use_pallas, remat=remat)
+    if _use_fused_text(cfg, x.dtype, use_pallas):
+        from ..ops.fused_block import fused_transformer_diff
+
+        x = fused_transformer_diff(params["resblocks"], x, cfg.heads,
+                                   causal=True)
+    else:
+        mask = causal_mask(x.shape[1])
+        x = transformer(params["resblocks"], x, cfg.heads, mask=mask,
+                        use_pallas=use_pallas, remat=remat)
     return layer_norm(params["ln_final"], x)
 
 

@@ -46,7 +46,8 @@ def _ln_f32(x, scale, bias, eps=1e-5):
 
 
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                       wo_ref, bo_ref, o_ref, *, heads: int, scale: float):
+                       wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
+                       causal: bool = False):
     x = x_ref[:]                       # [Bb, S, D] bf16
     bb, s, d = x.shape
     hd = d // heads
@@ -55,6 +56,13 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         xn, wqkv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:][0].astype(jnp.float32)).astype(x.dtype)
+
+    if causal:
+        # additive causal mask, computed in-kernel (iota is free; shipping a
+        # [S, S] operand would cost HBM traffic per grid step)
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
 
     outs = []
     for h in range(heads):
@@ -66,6 +74,8 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         sc = sc * scale
+        if causal:
+            sc = sc + neg
         m = jnp.max(sc, axis=-1, keepdims=True)
         e = jnp.exp(sc - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
@@ -117,14 +127,17 @@ def _row(v):
     return v.reshape(1, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "bb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "bb", "causal",
+                                             "interpret"))
 def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
-                    heads: int, bb: int = 4, interpret: bool = False):
-    """x: [B, S, D] → x + attn(LN(x)).  B must be divisible by bb."""
+                    heads: int, bb: int = 4, causal: bool = False,
+                    interpret: bool = False):
+    """x: [B, S, D] → x + attn(LN(x)).  B must be divisible by bb.
+    ``causal=True`` applies CLIP's text-tower causal mask in-kernel."""
     b, s, d = x.shape
     dt = x.dtype
     kern = functools.partial(_attn_block_kernel, heads=heads,
-                             scale=1.0 / (d // heads) ** 0.5)
+                             scale=1.0 / (d // heads) ** 0.5, causal=causal)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
@@ -200,14 +213,15 @@ def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
 
 def fused_resblock(layer_p: Params, x: jax.Array, heads: int, *,
                    act_kind: str = "quick_gelu", bb_attn: int = 4,
-                   bb_mlp: int = 2, interpret: bool = False) -> jax.Array:
+                   bb_mlp: int = 2, causal: bool = False,
+                   interpret: bool = False) -> jax.Array:
     """One pre-LN residual block via the two fused kernels (layer_p is an
     UNstacked slice of models.layers.init_resblocks params)."""
     x = attention_block(
         x, layer_p["ln_1"]["scale"], layer_p["ln_1"]["bias"],
         layer_p["attn"]["wqkv"], layer_p["attn"]["bqkv"],
         layer_p["attn"]["wo"], layer_p["attn"]["bo"],
-        heads=heads, bb=bb_attn, interpret=interpret)
+        heads=heads, bb=bb_attn, causal=causal, interpret=interpret)
     return mlp_block(
         x, layer_p["ln_2"]["scale"], layer_p["ln_2"]["bias"],
         layer_p["mlp"]["w1"], layer_p["mlp"]["b1"],
@@ -234,31 +248,35 @@ def fused_transformer(stacked: Params, x: jax.Array, heads: int, *,
 # ---------------------------------------------------------------------------
 
 
-def _xla_resblock(layer_p, x, heads, act_kind):
-    from ..models.layers import quick_gelu, resblock
+def _xla_resblock(layer_p, x, heads, act_kind, causal=False):
+    from ..models.layers import causal_mask, quick_gelu, resblock
 
     act = quick_gelu if act_kind == "quick_gelu" else functools.partial(
         jax.nn.gelu, approximate=False)
-    return resblock(layer_p, x, heads, mask=None, use_pallas=False, act=act)
+    mask = causal_mask(x.shape[1]) if causal else None
+    return resblock(layer_p, x, heads, mask=mask, use_pallas=False, act=act)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_resblock_diff(layer_p, x, heads, act_kind, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_resblock_diff(layer_p, x, heads, act_kind, causal=False,
+                         interpret=False):
     return fused_resblock(layer_p, x, heads, act_kind=act_kind,
-                          bb_attn=1, bb_mlp=1, interpret=interpret)
+                          bb_attn=1, bb_mlp=1, causal=causal,
+                          interpret=interpret)
 
 
-def _fused_fwd(layer_p, x, heads, act_kind, interpret=False):
-    return (_fused_resblock_diff(layer_p, x, heads, act_kind, interpret),
+def _fused_fwd(layer_p, x, heads, act_kind, causal=False, interpret=False):
+    return (_fused_resblock_diff(layer_p, x, heads, act_kind, causal,
+                                 interpret),
             (layer_p, x))
 
 
-def _fused_bwd(heads, act_kind, interpret, res, g):
+def _fused_bwd(heads, act_kind, causal, interpret, res, g):
     # backward via XLA recompute — the fused kernels are an inference-path
     # optimization; training steps that differentiate the tower get exact
     # XLA gradients
     layer_p, x = res
-    _, vjp = jax.vjp(lambda p, y: _xla_resblock(p, y, heads, act_kind),
+    _, vjp = jax.vjp(lambda p, y: _xla_resblock(p, y, heads, act_kind, causal),
                      layer_p, x)
     return vjp(g)
 
@@ -277,14 +295,15 @@ def fused_blocks_fit_vmem(width: int, mlp_dim: int, dtype=jnp.bfloat16) -> bool:
 
 
 def fused_transformer_diff(stacked: Params, x: jax.Array, heads: int, *,
-                           act_kind: str = "quick_gelu",
+                           act_kind: str = "quick_gelu", causal: bool = False,
                            interpret: bool = False) -> jax.Array:
     """Differentiable fused tower: fused Pallas forward (bb=1 — the
     measured-fastest config: 94.6 → 62.3 ms on the ViT-B/16 batch-256 tower,
-    v5e), XLA-recompute backward.  lax.scan over stacked layer params."""
+    v5e), XLA-recompute backward.  lax.scan over stacked layer params.
+    ``causal=True`` = CLIP text tower (in-kernel causal mask)."""
     def body(carry, layer_p):
         return (_fused_resblock_diff(layer_p, carry, heads, act_kind,
-                                     interpret), None)
+                                     causal, interpret), None)
 
     out, _ = jax.lax.scan(body, x, stacked)
     return out

@@ -64,6 +64,50 @@ class TestForwardEquivalence:
         assert cos > 0.9999
 
 
+class TestCausal:
+    """Text-tower variant: in-kernel causal mask must equal the XLA path
+    with models.layers.causal_mask."""
+
+    def test_causal_block_matches_xla(self, stacked, x):
+        from debias_vision_lang_tpu.models.layers import causal_mask
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        ref = resblock(layer0, x, H, mask=causal_mask(S), use_pallas=False)
+        got = fused_resblock(layer0, x, H, bb_attn=2, bb_mlp=2, causal=True,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_causal_actually_masks(self, stacked, x):
+        """Perturbing a future position must not change earlier outputs."""
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        base = fused_resblock(layer0, x, H, bb_attn=2, bb_mlp=2, causal=True,
+                              interpret=True)
+        x2 = x.at[:, -1, :].add(3.0)
+        pert = fused_resblock(layer0, x2, H, bb_attn=2, bb_mlp=2, causal=True,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(pert[:, :-1]),
+                                   np.asarray(base[:, :-1]), atol=1e-6)
+
+    def test_causal_tower_gradients_match_xla(self, stacked, x):
+        from debias_vision_lang_tpu.models.layers import causal_mask
+
+        def loss_fused(p, y):
+            return jnp.sum(fused_transformer_diff(p, y, H, causal=True,
+                                                  interpret=True) ** 2)
+
+        def loss_xla(p, y):
+            return jnp.sum(transformer(p, y, H, mask=causal_mask(S),
+                                       use_pallas=False) ** 2)
+
+        gf = jax.grad(loss_fused)(stacked, x)
+        gx = jax.grad(loss_xla)(stacked, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3),
+            gf, gx)
+
+
 class TestGradients:
     def test_vjp_matches_xla(self, stacked, x):
         """The custom backward is an XLA recompute — gradients must equal the
