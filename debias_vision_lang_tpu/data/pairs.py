@@ -44,12 +44,26 @@ class ImageCaptionPairs:
     def __len__(self) -> int:
         return len(self.captions)
 
+    def _path(self, index: int) -> str:
+        return os.path.join(self._img_dir, self.captions.iloc[index]["file"])
+
     def load_image(self, index: int) -> np.ndarray:
         from PIL import Image
 
         from ..vision.preprocess import center_crop_slice, resize_output_size
 
-        fname = os.path.join(self._img_dir, self.captions.iloc[index]["file"])
+        fname = self._path(index)
+        if self.image_size is not None:
+            from .. import native
+
+            if native.available():
+                # C++ decode + PIL-bit-exact fixed-point resize + crop (PIL's
+                # own uint8 resize IS the fixed-point path, so this is
+                # bit-identical to the PIL branch below)
+                out, ok = native.ingest_batch_files_u8([fname],
+                                                       self.image_size)
+                if ok[0]:
+                    return out[0]
         with Image.open(fname) as im:
             if im.mode != "RGB":
                 im = im.convert("RGB")
@@ -76,11 +90,22 @@ class ImageCaptionPairs:
         order = np.arange(len(self))
         if rng is not None:
             rng.shuffle(order)
+        from .. import native
+
+        batch_native = self.image_size is not None and native.available()
         for s in range(0, len(order), batch_size):
             idx = order[s : s + batch_size]
             if drop_remainder and len(idx) < batch_size:
                 return
-            images = np.stack([self.load_image(int(i)) for i in idx])
+            if batch_native:
+                paths = [self._path(int(i)) for i in idx]
+                images, ok = native.ingest_batch_files_u8(paths,
+                                                          self.image_size)
+                if not ok.all():  # corrupt/exotic entries: per-image fallback
+                    for j in np.nonzero(~ok)[0]:
+                        images[j] = self.load_image(int(idx[j]))
+            else:
+                images = np.stack([self.load_image(int(i)) for i in idx])
             tokens = np.asarray(
                 tokenizer([self.caption(int(i)) for i in idx]), np.int32)
             yield images, tokens

@@ -89,6 +89,7 @@ class TrainStepFns:
     adversary_step: Callable
     prompt_step: Callable
     prompt_step_with_layers: Callable
+    prompt_step_text_layers: Callable
     eval_scores: Callable
 
 
@@ -211,6 +212,43 @@ def build_train_steps(
             "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
         }
 
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def prompt_step_text_layers(
+        cp: Params,
+        debias_tokens: jax.Array,
+        joint_opt_state,
+        grad_mask: Params,
+        adv_params: Params,
+        image_embs: jax.Array,
+        attr_labels: jax.Array,
+        caption_image_embs: jax.Array,
+        caption_tokens: jax.Array,
+    ):
+        """Layer-training variant for TEXT-side-only configs
+        (n_train_vid_layers == 0 and freeze_proj): the image path is fully
+        frozen, so its gradients are identically zero — both image batches
+        embed ONCE outside the differentiable step (prompt_step's frozen
+        embeddings are reused), saving two image-tower fwd+bwd passes per
+        step.  Exact, not approximate: same objective and same non-zero
+        gradients as prompt_step_with_layers in this configuration."""
+
+        def loss_fn(args):
+            deb, cpp = args
+            return _prompt_losses(
+                cpp, deb, adv_params, jax.lax.stop_gradient(image_embs),
+                attr_labels, jax.lax.stop_gradient(caption_image_embs),
+                caption_tokens)
+
+        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
+            loss_fn, has_aux=True)((debias_tokens, cp))
+        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
+        updates, joint_opt_state = prompt_optimizer.update(
+            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
+        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
+        return debias_tokens, cp, joint_opt_state, {
+            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
+        }
+
     @functools.partial(jax.jit, donate_argnums=(0, 2), static_argnums=())
     def prompt_step_with_layers(
         cp: Params,
@@ -257,6 +295,7 @@ def build_train_steps(
         adversary_step=adversary_step,
         prompt_step=prompt_step,
         prompt_step_with_layers=prompt_step_with_layers,
+        prompt_step_text_layers=prompt_step_text_layers,
         eval_scores=eval_scores,
     )
     return fns, prompt_optimizer, adversary_optimizer
@@ -286,6 +325,10 @@ class AdversarialTrainer:
     # set when the debias config unfreezes CLIP layers/projections: the
     # freezing-policy multiplier pytree and a joint (prompt, clip) optimizer
     grad_mask: Optional[Params] = None
+    # True when any trainable parameter feeds the image path (vid layers or
+    # projections) — selects the full with-layers step; text-only configs
+    # take the cheaper prompt_step_text_layers (images embed once, frozen)
+    trains_image: bool = False
     # multi-chip data parallelism: batches shard over the mesh's data axis,
     # params/optimizer state replicate; XLA inserts the gradient psums
     mesh: Optional[object] = None
@@ -307,6 +350,10 @@ class AdversarialTrainer:
         trains_layers = (dcfg.n_train_text_layers > 0
                          or dcfg.n_train_vid_layers > 0
                          or not dcfg.freeze_proj)
+        # visual proj (and logit_scale) fall in the reference's "proj"
+        # freezing category — image embeddings depend on trainable params
+        # iff vid layers or projections are unfrozen
+        trains_image = dcfg.n_train_vid_layers > 0 or not dcfg.freeze_proj
         grad_mask = model.trainable_mask() if trains_layers else None
         if trains_layers:
             prompt_opt_state = p_opt.init((model.debias_tokens, model.clip_params))
@@ -320,6 +367,7 @@ class AdversarialTrainer:
             adv_opt_state=a_opt.init(adversary.params),
             train_cfg=train_cfg,
             grad_mask=grad_mask,
+            trains_image=trains_image,
             mesh=mesh,
         )
         if mesh is not None:
@@ -358,7 +406,15 @@ class AdversarialTrainer:
                     self.adversary_params, self.adv_opt_state, scores, labels))
 
         cap_tok = self._shard(np.asarray(caption_tokens, np.int32))
-        if self.grad_mask is not None:
+        if self.grad_mask is not None and not self.trains_image:
+            # text-side layers only: image path frozen, reuse the embeddings
+            # computed above (no differentiable image passes)
+            (self.model.debias_tokens, self.model.clip_params,
+             self.prompt_opt_state, metrics) = self.fns.prompt_step_text_layers(
+                cp, self.model.debias_tokens, self.prompt_opt_state,
+                self.grad_mask, self.adversary_params, image_embs,
+                labels, cap_embs, cap_tok)
+        elif self.grad_mask is not None:
             # raw images go in: the step embeds them differentiably
             (self.model.debias_tokens, self.model.clip_params,
              self.prompt_opt_state, metrics) = self.fns.prompt_step_with_layers(

@@ -189,6 +189,42 @@ class TestImageCaptionPairs:
         imgs, toks = batches[0]
         assert imgs.shape == (4, 32, 32, 3) and toks.shape == (4, 8)
 
+    def test_heterogeneous_native_matches_pil(self, tmp_path):
+        """image_size-resized batches: the native ingest route must be
+        bit-identical to the PIL route (PIL's uint8 resize IS the fixed-point
+        path the C++ replicates)."""
+        from debias_vision_lang_tpu import native
+        from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
+
+        if not native.available():
+            pytest.skip(f"native ingest unavailable: {native.build_error()}")
+
+        root = tmp_path
+        (root / "images").mkdir()
+        rng = np.random.default_rng(5)
+        rows = []
+        for i, (h, w) in enumerate([(64, 48), (100, 31), (28, 28), (40, 90)]):
+            fname = f"{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ).save(root / "images" / fname, quality=92)
+            rows.append({"file": fname, "caption": f"c{i}"})
+        pd.DataFrame(rows).to_csv(root / "captions.csv", index=False)
+
+        ds = ImageCaptionPairs(str(root), image_size=28)
+
+        def tok(texts):
+            return np.zeros((len(texts), 8), np.int32)
+
+        (imgs, _), = list(ds.batches(tok, batch_size=4))
+        assert imgs.shape == (4, 28, 28, 3)
+        # per-image PIL route (native disabled) must agree bit-for-bit
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "available", return_value=False):
+            pil_imgs = np.stack([ds.load_image(i) for i in range(4)])
+        np.testing.assert_array_equal(imgs, pil_imgs)
+
     def test_missing_columns_raise(self, tmp_path):
         from debias_vision_lang_tpu.data.pairs import ImageCaptionPairs
 

@@ -113,6 +113,46 @@ class TestLayerTraining:
                                             use_pallas=False)
         assert trainer.grad_mask is None
 
+    def test_text_only_step_matches_full_with_layers_step(self):
+        """For text-side-only configs the trainer takes the cheap
+        prompt_step_text_layers (images embed once, frozen); it must produce
+        the SAME updates as the full with-layers step — the image-path
+        gradients it skips are identically zero there."""
+        rng = np.random.default_rng(6)
+        b = batch(rng)
+
+        model_a = make_model(n_train_text_layers=1)
+        trainer_a = AdversarialTrainer.create(model_a, make_adversary(4),
+                                              TrainConfig(), sens_tokens(4),
+                                              use_pallas=False)
+        assert not trainer_a.trains_image  # routes to the text-only step
+        trainer_a.step(*b)
+
+        model_b = make_model(n_train_text_layers=1)
+        trainer_b = AdversarialTrainer.create(model_b, make_adversary(4),
+                                              TrainConfig(), sens_tokens(4),
+                                              use_pallas=False)
+        trainer_b.trains_image = True  # force the full with-layers step
+        trainer_b.step(*b)
+
+        np.testing.assert_allclose(
+            np.asarray(trainer_a.model.debias_tokens),
+            np.asarray(trainer_b.model.debias_tokens), rtol=1e-5, atol=1e-6)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
+            trainer_a.model.clip_params, trainer_b.model.clip_params)
+
+    def test_unfreeze_proj_routes_to_full_step(self):
+        """freeze_proj=False unfreezes the VISUAL projection too — image
+        embeddings depend on trainable params, so the cheap text-only step
+        must NOT be taken."""
+        model = make_model(freeze_proj=False)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        assert trainer.trains_image
+
     def test_vision_layer_trains(self):
         """n_train_vid_layers: the with-layers step embeds images inside the
         loss, so the top image resblock receives gradients."""
