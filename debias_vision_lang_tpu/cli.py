@@ -168,8 +168,12 @@ def _cmd_zero_shot(args):
             with Image.open(self.files[i]) as im:
                 return np.asarray(im.convert("RGB"))
 
+        @property
+        def _img_fnames(self):  # enables HostLoader's native batch ingest
+            return self.files
+
     ds = FolderDataset(args.data_path)
-    loader = HostLoader(ds, batch_size=args.batch_size)
+    loader = HostLoader(ds, batch_size=args.batch_size, native_n_px=224)
     kw = {}
     if args.imagenet_protocol:
         from .eval.zero_shot import imagenet_templates

@@ -148,7 +148,7 @@ def run_training(
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
                       _n_samples=eval_n_samples)
     loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True,
-                        shuffle=True, seed=seed)
+                        shuffle=True, seed=seed, native_n_px=n_px)
     caption_iter = _caption_batches(pairs_path, tokenizer, batch_size, train_ds,
                                     n_px, rng)
     logger = MetricsLogger(log_dir or os.path.join(checkpoint_dir, "logs"))
@@ -160,7 +160,8 @@ def run_training(
         return preprocess_batch(images_u8, n_px)
 
     def evaluate_ndkl() -> float:
-        val_loader = HostLoader(val_ds, batch_size=256, num_workers=6)
+        val_loader = HostLoader(val_ds, batch_size=256, num_workers=6,
+                                native_n_px=n_px)
         labels, img_embs = get_labels_img_embeddings(val_loader, model, n_px=n_px)
         prompt_embs = get_prompt_embeddings(model, tokenizer, prompts)
         out = eval_ranking(labels, img_embs, prompt_embs, "ndkl", topn=1.0)
