@@ -32,8 +32,13 @@ _BUILD_ERR: Optional[str] = None
 
 
 def _lib_path() -> str:
-    cache = os.environ.get("DVL_NATIVE_CACHE",
-                           os.path.dirname(os.path.abspath(_SRC)))
+    cache = os.environ.get("DVL_NATIVE_CACHE")
+    if cache is None:
+        cache = os.path.dirname(os.path.abspath(_SRC))
+        if not os.access(cache, os.W_OK):  # installed read-only package
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "debias_vision_lang_tpu")
+            os.makedirs(cache, exist_ok=True)
     return os.path.join(cache, "libdvl_ingest.so")
 
 
