@@ -173,6 +173,110 @@ def ranking_metrics(
     return metrics
 
 
+def _bucket(n: int, floor: int = 256) -> int:
+    """Next power of two ≥ n (min ``floor``) — the padded-engine compile
+    granularity."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes",))
+def _ranking_metrics_padded(
+    scores: jax.Array,     # [P, Nb], pad columns carry -inf
+    labels: jax.Array,     # [Nb] int (pad values arbitrary)
+    valid: jax.Array,      # [Nb] bool, False on pad columns
+    top_n: jax.Array,      # scalar int32 (the resolved request) — TRACED
+    n_real: jax.Array,     # scalar int32, true N — TRACED
+    z: jax.Array,          # scalar f32: Σ_{i=1..top_n} 1/log2(i+1), host-computed
+    n_classes: int,
+):
+    """Bucketed dynamic-N metric engine.
+
+    The static-k kernel (`_ranking_metrics_ext`) recompiles for every
+    dataset size because N, top_n and the tie budget are shape/static
+    arguments — ~7 s per novel N through a TPU compile.  This variant
+    compiles once per power-of-two BUCKET: scores are padded with −inf
+    columns (they sort last, behind every real score), top_n / n_real ride
+    as traced scalars, and the Z normalizer (a pure function of the host int
+    top_n) is passed in as data.  Ranking the full bucket also makes
+    ``nlargest(keep="all")`` tie extension exact with NO overflow budget or
+    host retry.
+    """
+    nb = scores.shape[1]
+    p = scores.shape[0]
+    validf = valid.astype(jnp.float32)
+
+    # desired distributions over REAL rows only (reference semantics on the
+    # unpadded data: measuring_bias.py:26-27)
+    counts = jnp.sum(
+        jax.nn.one_hot(labels, n_classes, dtype=jnp.float32) * validf[:, None],
+        axis=0)
+    nrf = n_real.astype(jnp.float32)
+    desired = {
+        "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
+        "dem_par": jnp.maximum(counts, 1.0) / nrf,
+    }
+
+    vals, top_idx = jax.lax.top_k(scores, nb)  # full sort of the bucket
+    top_labels = labels[top_idx]
+    top_valid = valid[top_idx]
+
+    kt = jnp.minimum(top_n, n_real)  # boundary rank, 1-based
+    threshold = jnp.take_along_axis(
+        vals, jnp.broadcast_to((kt - 1)[None, None], (p, 1)), axis=1)  # [P,1]
+    kept = (vals >= threshold) & top_valid  # tie-extended prefix, pads out
+    keep_f = kept.astype(jnp.float32)
+
+    onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)
+    onehot = onehot * keep_f[:, :, None]
+    prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, Nb, C]
+
+    ranks = jnp.arange(1, nb + 1, dtype=jnp.float32)
+    prefix_p = prefix_counts / ranks[None, :, None]
+    log_p = _safe_log(prefix_p)
+    discounts = (1.0 / jnp.log2(ranks + 1.0))[None, :] * keep_f  # [P, Nb]
+
+    tnf = top_n.astype(jnp.float32)
+    out: Dict[str, jax.Array] = {}
+    for name, q in desired.items():
+        kl_terms = jnp.where(
+            prefix_p > 0, prefix_p * (log_p - _safe_log(q)[None, None, :]), 0.0)
+        kl_per_rank = jnp.sum(kl_terms, axis=-1)
+        out[f"ndkl_{name}"] = jnp.sum(kl_per_rank * discounts, axis=-1) / z
+
+    p_top = prefix_counts[:, -1, :] / tnf  # total kept counts / request
+    p_top = jnp.where(p_top == 0, 1.0 / tnf, p_top)
+    for name, q in desired.items():
+        skew = jnp.log(p_top) - jnp.log(q)[None, :]
+        out[f"maxskew_{name}"] = jnp.maximum(jnp.max(skew, axis=-1), 0.0)
+    return out
+
+
+def ranking_metrics_bucketed(
+    scores: jax.Array,
+    labels: jax.Array,
+    top_n: int,
+    n_classes: int,
+) -> Dict[str, jax.Array]:
+    """Bucket-compiled front end: pads [P, N] scores to the next power-of-two
+    bucket with −inf and dispatches the dynamic-N kernel.  One TPU compile
+    per (bucket, n_classes) instead of one per (N, top_n)."""
+    n = scores.shape[1]
+    nb = _bucket(n)
+    if nb > n:
+        scores = jnp.pad(scores, ((0, 0), (0, nb - n)),
+                         constant_values=-jnp.inf)
+        labels = jnp.pad(labels, (0, nb - n))
+    valid = jnp.arange(nb) < n
+    z = float(np.sum(1.0 / np.log2(np.arange(1, top_n + 1, dtype=np.float64)
+                                   + 1.0)))
+    return _ranking_metrics_padded(
+        scores, labels, valid, jnp.asarray(top_n, jnp.int32),
+        jnp.asarray(n, jnp.int32), jnp.asarray(z, jnp.float32), n_classes)
+
+
 def eval_ranking(
     labels,
     image_embeddings,
@@ -191,7 +295,7 @@ def eval_ranking(
     top_n = resolve_topn(topn, img.shape[0])
     n_classes = validate_dense_labels(labels)
     scores = prm @ img.T  # [P, N]
-    metrics = ranking_metrics(scores, labels, top_n, n_classes)
+    metrics = ranking_metrics_bucketed(scores, labels, top_n, n_classes)
     prefix = evaluation + "_"
     return {
         k[len(prefix):]: float(jnp.mean(v))

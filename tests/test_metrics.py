@@ -3,6 +3,7 @@ degeneracy and tie-handling pins (SURVEY.md §6 findings)."""
 
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -208,6 +209,70 @@ class TestJittedVsOracle:
         out_frac = eval_ranking(labels, img, prm, "maxskew", topn=0.5)
         out_abs = eval_ranking(labels, img, prm, "maxskew", topn=10)
         np.testing.assert_allclose(out_frac["eq_opp"], out_abs["eq_opp"], atol=1e-6)
+
+
+class TestBucketedEngine:
+    """The bucketed dynamic-N engine (eval_ranking's default) must match the
+    static-k kernel and the oracle across Ns, ties, and topn>N — and compile
+    once per bucket instead of once per N."""
+
+    @pytest.mark.parametrize("n", [50, 63, 100, 256, 300])
+    @pytest.mark.parametrize("top_n", [1, 7, 50])
+    def test_matches_static_engine(self, rng, n, top_n):
+        from debias_vision_lang_tpu.metrics.ranking import (
+            ranking_metrics, ranking_metrics_bucketed)
+
+        scores = rng.normal(size=(3, n)).astype(np.float32)
+        labels = np.concatenate(
+            [np.arange(2), rng.integers(0, 2, n - 2)]).astype(np.int32)
+        a = ranking_metrics_bucketed(jnp.asarray(scores), jnp.asarray(labels),
+                                     top_n, 2)
+        b = ranking_metrics(jnp.asarray(scores), jnp.asarray(labels), top_n, 2)
+        for k in b:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-5, err_msg=k)
+
+    def test_ties_match_oracle(self):
+        from debias_vision_lang_tpu.metrics.ranking import ranking_metrics_bucketed
+
+        scores = np.array([[0.9, 0.5, 0.5, 0.5, 0.1]], np.float32)
+        labels = np.array([0, 1, 0, 1, 1], np.int32)
+        out = ranking_metrics_bucketed(jnp.asarray(scores),
+                                       jnp.asarray(labels), 2, 2)
+        ms = oracle.maxskew(scores[0], labels, 2)
+        nd = oracle.ndkl(scores[0], labels, 2)
+        np.testing.assert_allclose(float(out["maxskew_eq_opp"][0]),
+                                   ms["maxskew_eq_opp"], atol=1e-5)
+        np.testing.assert_allclose(float(out["ndkl_eq_opp"][0]),
+                                   nd["ndkl_eq_opp"], atol=1e-4)
+
+    def test_topn_exceeds_n(self, rng):
+        from debias_vision_lang_tpu.metrics.ranking import (
+            ranking_metrics, ranking_metrics_bucketed)
+
+        n = 20
+        scores = rng.normal(size=(2, n)).astype(np.float32)
+        labels = rng.integers(0, 2, n).astype(np.int32)
+        labels[:2] = [0, 1]
+        a = ranking_metrics_bucketed(jnp.asarray(scores), jnp.asarray(labels),
+                                     64, 2)
+        b = ranking_metrics(jnp.asarray(scores), jnp.asarray(labels), 64, 2)
+        for k in b:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-5, err_msg=k)
+
+    def test_one_compile_per_bucket(self, rng):
+        from debias_vision_lang_tpu.metrics.ranking import (
+            _ranking_metrics_padded, ranking_metrics_bucketed)
+
+        _ranking_metrics_padded.clear_cache()
+        labels = np.array([0, 1] * 60, np.int32)
+        for n in (100, 101, 120, 97):  # all land in the 256 bucket
+            s = rng.normal(size=(2, n)).astype(np.float32)
+            ranking_metrics_bucketed(jnp.asarray(s),
+                                     jnp.asarray(labels[:n]),
+                                     min(10, n), 2)
+        assert _ranking_metrics_padded._cache_size() == 1
 
 
 class TestTopNExceedsDataset:
