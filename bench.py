@@ -33,6 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from debias_vision_lang_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from debias_vision_lang_tpu.core.registry import resolve_arch
     from debias_vision_lang_tpu.models import clip as clip_model
     from debias_vision_lang_tpu.vision.preprocess import preprocess_batch

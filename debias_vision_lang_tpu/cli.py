@@ -185,6 +185,9 @@ def _cmd_zero_shot(args):
 
 
 def main(argv=None):
+    from .core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="debias-vlt")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_measure(sub)

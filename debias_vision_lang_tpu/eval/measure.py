@@ -191,6 +191,9 @@ def measure_bias(
     equal_split gender balancing, 319 generated prompts, MaxSkew + NDKL with
     topn defaulting to the whole dataset.  Lower = less biased.
     """
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = _resolve_opts(opts)
     extra = dict(opts) if isinstance(opts, (dict, Dotdict)) else {}
     if extra:

@@ -83,6 +83,10 @@ def run_training(
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
 
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..data.datasets import FairFace
     from ..data.loader import HostLoader
     from ..eval.measure import eval_ranking, gen_prompts, get_labels_img_embeddings, get_prompt_embeddings
