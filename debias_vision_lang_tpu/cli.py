@@ -99,6 +99,16 @@ def _add_train(sub):
                    help="'auto' = data-parallel over all visible chips")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
+    p.add_argument("--embed-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="frozen image-tower precision: bfloat16 engages the "
+                        "fused TPU kernels for the no-gradient embed pass "
+                        "(differentiable steps stay fp32)")
+    p.add_argument("--train-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="differentiable text-tower precision (mixed "
+                        "precision: prompt array, grads, losses and the "
+                        "adversary stay fp32)")
 
 
 def _cmd_train(args):
@@ -118,6 +128,8 @@ def _cmd_train(args):
         pretrained=not args.random_weights,
         mesh=args.mesh,
         resume=args.resume,
+        embed_dtype=args.embed_dtype,
+        train_dtype=args.train_dtype,
     )
     print(json.dumps(best, indent=2))
 

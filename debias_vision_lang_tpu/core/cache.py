@@ -10,7 +10,11 @@ process with the cache warm.
 CLI, measure_bias, the trainer, the driver entry).  It is idempotent and
 respects user configuration:
 
+  * auto-enables on the TPU backend ONLY — XLA:CPU AOT cache entries bake
+    in host machine features, and a cache shared across heterogeneous hosts
+    (the relay's host vs this one) loads with "may SIGILL" warnings;
   * ``DVL_JAX_CACHE=0``       — disable entirely;
+  * ``DVL_JAX_CACHE=1``       — force-enable on any backend;
   * ``DVL_JAX_CACHE_DIR=...`` — cache location override;
   * pre-existing ``JAX_COMPILATION_CACHE_DIR`` env or an already-configured
     ``jax_compilation_cache_dir`` are left untouched.
@@ -37,6 +41,18 @@ def enable_compilation_cache() -> bool:
     try:
         import jax
     except Exception:  # pragma: no cover - jax is a hard dep everywhere else
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend != "tpu" and os.environ.get("DVL_JAX_CACHE") != "1":
+        # CPU compiles are cheap, and XLA:CPU AOT cache entries are
+        # machine-feature-specific — a cache shared across heterogeneous
+        # hosts (e.g. the TPU relay's host vs this one) loads with
+        # "could lead to SIGILL" warnings.  TPU executables are
+        # host-agnostic and cost ~minutes: cache those only.
+        # DVL_JAX_CACHE=1 force-enables on any backend.
         return False
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         _DONE = True  # user already routed it

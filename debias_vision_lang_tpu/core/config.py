@@ -176,6 +176,17 @@ class TrainConfig:
     eval_every_steps: int = 500
     seed: int = 0
     checkpoint_dir: Optional[str] = None
+    # Frozen image-tower compute precision: "float32" (reference-parity) |
+    # "bfloat16" (TPU speed path — engages the fused-block kernels for the
+    # no-gradient embed pass; the differentiable prompt/adversary steps stay
+    # fp32 either way, so training dynamics see only the embedding rounding).
+    embed_dtype: str = "float32"
+    # Differentiable text-tower compute precision (mixed precision): the
+    # forward/backward of the prompt-update steps run at this dtype while
+    # the prompt array, optimizer state, gradients, losses, and the adversary
+    # stay fp32 (cast-in/cast-out — the dominant prompt_step cost is the
+    # 319-prompt text tower f+b, fp32 on the reference path).
+    train_dtype: str = "float32"
 
 
 _UPPER_KEYS = {

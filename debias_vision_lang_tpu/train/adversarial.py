@@ -118,23 +118,35 @@ def build_train_steps(
     # NB: clip_params is an ARGUMENT of every step (frozen: always wrapped in
     # stop_gradient) — closed-over weights would be baked into the compiled
     # program as constants, which the remote-compile path rejects.
+    train_dtype = jnp.dtype(getattr(train_cfg, "train_dtype", "float32"))
+
     def encode_sensitive(cp, debias_tokens: jax.Array) -> jax.Array:
+        # mixed precision: tower runs at train_dtype, output upcast so the
+        # losses/adversary/optimizer always see fp32 (the astype transpose
+        # returns fp32 gradients for the fp32 prompt-array leaf)
         return debias_model.encode_text(
             cp, debias_tokens, sensitive_tokens, clip_cfg, debias_cfg,
-            use_pallas=use_pallas,
-        )
+            use_pallas=use_pallas, dtype=train_dtype,
+        ).astype(jnp.float32)
 
     def encode_captions(cp, debias_tokens, caption_tokens) -> jax.Array:
         return debias_model.encode_text(
             cp, debias_tokens, caption_tokens, clip_cfg, debias_cfg,
-            use_pallas=use_pallas,
-        )
+            use_pallas=use_pallas, dtype=train_dtype,
+        ).astype(jnp.float32)
+
+    embed_dtype = jnp.dtype(getattr(train_cfg, "embed_dtype", "float32"))
 
     @jax.jit
     def embed_images(cp, images: jax.Array) -> jax.Array:
-        """Frozen image tower (both batches use it; no gradient)."""
+        """Frozen image tower (both batches use it; no gradient).
+
+        Runs at ``train_cfg.embed_dtype`` — bfloat16 engages the fused-block
+        TPU kernels for this no-gradient pass; outputs are upcast to fp32
+        before entering the differentiable steps either way."""
         return clip_model.encode_image(
-            jax.lax.stop_gradient(cp), images, clip_cfg, use_pallas=use_pallas
+            jax.lax.stop_gradient(cp), images, clip_cfg, use_pallas=use_pallas,
+            dtype=embed_dtype,
         ).astype(jnp.float32)
 
     @jax.jit
@@ -346,6 +358,19 @@ class AdversarialTrainer:
             model.clip_cfg, model.debias_cfg, adversary.cfg,
             train_cfg, sensitive_tokens, use_pallas=use_pallas,
         )
+        if mesh is not None:
+            # DP embed as an explicit shard_map (mirrors eval/measure.py's
+            # _embed_step_sharded): GSPMD cannot partition the fused-block
+            # pallas custom call, so give each chip its local batch block.
+            from jax.sharding import PartitionSpec as P
+
+            inner_embed = fns.embed_images
+            fns = dataclasses.replace(
+                fns,
+                embed_images=jax.jit(jax.shard_map(
+                    lambda cp, images: inner_embed(cp, images), mesh=mesh,
+                    in_specs=(P(), P("data")), out_specs=P("data"),
+                    check_vma=False)))
         dcfg = model.debias_cfg
         trains_layers = (dcfg.n_train_text_layers > 0
                          or dcfg.n_train_vid_layers > 0

@@ -79,6 +79,8 @@ def run_training(
     progress: bool = True,
     resume: bool = False,
     mesh=None,
+    embed_dtype: str = "float32",
+    train_dtype: str = "float32",
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -135,7 +137,9 @@ def run_training(
 
     tcfg = train_cfg or TrainConfig(batch_size=batch_size, num_epochs=epochs,
                                     eval_every_steps=eval_every,
-                                    checkpoint_dir=checkpoint_dir, seed=seed)
+                                    checkpoint_dir=checkpoint_dir, seed=seed,
+                                    embed_dtype=embed_dtype,
+                                    train_dtype=train_dtype)
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
 

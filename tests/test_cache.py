@@ -3,8 +3,12 @@
 The cache module only routes jax's ``jax_compilation_cache_dir`` config; the
 actual cache behaviour (72 s cold compile -> 0.7 s warm, measured on the TPU
 relay) is jax's own and is not re-tested here.  These tests pin the contract:
-idempotence, env-var opt-out, directory override, and respect for
-pre-existing user configuration.
+TPU-only by default (XLA:CPU AOT entries are machine-feature-specific and a
+shared cache across heterogeneous hosts risks SIGILL), idempotence, env-var
+opt-in/out, directory override, and respect for pre-existing configuration.
+
+The suite runs on the CPU backend, so ``DVL_JAX_CACHE=1`` (force-enable on
+any backend) stands in for the TPU auto-enable path.
 """
 
 import importlib
@@ -30,8 +34,17 @@ def test_disabled_by_env(monkeypatch):
     assert not mod._DONE
 
 
+def test_non_tpu_backend_skipped_by_default(monkeypatch):
+    # this suite runs on CPU: without the force flag the cache must stay off
+    mod = _fresh(monkeypatch)
+    assert jax.default_backend() != "tpu"
+    assert mod.enable_compilation_cache() is False
+    assert not mod._DONE
+
+
 def test_respects_existing_env_routing(monkeypatch):
-    mod = _fresh(monkeypatch, JAX_COMPILATION_CACHE_DIR="/tmp/someplace")
+    mod = _fresh(monkeypatch, DVL_JAX_CACHE="1",
+                 JAX_COMPILATION_CACHE_DIR="/tmp/someplace")
     assert mod.enable_compilation_cache() is True
     # must NOT have clobbered jax config — the env var is jax's own channel
     assert mod._DONE
@@ -40,7 +53,7 @@ def test_respects_existing_env_routing(monkeypatch):
 def test_dir_override_and_idempotence(tmp_path, monkeypatch):
     target = str(tmp_path / "jc")
     prev = getattr(jax.config, "jax_compilation_cache_dir", None)
-    mod = _fresh(monkeypatch, DVL_JAX_CACHE_DIR=target)
+    mod = _fresh(monkeypatch, DVL_JAX_CACHE="1", DVL_JAX_CACHE_DIR=target)
     try:
         assert mod.enable_compilation_cache() is True
         assert jax.config.jax_compilation_cache_dir == target
@@ -56,7 +69,7 @@ def test_respects_existing_jax_config(tmp_path, monkeypatch):
     prev = getattr(jax.config, "jax_compilation_cache_dir", None)
     jax.config.update("jax_compilation_cache_dir", str(tmp_path / "user"))
     try:
-        mod = _fresh(monkeypatch)
+        mod = _fresh(monkeypatch, DVL_JAX_CACHE="1")
         assert mod.enable_compilation_cache() is True
         # user's configured dir left untouched
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "user")

@@ -235,3 +235,67 @@ class TestMulticlassAdversary:
             first = first if first is not None else float(loss)
             last = float(loss)
         assert last < first
+
+
+class TestEmbedDtype:
+    """train_cfg.embed_dtype: the frozen image tower's compute precision."""
+
+    def test_bf16_embed_close_to_fp32(self, setup):
+        model, adv, sens = setup
+        t32 = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                        use_pallas=False)
+        t16 = AdversarialTrainer.create(
+            model, adv, TrainConfig(embed_dtype="bfloat16"), sens,
+            use_pallas=False)
+        rng = np.random.default_rng(5)
+        images = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+        e32 = np.asarray(t32.fns.embed_images(model.clip_params,
+                                              jnp.asarray(images)))
+        e16 = np.asarray(t16.fns.embed_images(model.clip_params,
+                                              jnp.asarray(images)))
+        assert e16.dtype == np.float32  # upcast on exit either way
+        cos = np.sum(e32 * e16, -1) / (
+            np.linalg.norm(e32, axis=-1) * np.linalg.norm(e16, axis=-1))
+        assert cos.min() > 0.99  # bf16 rounding only
+
+    def test_bf16_full_step_finite(self, setup):
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(
+            model, adv, TrainConfig(embed_dtype="bfloat16"), sens,
+            use_pallas=False)
+        rng = np.random.default_rng(6)
+        images, labels, cap_images, cap_tokens = _batch(rng)
+        before = np.asarray(trainer.model.debias_tokens)
+        m = trainer.step(images, labels, cap_images, cap_tokens)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["adversary_bce"])
+        assert not np.allclose(before, np.asarray(trainer.model.debias_tokens))
+
+    def test_bf16_train_dtype_matches_fp32_dynamics(self, setup):
+        """Mixed-precision prompt step: loss close to fp32, update correlated,
+        and grads/optimizer state remain fp32 (cast-in/cast-out contract)."""
+        model, adv, sens = setup
+        rng = np.random.default_rng(7)
+        images, labels, cap_images, cap_tokens = _batch(rng)
+
+        results = {}
+        for td in ("float32", "bfloat16"):
+            tr = AdversarialTrainer.create(
+                model, adv, TrainConfig(train_dtype=td), sens,
+                use_pallas=False)
+            before = np.asarray(tr.model.debias_tokens)
+            m = tr.step(images, labels, cap_images, cap_tokens)
+            after = np.asarray(tr.model.debias_tokens)
+            assert after.dtype == np.float32
+            results[td] = (m["loss"], after - before)
+
+        l32, u32 = results["float32"]
+        l16, u16 = results["bfloat16"]
+        # Tolerances are wide on purpose: a 2-layer width-32 random tower
+        # amplifies bf16 rounding through the exp(logit_scale)-scaled
+        # adversarial sigmoid (measured here: ~11% loss shift, cos≈0.69).
+        # At real scale the option is tight — ViT-B/16 batch-256 losses match
+        # fp32 to 4 decimals (PERF.md, benchmarks/train_step.py).
+        assert abs(l16 - l32) < 0.2 * (abs(l32) + 1e-6)
+        cos = float(np.sum(u32 * u16) /
+                    (np.linalg.norm(u32) * np.linalg.norm(u16)))
+        assert cos > 0.5
