@@ -1,0 +1,82 @@
+"""Ingest-to-embedding throughput across every registered CLIP architecture.
+
+The headline bench (bench.py) tracks ViT-B/16 — the reference's default
+model.  This sweep covers the rest of the family the reference registers
+(debias_clip/model/model.py _MODELS): the three ModifiedResNets and the
+three ViTs, plus the SLIP towers, at their native input resolutions.
+
+Relay-safe methodology per PERF.md: params as jit arguments, two alternating
+device-resident input buffers, scalar-slice fetch as the fence.
+
+Usage: python benchmarks/arch_sweep.py [batch] [arch ...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_ARCHS = [
+    "openai/CLIP/RN50",
+    "openai/CLIP/RN101",
+    "openai/CLIP/RN50x4",
+    "openai/CLIP/ViT-B/32",
+    "openai/CLIP/ViT-B/16",
+    "openai/CLIP/ViT-L/14",
+]
+
+
+def bench_arch(arch: str, batch: int, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from debias_vision_lang_tpu.core.registry import resolve_arch
+    from debias_vision_lang_tpu.models import clip as clip_model
+    from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
+
+    cfg = resolve_arch(arch)
+    n_px = cfg.vision.image_size
+    params = clip_model.init_clip_params(jax.random.key(0), cfg)
+
+    @jax.jit
+    def embed(p, images_u8):
+        x = preprocess_batch(images_u8, n_px)
+        return clip_model.encode_image(p, x, cfg,
+                                       dtype=jnp.bfloat16).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (batch, n_px, n_px, 3), dtype=np.uint8)))
+        for _ in range(2)]
+
+    out = embed(params, bufs[0])
+    float(jnp.sum(out.ravel()[:1]))  # compile + warm fence
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = embed(params, bufs[i % 2])
+    float(jnp.sum(out.ravel()[:1]))
+    dt = (time.perf_counter() - t0) / iters
+    rate = batch / dt
+    print(f"{arch:24s} n_px={n_px:3d}  {dt * 1e3:7.1f} ms/batch{batch}  "
+          f"{rate:8.1f} img/s/chip (bf16)")
+    return rate
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    archs = sys.argv[2:] or DEFAULT_ARCHS
+    from debias_vision_lang_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    for arch in archs:
+        try:
+            bench_arch(arch, batch)
+        except Exception as e:  # OOM at big res/batch: report, keep sweeping
+            print(f"{arch:24s} FAILED: {type(e).__name__}: {str(e)[:100]}")
+
+
+if __name__ == "__main__":
+    main()
