@@ -9,6 +9,11 @@ the BPE vocab; every missing asset raises an error naming its fetch command.
 
 import argparse
 import json
+import os
+import sys
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import debias_vision_lang_tpu as debias_clip
 from debias_vision_lang_tpu.train.loop import run_training

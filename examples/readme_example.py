@@ -10,10 +10,14 @@ the plumbing run.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 from PIL import Image
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import debias_vision_lang_tpu as debias_clip
 
