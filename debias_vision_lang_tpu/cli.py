@@ -196,6 +196,40 @@ def _cmd_zero_shot(args):
     print(json.dumps(acc, indent=2))
 
 
+def _add_serve(sub):
+    p = sub.add_parser("serve", help="batched HTTP inference server")
+    p.add_argument("--model", default="openai/CLIP/ViT-B/16",
+                   help="registry name (or 'hub:ViT-B/16-gender')")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", default=8000, type=int)
+    p.add_argument("--max-batch", default=64, type=int,
+                   help="device batch bucket ceiling (power-of-two padding)")
+    p.add_argument("--max-wait-ms", default=5.0, type=float,
+                   help="micro-batch arrival window")
+    p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"],
+                   help="compute dtype (default: bfloat16 on TPU, else fp32)")
+    p.add_argument("--random-weights", action="store_true")
+
+
+def _cmd_serve(args):
+    from .serve import serve_forever
+
+    if args.model.startswith("hub:"):
+        from .hub import load
+        from .text.tokenizer import load_tokenizer
+
+        model, _ = load(args.model[4:])
+        tokenizer = load_tokenizer()
+    else:
+        from .models.loader import model_loader
+
+        model, _, tokenizer, _ = model_loader(
+            args.model, pretrained=not args.random_weights)
+    serve_forever(model, tokenizer, host=args.host, port=args.port,
+                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                  compute_dtype=args.dtype)
+
+
 def main(argv=None):
     from .core.cache import enable_compilation_cache
 
@@ -205,6 +239,7 @@ def main(argv=None):
     _add_measure(sub)
     _add_train(sub)
     _add_zero_shot(sub)
+    _add_serve(sub)
     dl = sub.add_parser("download", help="fetch assets (bpe, fairface)")
     dl.add_argument("assets", nargs="*", default=["all"])
     sub.add_parser("bench", help="run the headline throughput benchmark")
@@ -216,6 +251,8 @@ def main(argv=None):
         _cmd_train(args)
     elif args.cmd == "zero-shot":
         _cmd_zero_shot(args)
+    elif args.cmd == "serve":
+        _cmd_serve(args)
     elif args.cmd == "download":
         from .data.download import main as dl_main
 

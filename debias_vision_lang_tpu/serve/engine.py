@@ -1,0 +1,157 @@
+"""Batched inference engine behind the serving API.
+
+TPU-first shape discipline: every device call runs at a power-of-two batch
+bucket (pad with zeros, slice the results), so a server sees at most
+log2(max_batch)+1 compiles per entry point ever — the same bucketing scheme
+as the dynamic-N metric engine (metrics/ranking.py).  Host-side image decode
+rides the native C++ ingest runtime when available (bit-exact PIL chain,
+PERF.md) with a PIL fallback.
+
+The engine wraps any ClipLike model bundle (CLIP or DebiasCLIP — both are
+registered pytrees, so the whole model passes as a jit ARGUMENT: weights
+ship as device buffers, never baked constants).
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..vision.preprocess import preprocess_batch, resize_crop_u8, to_rgb_array
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, max(max_batch, n))
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _embed_images_u8(model, images_u8, compute_dtype):
+    x = preprocess_batch(images_u8, images_u8.shape[1])
+    return model.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _embed_texts(model, tokens, compute_dtype):
+    return model.encode_text(tokens, dtype=compute_dtype).astype(jnp.float32)
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Image bytes (JPEG/PNG/...) → uint8 [H, W, 3] RGB.
+
+    Native libjpeg decode when built (bit-exact vs PIL, ~50× faster on small
+    hosts); PIL handles everything else."""
+    from .. import native
+
+    if native.available() and data[:2] == b"\xff\xd8":  # JPEG magic
+        try:
+            return native.decode_jpeg(data)
+        except ValueError:
+            pass  # fall through to PIL for exotic variants
+    from PIL import Image
+
+    return to_rgb_array(Image.open(io.BytesIO(data)))
+
+
+class InferenceEngine:
+    """Thread-safe batched embed/score front-end over a model bundle."""
+
+    def __init__(
+        self,
+        model,
+        tokenizer=None,
+        max_batch: int = 64,
+        compute_dtype: Optional[str] = None,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        # both bundle flavors: DebiasCLIP (.clip_cfg/.clip_params) and
+        # vanilla CLIP (.cfg/.params)
+        cfg = getattr(model, "clip_cfg", None) or model.cfg
+        self.cfg = cfg
+        self.n_px = cfg.vision.image_size
+        self.embed_dim = cfg.embed_dim
+        self.context_length = cfg.text.context_length
+        self.max_batch = int(max_batch)
+        if compute_dtype is None:
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        # one device_put of the params up front; subsequent jit calls reuse
+        # the committed buffers
+        self.model = jax.device_put(model)
+        self._lock = threading.Lock()
+
+    # -- batch entry points (called by the micro-batcher) --------------------
+
+    def embed_image_arrays(self, images_u8: Sequence[np.ndarray]) -> np.ndarray:
+        """uint8 [n_px, n_px, 3] arrays → float32 [N, D] embeddings."""
+        n = len(images_u8)
+        bucket = _next_bucket(n, self.max_batch)
+        batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
+        for i, img in enumerate(images_u8):
+            if img.shape != (self.n_px, self.n_px, 3):
+                raise ValueError(f"image {i}: expected "
+                                 f"({self.n_px},{self.n_px},3), got {img.shape}")
+            batch[i] = img
+        with self._lock:
+            out = _embed_images_u8(self.model, jnp.asarray(batch),
+                                   self.compute_dtype)
+        return np.asarray(out[:n])
+
+    def embed_token_arrays(self, tokens: Sequence[np.ndarray]) -> np.ndarray:
+        """int32 [context_length] token rows → float32 [N, D] embeddings."""
+        n = len(tokens)
+        bucket = _next_bucket(n, self.max_batch)
+        batch = np.zeros((bucket, self.context_length), np.int32)
+        for i, row in enumerate(tokens):
+            batch[i] = row
+        with self._lock:
+            out = _embed_texts(self.model, jnp.asarray(batch),
+                               self.compute_dtype)
+        return np.asarray(out[:n])
+
+    # -- host-side conveniences ---------------------------------------------
+
+    def prepare_image(self, data: bytes) -> np.ndarray:
+        """bytes → decoded + bit-exact-PIL resize/crop uint8 [n_px, n_px, 3]."""
+        return resize_crop_u8(decode_image_bytes(data), self.n_px)
+
+    def tokenize(self, texts: List[str]) -> np.ndarray:
+        if self.tokenizer is None:
+            raise RuntimeError("engine built without a tokenizer "
+                               "(BPE vocab missing?)")
+        return np.asarray(self.tokenizer(texts), np.int32)
+
+    def score(self, image_embs: np.ndarray, text_embs: np.ndarray) -> np.ndarray:
+        """Softmaxed logits-per-image (the reference README flow,
+        reference: README.md:57-64): [N_img, N_txt] probabilities."""
+        img = image_embs / np.linalg.norm(image_embs, axis=-1, keepdims=True)
+        txt = text_embs / np.linalg.norm(text_embs, axis=-1, keepdims=True)
+        params = getattr(self.model, "clip_params", None)
+        if params is None:
+            params = self.model.params
+        scale = float(np.exp(np.asarray(params["logit_scale"])))
+        logits = scale * img @ txt.T
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def info(self) -> dict:
+        return {
+            "model": self.cfg.name,
+            "n_px": self.n_px,
+            "embed_dim": self.embed_dim,
+            "context_length": self.context_length,
+            "compute_dtype": str(self.compute_dtype),
+            "max_batch": self.max_batch,
+            "backend": jax.default_backend(),
+            "has_tokenizer": self.tokenizer is not None,
+        }

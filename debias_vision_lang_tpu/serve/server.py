@@ -1,0 +1,160 @@
+"""HTTP serving front-end: batched CLIP/DebiasCLIP inference.
+
+Endpoints (JSON in/out; images as base64):
+
+  GET  /healthz            → model/device info
+  POST /v1/embed/image     {"images_b64": [...]}            → {"embeddings": [[...]]}
+  POST /v1/embed/text      {"texts": [...]}                 → {"embeddings": [[...]]}
+  POST /v1/score           {"image_b64": ..., "texts": [...]} → {"probs": [...]}
+                           (the reference README inference flow, README.md:44-75)
+
+Single-item requests from concurrent clients coalesce into device batches
+via the MicroBatcher (power-of-two buckets — bounded compile count);
+multi-item requests batch trivially.  Stdlib-only (http.server), threaded.
+
+Run:  python -m debias_vision_lang_tpu.cli serve --model ViT-B/16-gender
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from .batcher import MicroBatcher
+from .engine import InferenceEngine
+
+
+class ServeApp:
+    """Engine + per-modality micro-batchers; the handler delegates here."""
+
+    def __init__(self, engine: InferenceEngine, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self._images = MicroBatcher(engine.embed_image_arrays,
+                                    max_batch=engine.max_batch,
+                                    max_wait_ms=max_wait_ms, name="img-batch")
+        self._texts = MicroBatcher(engine.embed_token_arrays,
+                                   max_batch=engine.max_batch,
+                                   max_wait_ms=max_wait_ms, name="txt-batch")
+
+    def close(self):
+        self._images.close()
+        self._texts.close()
+
+    # -- request-level operations (thread-per-request calls these) ----------
+
+    def embed_images_b64(self, images_b64: List[str]) -> np.ndarray:
+        arrays = [self.engine.prepare_image(base64.b64decode(b))
+                  for b in images_b64]
+        futs: List[Future] = [self._images.submit(a) for a in arrays]
+        return np.stack([f.result() for f in futs])
+
+    def embed_texts(self, texts: List[str]) -> np.ndarray:
+        tokens = self.engine.tokenize(texts)
+        futs = [self._texts.submit(row) for row in tokens]
+        return np.stack([f.result() for f in futs])
+
+    def score(self, image_b64: str, texts: List[str]) -> np.ndarray:
+        img = self.embed_images_b64([image_b64])
+        txt = self.embed_texts(texts)
+        return self.engine.score(img, txt)[0]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ServeApp  # set by make_server
+
+    # -- plumbing ------------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> Optional[dict]:
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            payload = json.loads(data or b"{}")
+            if not isinstance(payload, dict):
+                raise ValueError("payload must be a JSON object")
+            return payload
+        except (ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": f"bad request body: {e}"})
+            return None
+
+    # -- routes --------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, {"status": "ok", **self.app.engine.info()})
+        else:
+            self._json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        payload = self._read_json()
+        if payload is None:
+            return
+        try:
+            if self.path == "/v1/embed/image":
+                images = payload.get("images_b64")
+                if not isinstance(images, list) or not images:
+                    raise ValueError("images_b64 must be a non-empty list")
+                embs = self.app.embed_images_b64(images)
+                self._json(200, {"embeddings": embs.tolist()})
+            elif self.path == "/v1/embed/text":
+                texts = payload.get("texts")
+                if not isinstance(texts, list) or not texts:
+                    raise ValueError("texts must be a non-empty list")
+                embs = self.app.embed_texts(texts)
+                self._json(200, {"embeddings": embs.tolist()})
+            elif self.path == "/v1/score":
+                image = payload.get("image_b64")
+                texts = payload.get("texts")
+                if not isinstance(image, str) or not isinstance(texts, list) \
+                        or not texts:
+                    raise ValueError("need image_b64 (str) and texts (list)")
+                probs = self.app.score(image, texts)
+                self._json(200, {"probs": probs.tolist()})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+        except ValueError as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 - report, don't kill the server
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(app: ServeApp, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 = ephemeral."""
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
+                  port: int = 8000, max_batch: int = 64,
+                  max_wait_ms: float = 5.0,
+                  compute_dtype: Optional[str] = None):
+    """Blocking entry point used by the CLI."""
+    engine = InferenceEngine(model, tokenizer, max_batch=max_batch,
+                             compute_dtype=compute_dtype)
+    app = ServeApp(engine, max_wait_ms=max_wait_ms)
+    httpd = make_server(app, host, port)
+    print(f"serving {engine.info()['model']} on "
+          f"http://{host}:{httpd.server_address[1]}  "
+          f"(backend={engine.info()['backend']}, "
+          f"dtype={engine.info()['compute_dtype']})")
+    try:
+        httpd.serve_forever()
+    finally:
+        app.close()
+        httpd.server_close()

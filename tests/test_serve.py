@@ -1,0 +1,247 @@
+"""Serving subsystem: micro-batcher semantics, engine bucketing, HTTP API."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from debias_vision_lang_tpu.core.config import (
+    CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
+from debias_vision_lang_tpu.models.clip import init_clip_params
+from debias_vision_lang_tpu.models.debias import DebiasCLIP, init_debias_tokens
+from debias_vision_lang_tpu.serve import (
+    InferenceEngine, MicroBatcher, ServeApp, make_server)
+from debias_vision_lang_tpu.text.tokenizer import ClipTokenizer
+
+N_PX = 32
+CTX = 16
+
+
+@pytest.fixture(scope="module")
+def engine():
+    tok = ClipTokenizer([("t", "h"), ("th", "e</w>")], context_length=CTX)
+    cfg = CLIPConfig(
+        name="tiny-serve",
+        vision=VisionConfig(kind="vit", image_size=N_PX, patch_size=16,
+                            width=32, layers=2, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=tok.vocab_size, context_length=CTX,
+                        width=32, layers=2, heads=2, embed_dim=16),
+    )
+    params = init_clip_params(jax.random.key(0), cfg)
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32, max_tokens=CTX)
+    deb = init_debias_tokens(jax.random.key(1), params, dcfg, tokenizer=None)
+    model = DebiasCLIP(clip_params=params, debias_tokens=deb,
+                       clip_cfg=cfg, debias_cfg=dcfg)
+    return InferenceEngine(model, tok, max_batch=8)
+
+
+def _jpeg_bytes(rng, h=48, w=40):
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8)).save(
+        buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+class TestMicroBatcher:
+    def test_order_and_results(self):
+        calls = []
+
+        def run(items):
+            calls.append(len(items))
+            return [x * 2 for x in items]
+
+        mb = MicroBatcher(run, max_batch=4, max_wait_ms=20)
+        futs = [mb.submit(i) for i in range(10)]
+        assert [f.result(timeout=5) for f in futs] == [2 * i for i in range(10)]
+        mb.close()
+        assert sum(calls) == 10
+        assert max(calls) <= 4
+
+    def test_coalescing(self):
+        """Concurrent submits inside the window share a device call."""
+        calls = []
+
+        def run(items):
+            calls.append(len(items))
+            return items
+
+        mb = MicroBatcher(run, max_batch=16, max_wait_ms=200)
+        futs = []
+        barrier = threading.Barrier(6)
+
+        def client(i):
+            barrier.wait()
+            futs.append(mb.submit(i))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in list(futs):
+            f.result(timeout=5)
+        mb.close()
+        assert max(calls) > 1  # at least one multi-item batch formed
+
+    def test_exception_propagates_per_batch(self):
+        def run(items):
+            raise RuntimeError("boom")
+
+        mb = MicroBatcher(run, max_batch=4, max_wait_ms=5)
+        fut = mb.submit(1)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=5)
+        mb.close()
+
+    def test_wrong_result_count_is_an_error(self):
+        mb = MicroBatcher(lambda items: items[:-1] if len(items) > 1 else [],
+                          max_batch=4, max_wait_ms=5)
+        fut = mb.submit(1)
+        with pytest.raises(RuntimeError, match="returned"):
+            fut.result(timeout=5)
+        mb.close()
+
+    def test_close_drains(self):
+        mb = MicroBatcher(lambda items: items, max_batch=4, max_wait_ms=5)
+        futs = [mb.submit(i) for i in range(3)]
+        mb.close()
+        assert [f.result(timeout=1) for f in futs] == [0, 1, 2]
+        with pytest.raises(RuntimeError):
+            mb.submit(9)
+
+
+class TestEngine:
+    def test_bucket_padding_matches_direct(self, engine, rng):
+        """Padded-bucket results must equal the unpadded forward."""
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(3)]  # pads to bucket 4
+        out = engine.embed_image_arrays(imgs)
+        assert out.shape == (3, 16)
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
+
+        x = preprocess_batch(jnp.asarray(np.stack(imgs)), N_PX)
+        direct = np.asarray(engine.model.encode_image(
+            x, dtype=engine.compute_dtype).astype(jnp.float32))
+        np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+    def test_text_roundtrip(self, engine):
+        out = engine.embed_token_arrays(list(engine.tokenize(["the", "the the"])))
+        assert out.shape == (2, 16)
+        assert np.isfinite(out).all()
+
+    def test_prepare_image_decodes_and_crops(self, engine, rng):
+        u8 = engine.prepare_image(_jpeg_bytes(rng))
+        assert u8.shape == (N_PX, N_PX, 3) and u8.dtype == np.uint8
+
+    def test_score_is_softmax(self, engine, rng):
+        img = engine.embed_image_arrays(
+            [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)])
+        txt = engine.embed_token_arrays(list(engine.tokenize(["a", "b", "c"])))
+        probs = engine.score(img, txt)
+        assert probs.shape == (1, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    def test_wrong_image_shape_rejected(self, engine, rng):
+        with pytest.raises(ValueError, match="expected"):
+            engine.embed_image_arrays(
+                [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)])
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield base
+        httpd.shutdown()
+        httpd.server_close()
+        app.close()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
+            info = json.loads(resp.read())
+        assert info["status"] == "ok"
+        assert info["model"] == "tiny-serve"
+        assert info["n_px"] == N_PX
+
+    def test_embed_text(self, server):
+        code, out = self._post(server + "/v1/embed/text",
+                               {"texts": ["the", "the the"]})
+        assert code == 200
+        embs = np.asarray(out["embeddings"])
+        assert embs.shape == (2, 16) and np.isfinite(embs).all()
+
+    def test_embed_image_and_score(self, server, engine, rng):
+        b64 = base64.b64encode(_jpeg_bytes(rng)).decode()
+        code, out = self._post(server + "/v1/embed/image", {"images_b64": [b64]})
+        assert code == 200
+        assert np.asarray(out["embeddings"]).shape == (1, 16)
+
+        code, out = self._post(server + "/v1/score",
+                               {"image_b64": b64, "texts": ["the", "the the"]})
+        assert code == 200
+        probs = np.asarray(out["probs"])
+        assert probs.shape == (2,)
+        np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
+
+    def test_bad_route_404(self, server):
+        code, out = self._post(server + "/v1/nope", {})
+        assert code == 404
+
+    def test_bad_payload_400(self, server):
+        code, out = self._post(server + "/v1/embed/text", {"texts": []})
+        assert code == 400
+        code, out = self._post(server + "/v1/embed/image", {"images_b64": "x"})
+        assert code == 400
+
+    def test_undecodable_image_500_not_crash(self, server):
+        bad = base64.b64encode(b"notanimage").decode()
+        code, out = self._post(server + "/v1/embed/image",
+                               {"images_b64": [bad]})
+        assert code == 500
+        # server still alive
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
+            assert resp.status == 200
+
+    def test_concurrent_clients_coalesce(self, server, rng):
+        """6 parallel single-text requests → identical to serial answers."""
+        texts = [f"the{'!' * i}" for i in range(6)]
+        results = [None] * 6
+
+        def client(i):
+            _, out = self._post(server + "/v1/embed/text",
+                                {"texts": [texts[i]]})
+            results[i] = np.asarray(out["embeddings"])[0]
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        _, serial = self._post(server + "/v1/embed/text", {"texts": texts})
+        np.testing.assert_allclose(
+            np.stack(results), np.asarray(serial["embeddings"]),
+            rtol=1e-4, atol=1e-5)
