@@ -209,6 +209,8 @@ def _add_serve(sub):
     p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"],
                    help="compute dtype (default: bfloat16 on TPU, else fp32)")
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip pre-compiling the batch buckets at startup")
 
 
 def _cmd_serve(args):
@@ -227,7 +229,7 @@ def _cmd_serve(args):
             args.model, pretrained=not args.random_weights)
     serve_forever(model, tokenizer, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                  compute_dtype=args.dtype)
+                  compute_dtype=args.dtype, warmup=not args.no_warmup)
 
 
 def main(argv=None):

@@ -34,17 +34,34 @@ class MicroBatcher:
         max_batch: int = 64,
         max_wait_ms: float = 5.0,
         name: str = "microbatch",
+        finalize: Optional[Callable[[Any, int], Sequence[Any]]] = None,
     ):
+        """With ``finalize``, batching is a two-stage pipeline: ``run_batch``
+        only DISPATCHES (e.g. stages the batch and launches the async device
+        call, returning the device array) and ``finalize(result, n)`` blocks
+        for and splits the per-item outputs on a second thread — so batch
+        k+1's host staging and H2D overlap batch k's device compute and
+        fetch (classic double buffering; jax dispatch is async)."""
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run_batch = run_batch
+        self._finalize = finalize
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
         self._closed = False
+        self.n_batches = 0
+        self.n_items = 0
+        self.run_seconds = 0.0
         self._thread = threading.Thread(target=self._worker, name=name,
                                         daemon=True)
         self._thread.start()
+        self._fq: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=2)
+        self._fthread: Optional[threading.Thread] = None
+        if finalize is not None:
+            self._fthread = threading.Thread(target=self._finalizer,
+                                             name=name + "-fin", daemon=True)
+            self._fthread.start()
 
     def submit(self, item: Any) -> Future:
         if self._closed:
@@ -52,6 +69,17 @@ class MicroBatcher:
         fut: Future = Future()
         self._q.put((item, fut))
         return fut
+
+    @property
+    def stats(self) -> dict:
+        """Cumulative batch-formation metrics (mean batch size is the one
+        that matters: it is the device-utilization multiplier)."""
+        return {
+            "batches": self.n_batches,
+            "items": self.n_items,
+            "mean_batch": round(self.n_items / max(1, self.n_batches), 2),
+            "run_seconds": round(self.run_seconds, 3),
+        }
 
     def close(self, timeout: float = 5.0) -> None:
         """Drain outstanding work and stop the worker."""
@@ -88,18 +116,49 @@ class MicroBatcher:
         while True:
             batch = self._collect()
             if batch is None:
+                if self._fthread is not None:
+                    self._fq.put(None)
+                    self._fthread.join(timeout=5.0)
                 return
             items = [item for item, _ in batch]
             futures = [fut for _, fut in batch]
             try:
+                t0 = time.monotonic()
                 results = self._run_batch(items)
-                if len(results) != len(items):
-                    raise RuntimeError(
-                        f"run_batch returned {len(results)} results "
-                        f"for {len(items)} items")
+                self.run_seconds += time.monotonic() - t0
+                self.n_batches += 1
+                self.n_items += len(items)
             except Exception as e:  # noqa: BLE001 - propagate to callers
                 for fut in futures:
                     fut.set_exception(e)
                 continue
-            for fut, res in zip(futures, results):
-                fut.set_result(res)
+            if self._finalize is not None:
+                # hand off to the finalizer thread; the bounded queue gives
+                # backpressure (at most 2 batches in flight on the device)
+                self._fq.put((results, futures))
+                continue
+            self._distribute(futures, results)
+
+    def _distribute(self, futures, results) -> None:
+        if len(results) != len(futures):
+            err = RuntimeError(f"run_batch returned {len(results)} results "
+                               f"for {len(futures)} items")
+            for fut in futures:
+                fut.set_exception(err)
+            return
+        for fut, res in zip(futures, results):
+            fut.set_result(res)
+
+    def _finalizer(self) -> None:
+        while True:
+            entry = self._fq.get()
+            if entry is None:
+                return
+            handle, futures = entry
+            try:
+                results = self._finalize(handle, len(futures))
+            except Exception as e:  # noqa: BLE001
+                for fut in futures:
+                    fut.set_exception(e)
+                continue
+            self._distribute(futures, results)

@@ -92,8 +92,12 @@ class InferenceEngine:
 
     # -- batch entry points (called by the micro-batcher) --------------------
 
-    def embed_image_arrays(self, images_u8: Sequence[np.ndarray]) -> np.ndarray:
-        """uint8 [n_px, n_px, 3] arrays → float32 [N, D] embeddings."""
+    def dispatch_image_arrays(self, images_u8: Sequence[np.ndarray]):
+        """Stage + launch (async): uint8 arrays → device array handle.
+
+        jax dispatch returns before the device finishes; pair with
+        ``fetch`` on another thread so consecutive batches pipeline
+        (host staging / H2D of batch k+1 overlap batch k's compute)."""
         n = len(images_u8)
         bucket = _next_bucket(n, self.max_batch)
         batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
@@ -103,21 +107,54 @@ class InferenceEngine:
                                  f"({self.n_px},{self.n_px},3), got {img.shape}")
             batch[i] = img
         with self._lock:
-            out = _embed_images_u8(self.model, jnp.asarray(batch),
-                                   self.compute_dtype)
-        return np.asarray(out[:n])
+            return _embed_images_u8(self.model, jnp.asarray(batch),
+                                    self.compute_dtype)
 
-    def embed_token_arrays(self, tokens: Sequence[np.ndarray]) -> np.ndarray:
-        """int32 [context_length] token rows → float32 [N, D] embeddings."""
+    def dispatch_token_arrays(self, tokens: Sequence[np.ndarray]):
+        """Stage + launch (async): int32 token rows → device array handle."""
         n = len(tokens)
         bucket = _next_bucket(n, self.max_batch)
         batch = np.zeros((bucket, self.context_length), np.int32)
         for i, row in enumerate(tokens):
             batch[i] = row
         with self._lock:
-            out = _embed_texts(self.model, jnp.asarray(batch),
-                               self.compute_dtype)
-        return np.asarray(out[:n])
+            return _embed_texts(self.model, jnp.asarray(batch),
+                                self.compute_dtype)
+
+    @staticmethod
+    def fetch(handle, n: int) -> np.ndarray:
+        """Block for the device result and strip bucket padding."""
+        return np.asarray(handle[:n])
+
+    def embed_image_arrays(self, images_u8: Sequence[np.ndarray]) -> np.ndarray:
+        """uint8 [n_px, n_px, 3] arrays → float32 [N, D] embeddings."""
+        return self.fetch(self.dispatch_image_arrays(images_u8), len(images_u8))
+
+    def embed_token_arrays(self, tokens: Sequence[np.ndarray]) -> np.ndarray:
+        """int32 [context_length] token rows → float32 [N, D] embeddings."""
+        return self.fetch(self.dispatch_token_arrays(tokens), len(tokens))
+
+    def warmup(self, log=None) -> None:
+        """Pre-compile every batch bucket for both modalities.
+
+        A serving process must not discover compiles under load: each
+        power-of-two bucket is one XLA program, so trigger them all up front
+        (the persistent compilation cache makes this near-free after the
+        first server start on a machine)."""
+        b = 1
+        while True:
+            if log:
+                log(f"warmup: bucket {b}")
+            imgs = jnp.zeros((b, self.n_px, self.n_px, 3), jnp.uint8)
+            toks = jnp.zeros((b, self.context_length), jnp.int32)
+            with self._lock:
+                _embed_images_u8(self.model, imgs,
+                                 self.compute_dtype).block_until_ready()
+                _embed_texts(self.model, toks,
+                             self.compute_dtype).block_until_ready()
+            if b >= self.max_batch:
+                break
+            b <<= 1
 
     # -- host-side conveniences ---------------------------------------------
 

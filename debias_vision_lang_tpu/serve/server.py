@@ -34,10 +34,15 @@ class ServeApp:
 
     def __init__(self, engine: InferenceEngine, max_wait_ms: float = 5.0):
         self.engine = engine
-        self._images = MicroBatcher(engine.embed_image_arrays,
+        # pipelined two-stage batching: dispatch (stage+launch, async) on the
+        # batcher worker, blocking fetch on the finalizer thread — batch k+1
+        # overlaps batch k on the device
+        self._images = MicroBatcher(engine.dispatch_image_arrays,
+                                    finalize=engine.fetch,
                                     max_batch=engine.max_batch,
                                     max_wait_ms=max_wait_ms, name="img-batch")
-        self._texts = MicroBatcher(engine.embed_token_arrays,
+        self._texts = MicroBatcher(engine.dispatch_token_arrays,
+                                   finalize=engine.fetch,
                                    max_batch=engine.max_batch,
                                    max_wait_ms=max_wait_ms, name="txt-batch")
 
@@ -96,7 +101,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
-            self._json(200, {"status": "ok", **self.app.engine.info()})
+            self._json(200, {"status": "ok", **self.app.engine.info(),
+                             "image_batches": self.app._images.stats,
+                             "text_batches": self.app._texts.stats})
         else:
             self._json(404, {"error": f"no route {self.path}"})
 
@@ -143,10 +150,13 @@ def make_server(app: ServeApp, host: str = "127.0.0.1",
 def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
                   port: int = 8000, max_batch: int = 64,
                   max_wait_ms: float = 5.0,
-                  compute_dtype: Optional[str] = None):
+                  compute_dtype: Optional[str] = None,
+                  warmup: bool = True):
     """Blocking entry point used by the CLI."""
     engine = InferenceEngine(model, tokenizer, max_batch=max_batch,
                              compute_dtype=compute_dtype)
+    if warmup:
+        engine.warmup(log=lambda m: print(m, flush=True))
     app = ServeApp(engine, max_wait_ms=max_wait_ms)
     httpd = make_server(app, host, port)
     print(f"serving {engine.info()['model']} on "

@@ -245,3 +245,43 @@ class TestHTTP:
         np.testing.assert_allclose(
             np.stack(results), np.asarray(serial["embeddings"]),
             rtol=1e-4, atol=1e-5)
+
+
+class TestPipelinedBatcher:
+    def test_two_stage_results_and_order(self):
+        import numpy as np
+
+        def dispatch(items):  # pretend-async handle: padded array
+            return np.asarray(items + [0] * (4 - len(items)))
+
+        def finalize(handle, n):
+            return handle[:n] * 10
+
+        mb = MicroBatcher(dispatch, finalize=finalize, max_batch=4,
+                          max_wait_ms=10)
+        futs = [mb.submit(i) for i in range(9)]
+        assert [int(f.result(timeout=5)) for f in futs] == [10 * i
+                                                            for i in range(9)]
+        mb.close()
+        assert mb.stats["items"] == 9
+
+    def test_finalize_exception_propagates(self):
+        def finalize(handle, n):
+            raise ValueError("fetch died")
+
+        mb = MicroBatcher(lambda items: items, finalize=finalize,
+                          max_batch=4, max_wait_ms=5)
+        fut = mb.submit(1)
+        with pytest.raises(ValueError, match="fetch died"):
+            fut.result(timeout=5)
+        mb.close()
+
+    def test_close_drains_pipeline(self):
+        import numpy as np
+
+        mb = MicroBatcher(lambda items: np.asarray(items),
+                          finalize=lambda h, n: h[:n],
+                          max_batch=2, max_wait_ms=5)
+        futs = [mb.submit(i) for i in range(5)]
+        mb.close()
+        assert [int(f.result(timeout=1)) for f in futs] == list(range(5))
