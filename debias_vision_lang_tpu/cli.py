@@ -232,10 +232,10 @@ def _cmd_serve(args):
                   compute_dtype=args.dtype, warmup=not args.no_warmup)
 
 
-def main(argv=None):
-    from .core.cache import enable_compilation_cache
+_HEAVY_CMDS = {"measure-bias", "train", "zero-shot", "serve", "bench"}
 
-    enable_compilation_cache()
+
+def main(argv=None):
     parser = argparse.ArgumentParser(prog="debias-vlt")
     sub = parser.add_subparsers(dest="cmd", required=True)
     _add_measure(sub)
@@ -247,6 +247,12 @@ def main(argv=None):
     sub.add_parser("bench", help="run the headline throughput benchmark")
 
     args = parser.parse_args(argv)
+    if args.cmd in _HEAVY_CMDS:
+        # only TPU-bound subcommands touch jax: `download`/`--help` must not
+        # initialize a backend (they may run on TPU-less fetch machines)
+        from .core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
     if args.cmd == "measure-bias":
         _cmd_measure(args)
     elif args.cmd == "train":

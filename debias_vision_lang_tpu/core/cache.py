@@ -68,10 +68,15 @@ def enable_compilation_cache() -> bool:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        return False
+    # the cache is ON from here: latch before best-effort tuning so the
+    # reported state stays consistent even if the tuning flag is missing
+    _DONE = True
+    try:
         # default threshold is 1s; TPU tower compiles all clear it, but keep
         # small shards (metric kernels on CPU test runs) cacheable too
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
-        return False
-    _DONE = True
+        pass
     return True

@@ -50,6 +50,7 @@ class MicroBatcher:
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[Optional[tuple]]" = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self.n_batches = 0
         self.n_items = 0
         self.run_seconds = 0.0
@@ -64,10 +65,14 @@ class MicroBatcher:
             self._fthread.start()
 
     def submit(self, item: Any) -> Future:
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        # closed-check and enqueue are one atomic step: an item enqueued
+        # after close()'s sentinel would never be processed and its future
+        # would hang forever (close() takes the same lock)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put((item, fut))
         return fut
 
     @property
@@ -83,10 +88,11 @@ class MicroBatcher:
 
     def close(self, timeout: float = 5.0) -> None:
         """Drain outstanding work and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel; everything enqueued before it drains
         self._thread.join(timeout=timeout)
 
     # -- worker --------------------------------------------------------------

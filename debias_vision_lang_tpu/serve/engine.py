@@ -26,11 +26,17 @@ import numpy as np
 from ..vision.preprocess import preprocess_batch, resize_crop_u8, to_rgb_array
 
 
-def _next_bucket(n: int, max_batch: int) -> int:
+def _pow2_ceil(n: int) -> int:
     b = 1
     while b < n:
         b <<= 1
-    return min(b, max(max_batch, n))
+    return b
+
+
+def _next_bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two bucket holding n (callers chunk to max_batch,
+    which __init__ normalizes to a power of two, so this never exceeds it)."""
+    return min(_pow2_ceil(n), max_batch)
 
 
 @partial(jax.jit, static_argnames=("compute_dtype",))
@@ -80,7 +86,9 @@ class InferenceEngine:
         self.n_px = cfg.vision.image_size
         self.embed_dim = cfg.embed_dim
         self.context_length = cfg.text.context_length
-        self.max_batch = int(max_batch)
+        # normalize to a power of two so the warmup bucket set and the
+        # runtime bucket cap are the same closed set
+        self.max_batch = _pow2_ceil(int(max_batch))
         if compute_dtype is None:
             compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
                              else "float32")
@@ -99,6 +107,10 @@ class InferenceEngine:
         ``fetch`` on another thread so consecutive batches pipeline
         (host staging / H2D of batch k+1 overlap batch k's compute)."""
         n = len(images_u8)
+        if n > self.max_batch:
+            raise ValueError(f"dispatch of {n} items exceeds max_batch="
+                             f"{self.max_batch}; chunk first "
+                             "(embed_image_arrays does)")
         bucket = _next_bucket(n, self.max_batch)
         batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
         for i, img in enumerate(images_u8):
@@ -113,6 +125,10 @@ class InferenceEngine:
     def dispatch_token_arrays(self, tokens: Sequence[np.ndarray]):
         """Stage + launch (async): int32 token rows → device array handle."""
         n = len(tokens)
+        if n > self.max_batch:
+            raise ValueError(f"dispatch of {n} items exceeds max_batch="
+                             f"{self.max_batch}; chunk first "
+                             "(embed_token_arrays does)")
         bucket = _next_bucket(n, self.max_batch)
         batch = np.zeros((bucket, self.context_length), np.int32)
         for i, row in enumerate(tokens):
@@ -126,13 +142,25 @@ class InferenceEngine:
         """Block for the device result and strip bucket padding."""
         return np.asarray(handle[:n])
 
+    def _chunked(self, dispatch, items) -> np.ndarray:
+        """Run >max_batch inputs as a pipeline of max_batch dispatches
+        (launch them all — async — then fetch in order)."""
+        if not items:
+            return np.zeros((0, self.embed_dim), np.float32)
+        chunks = [items[i:i + self.max_batch]
+                  for i in range(0, len(items), self.max_batch)]
+        handles = [(dispatch(c), len(c)) for c in chunks]
+        return np.concatenate([self.fetch(h, n) for h, n in handles])
+
     def embed_image_arrays(self, images_u8: Sequence[np.ndarray]) -> np.ndarray:
-        """uint8 [n_px, n_px, 3] arrays → float32 [N, D] embeddings."""
-        return self.fetch(self.dispatch_image_arrays(images_u8), len(images_u8))
+        """uint8 [n_px, n_px, 3] arrays → float32 [N, D] embeddings
+        (inputs beyond max_batch are chunked into bucket-sized launches)."""
+        return self._chunked(self.dispatch_image_arrays, list(images_u8))
 
     def embed_token_arrays(self, tokens: Sequence[np.ndarray]) -> np.ndarray:
-        """int32 [context_length] token rows → float32 [N, D] embeddings."""
-        return self.fetch(self.dispatch_token_arrays(tokens), len(tokens))
+        """int32 [context_length] token rows → float32 [N, D] embeddings
+        (chunked like embed_image_arrays)."""
+        return self._chunked(self.dispatch_token_arrays, list(tokens))
 
     def warmup(self, log=None) -> None:
         """Pre-compile every batch bucket for both modalities.

@@ -69,6 +69,12 @@ class ServeApp:
         return self.engine.score(img, txt)[0]
 
 
+# request-body ceiling: 64 images × ~1.4 MB JPEG-as-base64 with headroom.
+# A Content-Length beyond this is rejected up front (413) — rfile.read of an
+# attacker-controlled length would otherwise buffer it all in RAM.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
 class _Handler(BaseHTTPRequestHandler):
     app: ServeApp  # set by make_server
 
@@ -88,6 +94,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _read_json(self) -> Optional[dict]:
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length < 0 or length > MAX_BODY_BYTES:
+                self._json(413, {"error": f"body of {length} bytes exceeds "
+                                          f"the {MAX_BODY_BYTES}-byte limit"})
+                return None
             data = self.rfile.read(length)
             payload = json.loads(data or b"{}")
             if not isinstance(payload, dict):

@@ -135,11 +135,26 @@ def run_training(
         "ADV_HIDDEN_SIZE": adversary_hidden, "SEED": seed,
     })
 
-    tcfg = train_cfg or TrainConfig(batch_size=batch_size, num_epochs=epochs,
-                                    eval_every_steps=eval_every,
-                                    checkpoint_dir=checkpoint_dir, seed=seed,
-                                    embed_dtype=embed_dtype,
-                                    train_dtype=train_dtype)
+    if train_cfg is not None:
+        tcfg = train_cfg
+        # explicit non-default dtype kwargs win over a provided config —
+        # otherwise `run_training(train_cfg=..., embed_dtype="bfloat16")`
+        # would silently train fp32
+        overrides = {}
+        if embed_dtype != "float32":
+            overrides["embed_dtype"] = embed_dtype
+        if train_dtype != "float32":
+            overrides["train_dtype"] = train_dtype
+        if overrides:
+            import dataclasses
+
+            tcfg = dataclasses.replace(tcfg, **overrides)
+    else:
+        tcfg = TrainConfig(batch_size=batch_size, num_epochs=epochs,
+                           eval_every_steps=eval_every,
+                           checkpoint_dir=checkpoint_dir, seed=seed,
+                           embed_dtype=embed_dtype,
+                           train_dtype=train_dtype)
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
 

@@ -285,3 +285,54 @@ class TestPipelinedBatcher:
         futs = [mb.submit(i) for i in range(5)]
         mb.close()
         assert [int(f.result(timeout=1)) for f in futs] == list(range(5))
+
+
+class TestReviewFixes:
+    """Regressions from the round-2 code review of the serve subsystem."""
+
+    def test_non_pow2_max_batch_normalized(self, engine):
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        e = InferenceEngine(engine.model, engine.tokenizer, max_batch=6)
+        assert e.max_batch == 8  # warmup set == runtime bucket cap
+
+    def test_oversize_input_chunks(self, engine, rng):
+        """>max_batch inputs chunk into bucket-sized launches, same result."""
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(engine.max_batch * 2 + 3)]
+        out = engine.embed_image_arrays(imgs)
+        assert out.shape == (len(imgs), 16)
+        per_chunk = np.concatenate([
+            engine.embed_image_arrays(imgs[:engine.max_batch]),
+            engine.embed_image_arrays(imgs[engine.max_batch:]),
+        ])
+        np.testing.assert_allclose(out, per_chunk, rtol=1e-6)
+
+    def test_dispatch_rejects_oversize(self, engine, rng):
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(engine.max_batch + 1)]
+        with pytest.raises(ValueError, match="exceeds max_batch"):
+            engine.dispatch_image_arrays(imgs)
+
+    def test_empty_input(self, engine):
+        assert engine.embed_image_arrays([]).shape == (0, 16)
+
+    def test_body_size_cap_413(self, engine):
+        from debias_vision_lang_tpu.serve import server as srv
+
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            req = urllib.request.Request(
+                base + "/v1/embed/text", data=b"{}",
+                headers={"Content-Type": "application/json",
+                         "Content-Length": str(srv.MAX_BODY_BYTES + 1)})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=10)
+            assert exc.value.code == 413
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            app.close()
