@@ -14,8 +14,10 @@ vs_baseline: ratio against an A100 PyTorch fp16 estimate for the same loop
 itself upcasts to fp32 — model/model.py:136 — which is slower still).  The
 north-star target is ≥10× (BASELINE.json).
 
-Env knobs: BENCH_BATCH (default 256), BENCH_STEPS (default 20),
-BENCH_DTYPE (bfloat16|float32, default bfloat16), BENCH_PALLAS (1|0).
+Env knobs: BENCH_BATCH (default 512 — measured sweet spot on v5e: 256 →
+4,060 img/s, 512 → 4,167, 1024 → 4,142; the reference convention is 256),
+BENCH_STEPS (default 20), BENCH_DTYPE (bfloat16|float32, default bfloat16),
+BENCH_PALLAS (1|0).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def main():
     from debias_vision_lang_tpu.models import clip as clip_model
     from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
 
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = jnp.bfloat16 if os.environ.get(
         "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
