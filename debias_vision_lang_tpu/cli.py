@@ -211,6 +211,9 @@ def _add_serve(sub):
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the batch buckets at startup")
+    p.add_argument("--mesh", default=None, choices=[None, "auto"],
+                   help="'auto' = data-parallel serving over all visible "
+                        "chips (batches shard over the mesh's data axis)")
 
 
 def _cmd_serve(args):
@@ -229,7 +232,8 @@ def _cmd_serve(args):
             args.model, pretrained=not args.random_weights)
     serve_forever(model, tokenizer, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                  compute_dtype=args.dtype, warmup=not args.no_warmup)
+                  compute_dtype=args.dtype, warmup=not args.no_warmup,
+                  mesh=args.mesh)
 
 
 _HEAVY_CMDS = {"measure-bias", "train", "zero-shot", "serve", "bench"}

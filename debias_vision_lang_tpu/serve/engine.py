@@ -14,6 +14,7 @@ ship as device buffers, never baked constants).
 
 from __future__ import annotations
 
+import functools
 import io
 import threading
 from functools import partial
@@ -50,6 +51,21 @@ def _embed_texts(model, tokens, compute_dtype):
     return model.encode_text(tokens, dtype=compute_dtype).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_embed(mesh, inner, compute_dtype):
+    """DP wrapper: shard the batch over the mesh's data axis via shard_map
+    (GSPMD cannot partition the fused-block pallas custom calls — shard_map
+    keeps them per-chip; same pattern as eval/measure.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(model, batch):
+        return inner(model, batch, compute_dtype)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False))
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Image bytes (JPEG/PNG/...) → uint8 [H, W, 3] RGB.
 
@@ -76,7 +92,13 @@ class InferenceEngine:
         tokenizer=None,
         max_batch: int = 64,
         compute_dtype: Optional[str] = None,
+        mesh=None,
     ):
+        """``mesh``: a ``(data, model)`` jax Mesh for multi-chip serving —
+        params replicate once, every batch shards over the data axis via
+        shard_map (the fused-block pallas calls stay per-chip, same pattern
+        as eval/measure.py's DP embed).  Bucket sizes then start at the
+        data-axis size, which must be a power of two."""
         self.model = model
         self.tokenizer = tokenizer
         # both bundle flavors: DebiasCLIP (.clip_cfg/.clip_params) and
@@ -93,9 +115,28 @@ class InferenceEngine:
             compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
                              else "float32")
         self.compute_dtype = jnp.dtype(compute_dtype)
-        # one device_put of the params up front; subsequent jit calls reuse
-        # the committed buffers
-        self.model = jax.device_put(model)
+        self.mesh = mesh
+        self.min_bucket = 1
+        dt = self.compute_dtype
+        if mesh is None:
+            # one device_put of the params up front; subsequent jit calls
+            # reuse the committed buffers
+            self.model = jax.device_put(model)
+            self._embed_images = partial(_embed_images_u8, compute_dtype=dt)
+            self._embed_tokens = partial(_embed_texts, compute_dtype=dt)
+        else:
+            from ..parallel.mesh import replicate_params
+
+            data_size = int(mesh.shape["data"])
+            if data_size & (data_size - 1):
+                raise ValueError("mesh data-axis size must be a power of two "
+                                 f"for bucketed serving, got {data_size}")
+            self.min_bucket = data_size
+            if self.max_batch < data_size:
+                self.max_batch = data_size
+            self.model = replicate_params(model, mesh)
+            self._embed_images = _sharded_embed(mesh, _embed_images_u8, dt)
+            self._embed_tokens = _sharded_embed(mesh, _embed_texts, dt)
         self._lock = threading.Lock()
 
     # -- batch entry points (called by the micro-batcher) --------------------
@@ -111,7 +152,7 @@ class InferenceEngine:
             raise ValueError(f"dispatch of {n} items exceeds max_batch="
                              f"{self.max_batch}; chunk first "
                              "(embed_image_arrays does)")
-        bucket = _next_bucket(n, self.max_batch)
+        bucket = max(_next_bucket(n, self.max_batch), self.min_bucket)
         batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
         for i, img in enumerate(images_u8):
             if img.shape != (self.n_px, self.n_px, 3):
@@ -119,8 +160,7 @@ class InferenceEngine:
                                  f"({self.n_px},{self.n_px},3), got {img.shape}")
             batch[i] = img
         with self._lock:
-            return _embed_images_u8(self.model, jnp.asarray(batch),
-                                    self.compute_dtype)
+            return self._embed_images(self.model, jnp.asarray(batch))
 
     def dispatch_token_arrays(self, tokens: Sequence[np.ndarray]):
         """Stage + launch (async): int32 token rows → device array handle."""
@@ -129,13 +169,12 @@ class InferenceEngine:
             raise ValueError(f"dispatch of {n} items exceeds max_batch="
                              f"{self.max_batch}; chunk first "
                              "(embed_token_arrays does)")
-        bucket = _next_bucket(n, self.max_batch)
+        bucket = max(_next_bucket(n, self.max_batch), self.min_bucket)
         batch = np.zeros((bucket, self.context_length), np.int32)
         for i, row in enumerate(tokens):
             batch[i] = row
         with self._lock:
-            return _embed_texts(self.model, jnp.asarray(batch),
-                                self.compute_dtype)
+            return self._embed_tokens(self.model, jnp.asarray(batch))
 
     @staticmethod
     def fetch(handle, n: int) -> np.ndarray:
@@ -169,17 +208,15 @@ class InferenceEngine:
         power-of-two bucket is one XLA program, so trigger them all up front
         (the persistent compilation cache makes this near-free after the
         first server start on a machine)."""
-        b = 1
+        b = self.min_bucket
         while True:
             if log:
                 log(f"warmup: bucket {b}")
             imgs = jnp.zeros((b, self.n_px, self.n_px, 3), jnp.uint8)
             toks = jnp.zeros((b, self.context_length), jnp.int32)
             with self._lock:
-                _embed_images_u8(self.model, imgs,
-                                 self.compute_dtype).block_until_ready()
-                _embed_texts(self.model, toks,
-                             self.compute_dtype).block_until_ready()
+                self._embed_images(self.model, imgs).block_until_ready()
+                self._embed_tokens(self.model, toks).block_until_ready()
             if b >= self.max_batch:
                 break
             b <<= 1
@@ -219,4 +256,5 @@ class InferenceEngine:
             "max_batch": self.max_batch,
             "backend": jax.default_backend(),
             "has_tokenizer": self.tokenizer is not None,
+            "mesh": (dict(self.mesh.shape) if self.mesh is not None else None),
         }

@@ -161,10 +161,14 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
                   port: int = 8000, max_batch: int = 64,
                   max_wait_ms: float = 5.0,
                   compute_dtype: Optional[str] = None,
-                  warmup: bool = True):
+                  warmup: bool = True, mesh=None):
     """Blocking entry point used by the CLI."""
+    if mesh == "auto":
+        from ..parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     engine = InferenceEngine(model, tokenizer, max_batch=max_batch,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, mesh=mesh)
     if warmup:
         engine.warmup(log=lambda m: print(m, flush=True))
     app = ServeApp(engine, max_wait_ms=max_wait_ms)

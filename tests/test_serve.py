@@ -336,3 +336,66 @@ class TestReviewFixes:
             httpd.shutdown()
             httpd.server_close()
             app.close()
+
+
+class TestMeshServing:
+    """DP serving over the 8-device virtual CPU mesh."""
+
+    @pytest.fixture(scope="class")
+    def mesh_engine(self, engine):
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        mesh = create_mesh((8, 1))
+        return InferenceEngine(engine.model, engine.tokenizer, max_batch=16,
+                               mesh=mesh)
+
+    def test_min_bucket_is_data_size(self, mesh_engine):
+        assert mesh_engine.min_bucket == 8
+
+    def test_matches_single_device(self, engine, mesh_engine, rng):
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(11)]  # pads to bucket 16 on the mesh
+        single = engine.embed_image_arrays(imgs)
+        sharded = mesh_engine.embed_image_arrays(imgs)
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+    def test_text_matches_single_device(self, engine, mesh_engine):
+        toks = list(engine.tokenize(["the", "the the", "the the the"]))
+        np.testing.assert_allclose(
+            mesh_engine.embed_token_arrays(toks),
+            engine.embed_token_arrays(toks), rtol=1e-5, atol=1e-6)
+
+    def test_warmup_and_http(self, mesh_engine, rng):
+        mesh_engine.warmup()
+        app = ServeApp(mesh_engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                info = json.loads(r.read())
+            assert info["mesh"] == {"data": 8, "model": 1}
+            b64 = base64.b64encode(_jpeg_bytes(rng)).decode()
+            req = urllib.request.Request(
+                base + "/v1/embed/image",
+                data=json.dumps({"images_b64": [b64]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                out = json.loads(r.read())
+            assert np.asarray(out["embeddings"]).shape == (1, 16)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            app.close()
+
+    def test_non_pow2_data_axis_rejected(self, engine):
+        import jax as j
+        from jax.sharding import Mesh
+
+        devs = np.asarray(j.devices()[:6]).reshape(6, 1)
+        bad = Mesh(devs, ("data", "model"))
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        with pytest.raises(ValueError, match="power of two"):
+            InferenceEngine(engine.model, engine.tokenizer, mesh=bad)
