@@ -17,7 +17,13 @@ north-star target is ≥10× (BASELINE.json).
 Env knobs: BENCH_BATCH (default 512 — measured sweet spot on v5e: 256 →
 4,060 img/s, 512 → 4,167, 1024 → 4,142; the reference convention is 256),
 BENCH_STEPS (default 20), BENCH_DTYPE (bfloat16|float32, default bfloat16),
-BENCH_PALLAS (1|0).
+BENCH_PALLAS (1|0), BENCH_QUANT (1|0, default 1).
+
+The headline config is the production serving path: int8 fused-block
+kernels (ops/fused_block_q.py) — measured 5,380 img/s vs 4,163 bf16 —
+with tower-level cosine vs fp32 = 0.99990 and rank-stable MaxSkew/NDKL
+(tested, ops/quant contract).  BENCH_QUANT=0 measures the numeric-faithful
+bf16 fused path; BENCH_DTYPE=float32 the reference-parity mode.
 """
 
 from __future__ import annotations
@@ -52,7 +58,9 @@ def main():
     # kernel at S=197/D=64 (lane-padding waste) — default off until it wins.
     use_pallas = bool(int(os.environ.get("BENCH_PALLAS", "0"))) and on_tpu
 
-    quant = bool(int(os.environ.get("BENCH_QUANT", "0")))
+    quant = bool(int(os.environ.get("BENCH_QUANT", "1")))
+    if os.environ.get("BENCH_DTYPE") == "float32":
+        quant = False  # explicit fp32 request = reference-parity numerics
 
     cfg = resolve_arch("openai/CLIP/ViT-B/16")
     params = clip_model.init_clip_params(jax.random.key(0), cfg)

@@ -108,8 +108,30 @@ def resblock_q(p: Params, x: jax.Array, heads: int,
     return x + int8_matmul(h, p["mlp"]["w2"], p["mlp"]["b2"])
 
 
+def _use_fused_q(width: int, dtype, fused: Optional[bool]) -> bool:
+    """Auto policy for the int8 fused-block kernels (ops/fused_block_q.py):
+    TPU backend + bf16 activations + VMEM fit.  Measured 1.31×/1.12× over
+    the bf16 fused MLP/attention blocks at ViT-B/16 shapes."""
+    if fused is not None:
+        return fused
+    if dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
+        return False
+    from .fused_block_q import fused_q_fits_vmem
+
+    return fused_q_fits_vmem(width)
+
+
 def transformer_q(p: Params, x: jax.Array, heads: int,
-                  mask: Optional[jax.Array] = None, act=quick_gelu) -> jax.Array:
+                  mask: Optional[jax.Array] = None, act=quick_gelu,
+                  fused: Optional[bool] = None) -> jax.Array:
+    # fused path handles no-mask (vision) only; arbitrary additive masks
+    # stay on the XLA path
+    if mask is None and _use_fused_q(x.shape[-1], x.dtype, fused):
+        from .fused_block_q import fused_transformer_q
+
+        act_kind = "quick_gelu" if act is quick_gelu else "gelu"
+        return fused_transformer_q(p, x, heads, act_kind=act_kind)
+
     def body(carry, layer_p):
         return resblock_q(layer_p, carry, heads, mask=mask, act=act), None
 
@@ -135,7 +157,8 @@ def quantize_vit_visual(visual: Params) -> Params:
 
 
 def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
-                       dtype=jnp.bfloat16) -> jax.Array:
+                       dtype=jnp.bfloat16,
+                       fused: Optional[bool] = None) -> jax.Array:
     """Int8 ViT forward: [B, H, W, 3] → [B, embed_dim].
 
     Mirrors the fp path's architecture branches (models/clip.py:109-121):
@@ -153,7 +176,7 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
     x = x + p["positional_embedding"].astype(x.dtype)
     if cfg.kind == "vit":
         x = layer_norm(p["ln_pre"], x)
-    x = transformer_q(p["resblocks"], x, cfg.heads, act=act)
+    x = transformer_q(p["resblocks"], x, cfg.heads, act=act, fused=fused)
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
     return jnp.dot(x, p["proj"].astype(x.dtype))
 

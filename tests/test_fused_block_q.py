@@ -1,0 +1,110 @@
+"""Int8 fused transformer-block kernels (ops/fused_block_q.py):
+interpret-mode equivalence vs the XLA int8 path, accuracy vs fp32, F-split
+consistency, causal variant, and the auto policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debias_vision_lang_tpu.models.layers import (
+    causal_mask, init_resblocks, resblock, transformer)
+from debias_vision_lang_tpu.ops.fused_block_q import (
+    fused_q_fits_vmem, fused_resblock_q, fused_transformer_q, mlp_block_q)
+from debias_vision_lang_tpu.ops.quant import (
+    _use_fused_q, quantize_resblocks, resblock_q, transformer_q)
+
+B, S, D, H, L = 4, 13, 32, 2, 3
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    return init_resblocks(jax.random.key(0), L, D)
+
+
+@pytest.fixture(scope="module")
+def stacked_q(stacked):
+    return quantize_resblocks(stacked)
+
+
+@pytest.fixture(scope="module")
+def x():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+
+
+class TestEquivalence:
+    def test_block_close_to_xla_int8(self, stacked, stacked_q, x):
+        """Same quantized weights + same dynamic activation scheme — the
+        kernel and ops/quant.resblock_q differ only in fp op order (the
+        kernel LNs/dequantizes in f32 where the XLA path works in x.dtype),
+        so agreement is tight but not bit-exact."""
+        layer0 = jax.tree.map(lambda a: a[0], stacked_q)
+        ref = np.asarray(resblock_q(layer0, x, H), np.float32)
+        got = np.asarray(fused_resblock_q(layer0, x, H, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, atol=5e-3)
+        cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+        assert cos > 0.99999
+
+    def test_tower_close_to_fp32(self, stacked, stacked_q, x):
+        """Quantization error bound across the full L-layer tower."""
+        ref = np.asarray(transformer(stacked, x, H, use_pallas=False),
+                         np.float32)
+        got = np.asarray(fused_transformer_q(stacked_q, x, H, interpret=True),
+                         np.float32)
+        cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+        assert cos > 0.999
+
+    def test_fsplit_within_quant_error(self, stacked_q, x):
+        """fb < F quantizes the hidden activation per F-tile (documented
+        semantic relaxation) — split and unsplit agree within quantization
+        error, not bit-exactly."""
+        layer0 = jax.tree.map(lambda a: a[0], stacked_q)
+        m = layer0["mlp"]
+        args = (x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+                m["w1"]["q"], m["w1"]["scale"], m["b1"],
+                m["w2"]["q"], m["w2"]["scale"], m["b2"])
+        full = np.asarray(mlp_block_q(*args, fb=4 * D, interpret=True),
+                          np.float32)
+        split = np.asarray(mlp_block_q(*args, fb=2 * D, interpret=True),
+                           np.float32)
+        cos = (full * split).sum() / (
+            np.linalg.norm(full) * np.linalg.norm(split))
+        assert cos > 0.99999
+        np.testing.assert_allclose(split, full, atol=5e-2)
+
+    def test_causal_variant(self, stacked, stacked_q, x):
+        """In-kernel iota mask == XLA additive causal mask (int8 path)."""
+        layer0_q = jax.tree.map(lambda a: a[0], stacked_q)
+        ref = np.asarray(
+            resblock_q(layer0_q, x, H, mask=causal_mask(S)), np.float32)
+        got = np.asarray(
+            fused_resblock_q(layer0_q, x, H, causal=True, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, atol=5e-3)
+
+    def test_bf16_activations(self, stacked_q, x):
+        got = np.asarray(fused_transformer_q(
+            stacked_q, x.astype(jnp.bfloat16), H, interpret=True), np.float32)
+        assert np.isfinite(got).all()
+
+
+class TestPolicy:
+    def test_gate_off_on_cpu(self):
+        assert _use_fused_q(768, jnp.bfloat16, None) is False  # cpu backend
+
+    def test_gate_explicit_override(self):
+        assert _use_fused_q(768, jnp.float32, True) is True
+        assert _use_fused_q(768, jnp.bfloat16, False) is False
+
+    def test_vmem_fit_all_archs(self):
+        for width in (768, 1024, 640, 512):  # ViT-B/L, RN attnpool widths
+            assert fused_q_fits_vmem(width)
+
+    def test_transformer_q_fused_kwarg_interpret(self, stacked_q, x):
+        """fused=True forces the kernel path (interpret impossible to pass
+        through transformer_q — exercise the dispatch shim on CPU via
+        fused_transformer_q directly; here just check fused=False works)."""
+        out = transformer_q(stacked_q, x, H, fused=False)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
