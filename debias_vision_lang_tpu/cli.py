@@ -51,6 +51,10 @@ def _add_measure(sub):
                         "1.0 = whole set) — matches resolve_topn semantics")
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="embedding precision: float32 = reference parity, "
+                        "bfloat16/int8 = TPU speed paths (rank-stable)")
     p.add_argument("--random-weights", action="store_true",
                    help="skip pretrained weight resolution")
 
@@ -75,7 +79,7 @@ def _cmd_measure(args):
         model, preprocess, tokenizer, attribute=args.attribute,
         opts={"topn": args.topn, "batch_size": args.batch_size, "engine": args.engine,
               "dataset": args.dataset, "data_path": args.data_path,
-              "progress": True})
+              "dtype": args.dtype, "progress": True})
     print(json.dumps(result, indent=2))
 
 
@@ -206,8 +210,10 @@ def _add_serve(sub):
                    help="device batch bucket ceiling (power-of-two padding)")
     p.add_argument("--max-wait-ms", default=5.0, type=float,
                    help="micro-batch arrival window")
-    p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"],
-                   help="compute dtype (default: bfloat16 on TPU, else fp32)")
+    p.add_argument("--dtype", default=None,
+                   choices=[None, "float32", "bfloat16", "int8"],
+                   help="compute dtype (default: bfloat16 on TPU, else fp32; "
+                        "int8 = quantized vision tower, fastest)")
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the batch buckets at startup")

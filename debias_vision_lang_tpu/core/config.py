@@ -158,7 +158,8 @@ class EvalConfig:
     # "oracle" = numpy/pandas transliteration; "tpu" = jitted vectorized path
     engine: str = "tpu"
     # embedding compute precision: "float32" (reference-parity) | "bfloat16"
-    # (TPU speed path; rank metrics are stable under the precision change)
+    # (TPU speed path) | "int8" (fastest — quantized vision tower via the
+    # int8 fused kernels; rank metrics are stable under both, tested)
     dtype: str = "float32"
 
 

@@ -186,11 +186,17 @@ class QuantizedCLIP:
     319 prompts encode once; images are the hot loop)."""
 
     def __init__(self, base):
-        if base.cfg.vision.kind not in ("vit", "slip_vit"):
+        # both bundle flavors: CLIP (.cfg/.params) and DebiasCLIP
+        # (.clip_cfg/.clip_params — text side keeps the prompt array)
+        cfg = getattr(base, "cfg", None) or base.clip_cfg
+        params = getattr(base, "params", None)
+        if params is None:
+            params = base.clip_params
+        if cfg.vision.kind not in ("vit", "slip_vit"):
             raise NotImplementedError("int8 path currently supports ViT towers")
         self.base = base
-        self.cfg = base.cfg
-        self.visual_q = quantize_vit_visual(base.params["visual"])
+        self.cfg = cfg
+        self.visual_q = quantize_vit_visual(params["visual"])
 
     def encode_image(self, images, **kw):
         kw.pop("use_pallas", None)
@@ -216,6 +222,6 @@ def _rebuild_quantized(children):
     base, visual_q = children
     obj = QuantizedCLIP.__new__(QuantizedCLIP)
     obj.base = base
-    obj.cfg = base.cfg
+    obj.cfg = getattr(base, "cfg", None) or base.clip_cfg
     obj.visual_q = visual_q
     return obj

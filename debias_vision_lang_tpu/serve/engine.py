@@ -34,6 +34,16 @@ def _pow2_ceil(n: int) -> int:
     return b
 
 
+def _logit_scale(model):
+    ls = getattr(model, "logit_scale", None)
+    if ls is not None:
+        return ls
+    params = getattr(model, "clip_params", None)
+    if params is None:
+        params = model.params
+    return params["logit_scale"]
+
+
 def _next_bucket(n: int, max_batch: int) -> int:
     """Smallest power-of-two bucket holding n (callers chunk to max_batch,
     which __init__ normalizes to a power of two, so this never exceeds it)."""
@@ -99,10 +109,18 @@ class InferenceEngine:
         shard_map (the fused-block pallas calls stay per-chip, same pattern
         as eval/measure.py's DP embed).  Bucket sizes then start at the
         data-axis size, which must be a power of two."""
+        self.precision = str(compute_dtype) if compute_dtype else "auto"
+        if compute_dtype == "int8":
+            # quantized vision tower (ops/quant + int8 fused kernels on TPU);
+            # activations ride bf16 between blocks
+            from ..ops.quant import QuantizedCLIP
+
+            if not isinstance(model, QuantizedCLIP):
+                model = QuantizedCLIP(model)
+            compute_dtype = "bfloat16"
         self.model = model
         self.tokenizer = tokenizer
-        # both bundle flavors: DebiasCLIP (.clip_cfg/.clip_params) and
-        # vanilla CLIP (.cfg/.params)
+        # bundle flavors: DebiasCLIP (.clip_cfg), CLIP/QuantizedCLIP (.cfg)
         cfg = getattr(model, "clip_cfg", None) or model.cfg
         self.cfg = cfg
         self.n_px = cfg.vision.image_size
@@ -238,10 +256,7 @@ class InferenceEngine:
         reference: README.md:57-64): [N_img, N_txt] probabilities."""
         img = image_embs / np.linalg.norm(image_embs, axis=-1, keepdims=True)
         txt = text_embs / np.linalg.norm(text_embs, axis=-1, keepdims=True)
-        params = getattr(self.model, "clip_params", None)
-        if params is None:
-            params = self.model.params
-        scale = float(np.exp(np.asarray(params["logit_scale"])))
+        scale = float(np.exp(np.asarray(_logit_scale(self.model))))
         logits = scale * img @ txt.T
         e = np.exp(logits - logits.max(-1, keepdims=True))
         return e / e.sum(-1, keepdims=True)
@@ -253,6 +268,7 @@ class InferenceEngine:
             "embed_dim": self.embed_dim,
             "context_length": self.context_length,
             "compute_dtype": str(self.compute_dtype),
+            "precision": self.precision,
             "max_batch": self.max_batch,
             "backend": jax.default_backend(),
             "has_tokenizer": self.tokenizer is not None,

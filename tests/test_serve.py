@@ -399,3 +399,25 @@ class TestMeshServing:
 
         with pytest.raises(ValueError, match="power of two"):
             InferenceEngine(engine.model, engine.tokenizer, mesh=bad)
+
+
+class TestInt8Serving:
+    def test_int8_engine(self, engine, rng):
+        """compute_dtype='int8' wraps the vision tower in QuantizedCLIP;
+        embeddings close to the fp engine (rank-stable contract)."""
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        e8 = InferenceEngine(engine.model, engine.tokenizer, max_batch=8,
+                             compute_dtype="int8")
+        assert e8.info()["precision"] == "int8"
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(3)]
+        out8 = e8.embed_image_arrays(imgs)
+        ref = engine.embed_image_arrays(imgs)
+        cos = np.sum(out8 * ref, -1) / (
+            np.linalg.norm(out8, axis=-1) * np.linalg.norm(ref, axis=-1))
+        assert cos.min() > 0.98  # tiny random tower, int8 rounding
+        # text path delegates to the fp tower and score still works
+        txt = e8.embed_token_arrays(list(e8.tokenize(["the", "the the"])))
+        probs = e8.score(out8, txt)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
