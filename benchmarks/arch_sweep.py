@@ -29,7 +29,7 @@ DEFAULT_ARCHS = [
 ]
 
 
-def bench_arch(arch: str, batch: int, iters: int = 10):
+def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +41,25 @@ def bench_arch(arch: str, batch: int, iters: int = 10):
     n_px = cfg.vision.image_size
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
-    @jax.jit
-    def embed(p, images_u8):
-        x = preprocess_batch(images_u8, n_px)
-        return clip_model.encode_image(p, x, cfg,
-                                       dtype=jnp.bfloat16).astype(jnp.float32)
+    if quant:  # int8 fused path (ViT towers only)
+        from debias_vision_lang_tpu.ops.quant import (
+            encode_image_vit_q, quantize_vit_visual)
+
+        if cfg.vision.kind not in ("vit", "slip_vit"):
+            print(f"{arch:24s} int8: n/a (conv tower)")
+            return None
+        params = quantize_vit_visual(params["visual"])
+
+        @jax.jit
+        def embed(p, images_u8):
+            x = preprocess_batch(images_u8, n_px)
+            return encode_image_vit_q(p, x, cfg.vision).astype(jnp.float32)
+    else:
+        @jax.jit
+        def embed(p, images_u8):
+            x = preprocess_batch(images_u8, n_px)
+            return clip_model.encode_image(p, x, cfg,
+                                           dtype=jnp.bfloat16).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     bufs = [jax.device_put(jnp.asarray(
@@ -61,11 +75,12 @@ def bench_arch(arch: str, batch: int, iters: int = 10):
     dt = (time.perf_counter() - t0) / iters
     rate = batch / dt
     print(f"{arch:24s} n_px={n_px:3d}  {dt * 1e3:7.1f} ms/batch{batch}  "
-          f"{rate:8.1f} img/s/chip (bf16)")
+          f"{rate:8.1f} img/s/chip ({'int8' if quant else 'bf16'})")
     return rate
 
 
 def main():
+    quant = bool(int(os.environ.get("ARCH_SWEEP_QUANT", "0")))
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     archs = sys.argv[2:] or DEFAULT_ARCHS
     from debias_vision_lang_tpu.core.cache import enable_compilation_cache
@@ -73,7 +88,7 @@ def main():
     enable_compilation_cache()
     for arch in archs:
         try:
-            bench_arch(arch, batch)
+            bench_arch(arch, batch, quant=quant)
         except Exception as e:  # OOM at big res/batch: report, keep sweeping
             print(f"{arch:24s} FAILED: {type(e).__name__}: {str(e)[:100]}")
 
