@@ -87,8 +87,10 @@ def main():
     t32 = run("float32", batch)
     t16 = run("bfloat16", batch)
     tmx = run("bfloat16", batch, train_dtype="bfloat16")
+    tq8 = run("int8", batch, train_dtype="bfloat16")
     print(f"bf16 frozen embed:              {t32 / t16:.2f}x")
     print(f"+ bf16 mixed-precision train:   {t32 / tmx:.2f}x")
+    print(f"+ int8 frozen embed:            {t32 / tq8:.2f}x")
 
 
 if __name__ == "__main__":

@@ -179,8 +179,9 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     # Frozen image-tower compute precision: "float32" (reference-parity) |
     # "bfloat16" (TPU speed path — engages the fused-block kernels for the
-    # no-gradient embed pass; the differentiable prompt/adversary steps stay
-    # fp32 either way, so training dynamics see only the embedding rounding).
+    # no-gradient embed pass) | "int8" (fastest — quantized tower, ViT only).
+    # The differentiable prompt/adversary steps stay fp32 either way, so
+    # training dynamics see only the embedding rounding.
     embed_dtype: str = "float32"
     # Differentiable text-tower compute precision (mixed precision): the
     # forward/backward of the prompt-update steps run at this dtype while

@@ -135,19 +135,38 @@ def build_train_steps(
             use_pallas=use_pallas, dtype=train_dtype,
         ).astype(jnp.float32)
 
-    embed_dtype = jnp.dtype(getattr(train_cfg, "embed_dtype", "float32"))
+    embed_dtype_s = str(getattr(train_cfg, "embed_dtype", "float32"))
+    if embed_dtype_s == "int8":
+        # int8 frozen image tower: exact for training dynamics up to the
+        # embedding rounding (the pass takes no gradient).  Weights quantize
+        # ONCE inside jit from the cp argument — cp remains the single source
+        # of truth, so with-layers configs stay consistent.
+        from ..ops.quant import encode_image_vit_q, quantize_vit_visual
 
-    @jax.jit
-    def embed_images(cp, images: jax.Array) -> jax.Array:
-        """Frozen image tower (both batches use it; no gradient).
+        if clip_cfg.vision.kind not in ("vit", "slip_vit"):
+            raise NotImplementedError(
+                "embed_dtype='int8' supports ViT towers only")
 
-        Runs at ``train_cfg.embed_dtype`` — bfloat16 engages the fused-block
-        TPU kernels for this no-gradient pass; outputs are upcast to fp32
-        before entering the differentiable steps either way."""
-        return clip_model.encode_image(
-            jax.lax.stop_gradient(cp), images, clip_cfg, use_pallas=use_pallas,
-            dtype=embed_dtype,
-        ).astype(jnp.float32)
+        @jax.jit
+        def embed_images(cp, images: jax.Array) -> jax.Array:
+            visual_q = quantize_vit_visual(
+                jax.lax.stop_gradient(cp)["visual"])
+            return encode_image_vit_q(
+                visual_q, images, clip_cfg.vision).astype(jnp.float32)
+    else:
+        embed_dtype = jnp.dtype(embed_dtype_s)
+
+        @jax.jit
+        def embed_images(cp, images: jax.Array) -> jax.Array:
+            """Frozen image tower (both batches use it; no gradient).
+
+            Runs at ``train_cfg.embed_dtype`` — bfloat16 engages the
+            fused-block TPU kernels for this no-gradient pass; outputs are
+            upcast to fp32 before entering the differentiable steps."""
+            return clip_model.encode_image(
+                jax.lax.stop_gradient(cp), images, clip_cfg,
+                use_pallas=use_pallas, dtype=embed_dtype,
+            ).astype(jnp.float32)
 
     @jax.jit
     def eval_scores(cp, debias_tokens: jax.Array, image_embs: jax.Array) -> jax.Array:

@@ -299,3 +299,24 @@ class TestEmbedDtype:
         cos = float(np.sum(u32 * u16) /
                     (np.linalg.norm(u32) * np.linalg.norm(u16)))
         assert cos > 0.5
+
+    def test_int8_embed_dtype(self, setup):
+        """embed_dtype='int8': frozen tower quantizes in-jit from cp; full
+        step runs and embeddings stay close to fp32."""
+        model, adv, sens = setup
+        t8 = AdversarialTrainer.create(
+            model, adv, TrainConfig(embed_dtype="int8"), sens,
+            use_pallas=False)
+        t32 = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                        use_pallas=False)
+        rng = np.random.default_rng(8)
+        images, labels, cap_images, cap_tokens = _batch(rng)
+        e8 = np.asarray(t8.fns.embed_images(model.clip_params,
+                                            jnp.asarray(images)))
+        e32 = np.asarray(t32.fns.embed_images(model.clip_params,
+                                              jnp.asarray(images)))
+        cos = np.sum(e8 * e32, -1) / (
+            np.linalg.norm(e8, axis=-1) * np.linalg.norm(e32, axis=-1))
+        assert cos.min() > 0.97  # tiny random tower: int8+bf16 rounding
+        m = t8.step(images, labels, cap_images, cap_tokens)
+        assert np.isfinite(m["loss"]) and np.isfinite(m["adversary_bce"])
