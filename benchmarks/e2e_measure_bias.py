@@ -80,13 +80,14 @@ def main():
                        debias_cfg=dcfg)
     tok = ClipTokenizer([("t", "h"), ("th", "e</w>")], context_length=77)
 
+    dtype = os.environ.get("E2E_DTYPE", "bfloat16")
     t0 = time.perf_counter()
     out = measure_bias(model, Preprocess(), tok, "gender",
-                       opts={"data_path": root, "dtype": "bfloat16",
+                       opts={"data_path": root, "dtype": dtype,
                              "batch_size": 256})
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "n_images": n, "img_size": size,
+        "n_images": n, "img_size": size, "dtype": dtype,
         "wall_s_incl_compile": round(dt, 1),
         "img_per_s": round(n / dt, 1),
         "maxskew_eq_opp": out["maxskew"]["eq_opp"],
