@@ -42,10 +42,11 @@ Params = Dict[str, Any]
 def _quant_rows(x_f32):
     """Dynamic symmetric per-row int8: [..., d] → (int8, f32 scale [..., 1]).
 
-    Matches ops/quant.int8_matmul's activation quantization bit-for-bit
-    (same max/127 scale, same round+clip)."""
+    Matches ops/quant.int8_matmul's activation quantization bit-for-bit:
+    scale = max(amax/127, 1e-8) — the clamp applies to the SCALE (as in
+    int8_matmul), not to amax, so near-zero rows quantize identically."""
     amax = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
+    scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(x_f32 / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -246,5 +247,6 @@ def fused_transformer_q(stacked_q: Params, x: jax.Array, heads: int, *,
 
 def fused_q_fits_vmem(width: int) -> bool:
     """Int8 attention weights (Wqkv+Wo, 1 byte/elem) vs the VMEM budget —
-    4× laxer than the bf16 gate; every registered arch passes."""
+    2× laxer than the bf16 gate (1 vs 2 bytes/elem); every registered arch
+    passes."""
     return (3 * width + width) * width <= 12 * 1024 * 1024

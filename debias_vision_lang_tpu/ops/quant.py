@@ -23,6 +23,17 @@ import jax.numpy as jnp
 from ..models.layers import Params, layer_norm, quick_gelu
 
 
+def _bundle_cfg(base):
+    """CLIPConfig from either bundle flavor: CLIP (.cfg) / DebiasCLIP
+    (.clip_cfg)."""
+    return getattr(base, "cfg", None) or base.clip_cfg
+
+
+def _bundle_params(base):
+    params = getattr(base, "params", None)
+    return params if params is not None else base.clip_params
+
+
 def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
     """Symmetric per-output-channel int8 quantization.
 
@@ -121,15 +132,28 @@ def _use_fused_q(width: int, dtype, fused: Optional[bool]) -> bool:
     return fused_q_fits_vmem(width)
 
 
+def _fused_act_kind(act) -> Optional[str]:
+    """Map a recognized activation callable to the kernel's act_kind; None
+    for anything else (unknown callables must NOT be silently coerced —
+    the XLA path honors them, so fall back there)."""
+    if act is quick_gelu:
+        return "quick_gelu"
+    if (getattr(act, "func", None) is jax.nn.gelu
+            and act.keywords.get("approximate") is False):
+        return "gelu"
+    return None
+
+
 def transformer_q(p: Params, x: jax.Array, heads: int,
                   mask: Optional[jax.Array] = None, act=quick_gelu,
                   fused: Optional[bool] = None) -> jax.Array:
-    # fused path handles no-mask (vision) only; arbitrary additive masks
-    # stay on the XLA path
-    if mask is None and _use_fused_q(x.shape[-1], x.dtype, fused):
+    # fused path handles no-mask (vision) + recognized activations only;
+    # arbitrary masks/activations stay on the XLA path (which honors them)
+    act_kind = _fused_act_kind(act)
+    if (mask is None and act_kind is not None
+            and _use_fused_q(x.shape[-1], x.dtype, fused)):
         from .fused_block_q import fused_transformer_q
 
-        act_kind = "quick_gelu" if act is quick_gelu else "gelu"
         return fused_transformer_q(p, x, heads, act_kind=act_kind)
 
     def body(carry, layer_p):
@@ -163,11 +187,16 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
 
     Mirrors the fp path's architecture branches (models/clip.py:109-121):
     SLIP's timm-style tower has no pre-LN and uses plain GELU."""
+    import functools
+
     p = params_q
     b, hh, ww, c = images.shape
     patch = cfg.patch_size
     gh, gw = hh // patch, ww // patch
-    act = quick_gelu if cfg.kind == "vit" else jax.nn.gelu
+    # slip_vit (timm tower) uses EXACT erf GELU, matching models/clip.py's
+    # fp path and the fused kernel — NOT jax.nn.gelu's tanh default
+    act = (quick_gelu if cfg.kind == "vit"
+           else functools.partial(jax.nn.gelu, approximate=False))
     x = images.astype(dtype).reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
     x = int8_matmul(x, p["conv1"])
@@ -186,17 +215,12 @@ class QuantizedCLIP:
     319 prompts encode once; images are the hot loop)."""
 
     def __init__(self, base):
-        # both bundle flavors: CLIP (.cfg/.params) and DebiasCLIP
-        # (.clip_cfg/.clip_params — text side keeps the prompt array)
-        cfg = getattr(base, "cfg", None) or base.clip_cfg
-        params = getattr(base, "params", None)
-        if params is None:
-            params = base.clip_params
+        cfg = _bundle_cfg(base)
         if cfg.vision.kind not in ("vit", "slip_vit"):
             raise NotImplementedError("int8 path currently supports ViT towers")
         self.base = base
         self.cfg = cfg
-        self.visual_q = quantize_vit_visual(params["visual"])
+        self.visual_q = quantize_vit_visual(_bundle_params(base)["visual"])
 
     def encode_image(self, images, **kw):
         kw.pop("use_pallas", None)
@@ -222,6 +246,17 @@ def _rebuild_quantized(children):
     base, visual_q = children
     obj = QuantizedCLIP.__new__(QuantizedCLIP)
     obj.base = base
-    obj.cfg = getattr(base, "cfg", None) or base.clip_cfg
+    obj.cfg = _bundle_cfg(base)
     obj.visual_q = visual_q
     return obj
+
+
+def quantize_for_inference(model):
+    """The int8-inference wrap policy, shared by the eval pipeline and the
+    serving engine: wrap the bundle in QuantizedCLIP (idempotent) and return
+    the activation compute dtype to run between blocks.
+
+    Returns ``(wrapped_model, "bfloat16")``."""
+    if not isinstance(model, QuantizedCLIP):
+        model = QuantizedCLIP(model)
+    return model, "bfloat16"

@@ -111,13 +111,10 @@ class InferenceEngine:
         data-axis size, which must be a power of two."""
         self.precision = str(compute_dtype) if compute_dtype else "auto"
         if compute_dtype == "int8":
-            # quantized vision tower (ops/quant + int8 fused kernels on TPU);
-            # activations ride bf16 between blocks
-            from ..ops.quant import QuantizedCLIP
+            # quantized vision tower (ops/quant + int8 fused kernels on TPU)
+            from ..ops.quant import quantize_for_inference
 
-            if not isinstance(model, QuantizedCLIP):
-                model = QuantizedCLIP(model)
-            compute_dtype = "bfloat16"
+            model, compute_dtype = quantize_for_inference(model)
         self.model = model
         self.tokenizer = tokenizer
         # bundle flavors: DebiasCLIP (.clip_cfg), CLIP/QuantizedCLIP (.cfg)
