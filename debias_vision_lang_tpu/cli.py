@@ -147,6 +147,9 @@ def _add_zero_shot(sub):
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--imagenet-protocol", action="store_true",
                    help="use the full 80-template OpenAI ImageNet protocol")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="vision-tower precision (int8 = quantized, fastest)")
 
 
 def _cmd_zero_shot(args):
@@ -196,7 +199,7 @@ def _cmd_zero_shot(args):
 
         kw["templates"] = imagenet_templates()
     acc = zero_shot_accuracy(model, tokenizer, loader, ds.class_names,
-                             progress=True, **kw)
+                             progress=True, dtype=args.dtype, **kw)
     print(json.dumps(acc, indent=2))
 
 

@@ -90,16 +90,32 @@ def zero_shot_accuracy(
     n_px: int = 224,
     mesh=None,
     progress: bool = False,
+    dtype: str = "float32",
 ) -> Dict[str, float]:
-    """Top-1/top-5 zero-shot accuracy over a HostLoader of labeled images."""
+    """Top-1/top-5 zero-shot accuracy over a HostLoader of labeled images.
+
+    ``dtype``: "float32" | "bfloat16" | "int8" (quantized vision tower —
+    the classifier itself always builds at full precision)."""
     from ..vision.preprocess import preprocess_batch
 
+    # classifier from the UNquantized text tower, before any wrapping
     classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
+
+    if dtype == "int8":
+        from ..ops.quant import quantize_for_inference
+
+        model, act = quantize_for_inference(model)
+        compute_dtype = jnp.dtype(act)
+    elif dtype in ("bfloat16", "float32"):
+        compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    else:
+        raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
+                         "'bfloat16', or 'int8'")
 
     @jax.jit
     def step(m, clf, images_u8):
         x = preprocess_batch(images_u8, n_px)
-        emb = m.encode_image(x).astype(jnp.float32)
+        emb = m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
         return classify(emb, clf, top_k=5)
 
     it = loader
