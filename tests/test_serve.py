@@ -421,3 +421,19 @@ class TestInt8Serving:
         txt = e8.embed_token_arrays(list(e8.tokenize(["the", "the the"])))
         probs = e8.score(out8, txt)
         np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    def test_int8_with_mesh(self, engine, rng):
+        """int8 engine composes with DP mesh serving (QuantizedCLIP pytree
+        replicates; batches shard)."""
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        mesh = create_mesh((8, 1))
+        e = InferenceEngine(engine.model, engine.tokenizer, max_batch=16,
+                            compute_dtype="int8", mesh=mesh)
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(11)]
+        out = e.embed_image_arrays(imgs)
+        single = InferenceEngine(engine.model, engine.tokenizer, max_batch=16,
+                                 compute_dtype="int8").embed_image_arrays(imgs)
+        np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
