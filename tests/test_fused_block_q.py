@@ -108,3 +108,23 @@ class TestPolicy:
         fused_transformer_q directly; here just check fused=False works)."""
         out = transformer_q(stacked_q, x, H, fused=False)
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestShapeSweep:
+    """Kernel correctness across arch-like shapes (interpret mode)."""
+
+    @pytest.mark.parametrize("d,heads,s", [
+        (32, 2, 13),    # tiny / odd S
+        (64, 4, 8),     # larger head count
+        (48, 3, 16),    # non-pow2 width, odd heads
+    ])
+    def test_block_vs_xla_int8(self, d, heads, s):
+        stacked = init_resblocks(jax.random.key(d), 1, d)
+        sq = quantize_resblocks(stacked)
+        layer0 = jax.tree.map(lambda a: a[0], sq)
+        rng = np.random.default_rng(d)
+        x = jnp.asarray(rng.normal(size=(2, s, d)).astype(np.float32))
+        ref = np.asarray(resblock_q(layer0, x, heads), np.float32)
+        got = np.asarray(fused_resblock_q(layer0, x, heads, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, atol=5e-3)
