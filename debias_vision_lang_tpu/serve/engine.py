@@ -270,4 +270,23 @@ class InferenceEngine:
             "backend": jax.default_backend(),
             "has_tokenizer": self.tokenizer is not None,
             "mesh": (dict(self.mesh.shape) if self.mesh is not None else None),
+            "device_memory": _device_memory(),
         }
+
+
+def _device_memory():
+    """Per-device HBM usage when the backend exposes it (TPU does; CPU
+    returns None entries)."""
+    out = []
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out.append({
+                "device": str(dev),
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            })
+    return out or None
