@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -170,10 +170,6 @@ def attention_block_hgrid(x, ln_scale, ln_bias, wqkv_h, bqkv_h, wo_h, bo, *,
         scratch_shapes=[pltpu.VMEM((bb, s, d), x.dtype),
                         pltpu.VMEM((bb, s, d), jnp.float32)],
     )(x, _row(ln_scale), _row(ln_bias), wqkv_h, bqkv_h[:, None, :], wo_h, _row(bo))
-
-
-def _hgrid_kernel_wrap(kern_ref_fix):
-    pass
 
 
 # ---------------------------------------------------------------- harness

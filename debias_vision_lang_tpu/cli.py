@@ -233,7 +233,14 @@ def _cmd_serve(args):
         from .text.tokenizer import load_tokenizer
 
         model, _ = load(args.model[4:])
-        tokenizer = load_tokenizer()
+        try:
+            tokenizer = load_tokenizer()
+        except FileNotFoundError as e:
+            # degrade like the registry path: image endpoints still serve,
+            # text endpoints report the missing vocab per request
+            print(f"warning: no tokenizer ({e}); text endpoints disabled",
+                  file=sys.stderr)
+            tokenizer = None
     else:
         from .models.loader import model_loader
 

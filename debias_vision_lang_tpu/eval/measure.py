@@ -43,7 +43,11 @@ from ..vision.preprocess import Preprocess, preprocess_batch
 def gen_prompts(prompt_path=None) -> List[str]:
     """Evaluation prompt set: every non-blank template × every concept
     (11 × 29 = 319 for the shipped CSV; reference: measuring_bias.py:122-133)."""
-    raw = pd.read_csv(prompt_path or PROMPT_DATA_PATH, keep_default_na=False)
+    if prompt_path is None:
+        from ..core.paths import resolve_asset
+
+        prompt_path = resolve_asset("prompt_templates.csv")
+    raw = pd.read_csv(prompt_path, keep_default_na=False)
     templates = [str(t).strip() for t in raw["template"].tolist()]
     concepts = [str(c).strip() for c in raw["concept"].tolist()]
     return [t.format(c) for t in templates if t for c in concepts]
@@ -94,23 +98,16 @@ def _embed_step_pre(model, images_f32, compute_dtype):
 
 @functools.cache
 def _embed_step_sharded(mesh, n_px: int, compute_dtype, pre: bool):
-    """DP embed step as an explicit shard_map over the data axis.
-
-    Plain jit-with-shardings would hand GSPMD a pallas custom call (the
-    fused-block kernels) that it cannot partition — it would all-gather the
-    batch onto every chip.  shard_map gives each device its local block, so
-    the fused path stays per-chip.  Model params are replicated."""
-    from jax.sharding import PartitionSpec as P
+    """DP embed step over the data axis (parallel.mesh.dp_shard_map — the
+    shard_map pattern that keeps the fused pallas kernels per-chip)."""
+    from ..parallel.mesh import dp_shard_map
 
     def local(model, images):
         if pre:
             return _embed_step_pre(model, images, compute_dtype)
         return _embed_step(model, images, n_px, compute_dtype)
 
-    return jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P("data")), out_specs=P("data"),
-        check_vma=False))
+    return dp_shard_map(mesh, local)
 
 
 def get_labels_img_embeddings(
@@ -154,10 +151,18 @@ def get_labels_img_embeddings(
         pre = host_transform is not None
         imgs = (np.stack([host_transform(im) for im in batch.images])
                 if pre else batch.images)
-        if mesh is not None and imgs.shape[0] % mesh.shape["data"] == 0:
+        if mesh is not None:
+            # ragged tail: pad to a multiple of the data-axis size and slice
+            # the pad rows back off — NEVER silently fall back to one chip
+            n_real = imgs.shape[0]
+            d_sz = int(mesh.shape["data"])
+            rem = n_real % d_sz
+            if rem:
+                pad = np.zeros((d_sz - rem,) + imgs.shape[1:], imgs.dtype)
+                imgs = np.concatenate([np.asarray(imgs), pad])
             imgs = shard_batch_arrays(mesh, imgs)
             emb = _embed_step_sharded(mesh, n_px, compute_dtype, pre)(
-                model, imgs)
+                model, imgs)[:n_real]
         elif pre:
             emb = _embed_step_pre(model, imgs, compute_dtype)
         else:

@@ -50,12 +50,20 @@ def ensure_built(force: bool = False) -> str:
     if (not force and os.path.exists(so)
             and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
         return so
+    # per-process tmp name: two processes building concurrently must not
+    # interleave g++ output into one file (os.replace is atomic, so the
+    # last finisher wins with a COMPLETE library either way)
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-ljpeg", "-lpng", "-lpthread", "-o", so + ".tmp"]
+           "-ljpeg", "-lpng", "-lpthread", "-o", tmp]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         raise RuntimeError(f"native ingest build failed:\n{proc.stderr[-2000:]}")
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
     return so
 
 

@@ -61,6 +61,24 @@ def replicate_params(params, mesh: Mesh):
     return jax.device_put(params, sharding)
 
 
+def dp_shard_map(mesh: Mesh, fn):
+    """jit(shard_map) data-parallel wrapper: replicated first argument
+    (model/params pytree), batch-sharded second argument and output.
+
+    This is THE pattern for running the fused-block pallas kernels under a
+    mesh: GSPMD cannot partition a pallas custom call (plain jit with
+    shardings would all-gather the batch onto every chip), so shard_map
+    hands each device its local block.  ``check_vma=False`` because the
+    local fn may contain nested jits.  Used by the eval embed path, the
+    serving engine, and the trainer's frozen embed."""
+    from jax.sharding import PartitionSpec
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(DATA_AXIS)),
+        out_specs=PartitionSpec(DATA_AXIS), check_vma=False))
+
+
 def shard_batch_arrays(mesh: Mesh, *arrays):
     """device_put each array with its batch dim sharded over ``data``.
 

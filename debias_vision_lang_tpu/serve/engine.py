@@ -63,17 +63,14 @@ def _embed_texts(model, tokens, compute_dtype):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_embed(mesh, inner, compute_dtype):
-    """DP wrapper: shard the batch over the mesh's data axis via shard_map
-    (GSPMD cannot partition the fused-block pallas custom calls — shard_map
-    keeps them per-chip; same pattern as eval/measure.py)."""
-    from jax.sharding import PartitionSpec as P
+    """DP wrapper over the data axis (parallel.mesh.dp_shard_map — keeps
+    the fused pallas kernels per-chip)."""
+    from ..parallel.mesh import dp_shard_map
 
     def local(model, batch):
         return inner(model, batch, compute_dtype)
 
-    return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
-        check_vma=False))
+    return dp_shard_map(mesh, local)
 
 
 def decode_image_bytes(data: bytes) -> np.ndarray:

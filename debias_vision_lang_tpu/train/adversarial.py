@@ -378,18 +378,15 @@ class AdversarialTrainer:
             train_cfg, sensitive_tokens, use_pallas=use_pallas,
         )
         if mesh is not None:
-            # DP embed as an explicit shard_map (mirrors eval/measure.py's
-            # _embed_step_sharded): GSPMD cannot partition the fused-block
-            # pallas custom call, so give each chip its local batch block.
-            from jax.sharding import PartitionSpec as P
+            # DP embed over the data axis (parallel.mesh.dp_shard_map —
+            # keeps the fused pallas kernels per-chip)
+            from ..parallel.mesh import dp_shard_map
 
             inner_embed = fns.embed_images
             fns = dataclasses.replace(
                 fns,
-                embed_images=jax.jit(jax.shard_map(
-                    lambda cp, images: inner_embed(cp, images), mesh=mesh,
-                    in_specs=(P(), P("data")), out_specs=P("data"),
-                    check_vma=False)))
+                embed_images=dp_shard_map(
+                    mesh, lambda cp, images: inner_embed(cp, images)))
         dcfg = model.debias_cfg
         trains_layers = (dcfg.n_train_text_layers > 0
                          or dcfg.n_train_vid_layers > 0

@@ -196,3 +196,33 @@ class TestShardedRankingMetrics:
         nd_sh = sharded_eval_ranking(labels, img, prm, "ndkl", 3, mesh)
         nd = oracle.ndkl(img @ prm[0], labels, 3)
         np.testing.assert_allclose(nd_sh["eq_opp"], nd["ndkl_eq_opp"], atol=1e-4)
+
+
+class TestRaggedMeshEmbed:
+    def test_non_divisible_batch_stays_sharded(self, tiny_clip):
+        """get_labels_img_embeddings with a mesh and batch % data_size != 0
+        pads to the mesh and slices back — identical to single-device, never
+        a silent one-chip fallback."""
+        from debias_vision_lang_tpu.eval.measure import (
+            get_labels_img_embeddings)
+        from debias_vision_lang_tpu.models.loader import CLIP
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+        rng = np.random.default_rng(3)
+
+        class Batch:
+            def __init__(self, images, labels):
+                self.images = images
+                self.labels = labels
+                self.num_valid = len(labels)
+
+        batches = [Batch(rng.integers(0, 256, (10, 32, 32, 3), np.uint8),
+                         np.arange(10) % 2) for _ in range(2)]  # 10 % 8 != 0
+
+        labels_s, emb_s = get_labels_img_embeddings(
+            batches, model, n_px=32, mesh=create_mesh())
+        labels_1, emb_1 = get_labels_img_embeddings(batches, model, n_px=32)
+        np.testing.assert_array_equal(labels_s, labels_1)
+        np.testing.assert_allclose(np.asarray(emb_s), np.asarray(emb_1),
+                                   atol=1e-5)
