@@ -128,22 +128,12 @@ def _use_fused_blocks(cfg: VisionConfig, dtype, use_pallas, fused) -> bool:
     return fused_blocks_fit_vmem(cfg.width, 4 * cfg.width, dtype)
 
 
-def encode_image_vit(
-    params: Params,
-    images: jax.Array,
-    cfg: VisionConfig,
-    *,
-    dtype=jnp.float32,
-    use_pallas: Optional[bool] = None,
-    remat: bool = False,
-    fused: Optional[bool] = None,
-) -> jax.Array:
-    """ViT forward: [B, H, W, 3] → [B, embed_dim]."""
-    p = params
+def _vit_trunk(p: Params, x: jax.Array, cfg: VisionConfig, dtype,
+               use_pallas, remat, fused) -> jax.Array:
+    """cls/pos/pre-LN → transformer → post-LN/proj, from patch embeddings."""
     # slip_vit = timm tower = EXACT (erf) GELU, not jax's default tanh approx
     act = quick_gelu if cfg.kind == "vit" else functools.partial(
         jax.nn.gelu, approximate=False)
-    x = patch_embed(p["conv1"], images.astype(dtype), cfg.patch_size)
     b = x.shape[0]
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (b, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
@@ -161,6 +151,71 @@ def encode_image_vit(
                         use_pallas=use_pallas, act=act, remat=remat)
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
     return jnp.dot(x, p["proj"].astype(dtype))
+
+
+def encode_image_vit(
+    params: Params,
+    images: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+    fused: Optional[bool] = None,
+) -> jax.Array:
+    """ViT forward: [B, H, W, 3] → [B, embed_dim]."""
+    p = params
+    x = patch_embed(p["conv1"], images.astype(dtype), cfg.patch_size)
+    return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
+
+
+def fold_preprocess_into_patch(p_conv: Params):
+    """Absorb CLIP's Normalize into the patch-conv weights.
+
+    conv(normalize(u8)) == u8 @ W' + b' with W'[i, :] = W[i, :]/(255·std[c])
+    and b' = Σ_i (-mean[c]/std[c])·W[i, :] (c = channel of input element i;
+    timm conv bias folds into b' too) — so patchify runs on UINT8 (9.6 MB
+    vs 38.6 MB f32 per 256-batch) and the separate normalize pass vanishes.
+    Returns f32 (W', b')."""
+    from ..vision.preprocess import CLIP_MEAN, CLIP_STD
+
+    k = p_conv["kernel"].astype(jnp.float32)  # [patch²·3, width]
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    c = jnp.arange(k.shape[0]) % 3
+    w_f = k * (1.0 / (255.0 * std))[c][:, None]
+    b_f = (-mean / std)[c] @ k
+    if "bias" in p_conv:
+        b_f = b_f + p_conv["bias"].astype(jnp.float32)
+    return w_f, b_f
+
+
+def encode_image_vit_u8(
+    params: Params,
+    images_u8: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.bfloat16,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+    fused: Optional[bool] = None,
+) -> jax.Array:
+    """ViT forward directly from staged uint8 [B, n_px, n_px, 3] images —
+    the preprocess Normalize is folded into the patch conv
+    (fold_preprocess_into_patch), so no float image tensor is ever
+    materialized.  Numerically equivalent to
+    ``encode_image_vit(preprocess_batch(u8))`` up to dtype rounding (uint8
+    values are exact in bfloat16).  The uint8 input must already be at the
+    model's resolution (the native-ingest staging contract)."""
+    p = params
+    patch = cfg.patch_size
+    b, h, w, c = images_u8.shape
+    gh, gw = h // patch, w // patch
+    x = images_u8.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
+    w_f, b_f = fold_preprocess_into_patch(p["conv1"])
+    x = jnp.dot(x.astype(dtype), w_f.astype(dtype)) + b_f.astype(dtype)
+    return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
 
 
 def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, **kw) -> jax.Array:

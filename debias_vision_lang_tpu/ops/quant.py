@@ -169,8 +169,15 @@ def transformer_q(p: Params, x: jax.Array, heads: int,
 
 
 def quantize_vit_visual(visual: Params) -> Params:
+    from ..models.clip import fold_preprocess_into_patch
+
+    # normalize-folded patch weights (models/clip.py) for the direct-from-
+    # uint8 path; the plain conv1 stays for preprocessed-float inputs
+    w_fold, b_fold = fold_preprocess_into_patch(visual["conv1"])
     return {
         "conv1": quantize_weight(visual["conv1"]["kernel"]),
+        "conv1_folded": quantize_weight(w_fold),
+        "conv1_bias_folded": b_fold,
         "class_embedding": visual["class_embedding"],
         "positional_embedding": visual["positional_embedding"],
         "ln_pre": visual["ln_pre"],
@@ -180,27 +187,25 @@ def quantize_vit_visual(visual: Params) -> Params:
     }
 
 
-def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
-                       dtype=jnp.bfloat16,
-                       fused: Optional[bool] = None) -> jax.Array:
-    """Int8 ViT forward: [B, H, W, 3] → [B, embed_dim].
+def _patchify(images: jax.Array, patch: int) -> jax.Array:
+    b, hh, ww, c = images.shape
+    gh, gw = hh // patch, ww // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
 
-    Mirrors the fp path's architecture branches (models/clip.py:109-121):
-    SLIP's timm-style tower has no pre-LN and uses plain GELU."""
+
+def _vit_q_trunk(p: Params, x: jax.Array, cfg,
+                 fused: Optional[bool]) -> jax.Array:
+    """cls/pos/pre-LN → int8 transformer → head, from patch embeddings."""
     import functools
 
-    p = params_q
-    b, hh, ww, c = images.shape
-    patch = cfg.patch_size
-    gh, gw = hh // patch, ww // patch
+    b = x.shape[0]
     # slip_vit (timm tower) uses EXACT erf GELU, matching models/clip.py's
     # fp path and the fused kernel — NOT jax.nn.gelu's tanh default
     act = (quick_gelu if cfg.kind == "vit"
            else functools.partial(jax.nn.gelu, approximate=False))
-    x = images.astype(dtype).reshape(b, gh, patch, gw, patch, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
-    x = int8_matmul(x, p["conv1"])
-    cls = jnp.broadcast_to(p["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
+    cls = jnp.broadcast_to(p["class_embedding"].astype(x.dtype),
+                           (b, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["positional_embedding"].astype(x.dtype)
     if cfg.kind == "vit":
@@ -208,6 +213,33 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
     x = transformer_q(p["resblocks"], x, cfg.heads, act=act, fused=fused)
     x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
     return jnp.dot(x, p["proj"].astype(x.dtype))
+
+
+def encode_image_vit_q_u8(params_q: Params, images_u8: jax.Array, cfg,
+                          dtype=jnp.bfloat16,
+                          fused: Optional[bool] = None) -> jax.Array:
+    """Int8 ViT forward directly from staged uint8 [B, n_px, n_px, 3]:
+    Normalize is folded into the (quantized) patch weights
+    (models/clip.py::fold_preprocess_into_patch) — patchify runs on uint8
+    and no float image tensor is materialized."""
+    p = params_q
+    x = _patchify(images_u8, cfg.patch_size).astype(dtype)
+    x = int8_matmul(x, p["conv1_folded"],
+                    p["conv1_bias_folded"]).astype(dtype)
+    return _vit_q_trunk(p, x, cfg, fused)
+
+
+def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
+                       dtype=jnp.bfloat16,
+                       fused: Optional[bool] = None) -> jax.Array:
+    """Int8 ViT forward: [B, H, W, 3] → [B, embed_dim].
+
+    Mirrors the fp path's architecture branches (models/clip.py:109-121):
+    SLIP's timm-style tower has no pre-LN and uses plain GELU."""
+    p = params_q
+    x = _patchify(images.astype(dtype), cfg.patch_size)
+    x = int8_matmul(x, p["conv1"]).astype(dtype)
+    return _vit_q_trunk(p, x, cfg, fused)
 
 
 class QuantizedCLIP:

@@ -151,3 +151,41 @@ class TestAttentionReference:
         out = attention_reference(q, kk, v, m)
         # first query position can only attend to itself → output = v[0]
         np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(v[0, 0, 0]), atol=1e-5)
+
+
+class TestFoldedU8Path:
+    """encode_image_vit_u8: Normalize folded into the patch conv — must
+    equal preprocess_batch + encode_image_vit up to dtype rounding."""
+
+    def test_fp32_equivalence(self, tiny_clip, rng):
+        from debias_vision_lang_tpu.models.clip import (
+            encode_image_vit, encode_image_vit_u8)
+        from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
+
+        cfg, params = tiny_clip
+        u8 = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8))
+        ref = encode_image_vit(params["visual"],
+                               preprocess_batch(u8, 32), cfg.vision,
+                               dtype=jnp.float32, use_pallas=False)
+        got = encode_image_vit_u8(params["visual"], u8, cfg.vision,
+                                  dtype=jnp.float32, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_int8_u8_close(self, tiny_clip, rng):
+        from debias_vision_lang_tpu.ops.quant import (
+            encode_image_vit_q, encode_image_vit_q_u8, quantize_vit_visual)
+        from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
+
+        cfg, params = tiny_clip
+        pq = quantize_vit_visual(params["visual"])
+        u8 = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8))
+        ref = np.asarray(encode_image_vit_q(
+            pq, preprocess_batch(u8, 32), cfg.vision), np.float32)
+        got = np.asarray(encode_image_vit_q_u8(pq, u8, cfg.vision),
+                         np.float32)
+        # both paths quantize their (differently-scaled) conv inputs —
+        # agreement is within quantization error
+        cos = np.sum(ref * got, -1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
+        assert cos.min() > 0.995
