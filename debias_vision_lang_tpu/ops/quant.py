@@ -122,7 +122,8 @@ def resblock_q(p: Params, x: jax.Array, heads: int,
 def _use_fused_q(width: int, dtype, fused: Optional[bool]) -> bool:
     """Auto policy for the int8 fused-block kernels (ops/fused_block_q.py):
     TPU backend + bf16 activations + VMEM fit.  Measured 1.31×/1.12× over
-    the bf16 fused MLP/attention blocks at ViT-B/16 shapes."""
+    the bf16 fused MLP/attention blocks at ViT-B/16 shapes, and 2.07× over
+    the XLA int8 path at the full-tower level (5,433 vs 2,629 img/s)."""
     if fused is not None:
         return fused
     if dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
