@@ -170,9 +170,14 @@ def ensure_fairface(root: str) -> None:
         print(f"Fetching FairFace {part}/{sub}...", file=sys.stderr)
         try:
             fetch_gdrive(url, out_path)
-        except Exception:
+        except Exception as e:
             shutil.rmtree(sub_dir, ignore_errors=True)
-            raise
+            raise RuntimeError(
+                f"FairFace {part}/{sub} is not present under {root} and "
+                f"could not be downloaded ({type(e).__name__}: {e}). On a "
+                "networked machine run `python -m debias_vision_lang_tpu.cli "
+                "download fairface`, or point --data-path / "
+                "$DEBIAS_VLT_FAIRFACE_PATH at an existing copy.") from e
         if fname.endswith(".zip"):
             with zipfile.ZipFile(out_path) as zf:
                 zf.extractall(sub_dir)
