@@ -199,7 +199,16 @@ def ensure_utkface(root: str) -> None:
     os.makedirs(root, exist_ok=True)
     archive = os.path.join(root, "UTKFace.tar.gz")
     print("Fetching UTKFace (aligned & cropped)...", file=sys.stderr)
-    fetch_gdrive(f"https://drive.google.com/uc?id={UTKFACE_DRIVE_ID}", archive)
+    try:
+        fetch_gdrive(f"https://drive.google.com/uc?id={UTKFACE_DRIVE_ID}",
+                     archive)
+    except Exception as e:
+        raise RuntimeError(
+            f"UTKFace is not present under {root} and could not be "
+            f"downloaded ({type(e).__name__}: {e}). On a networked machine "
+            "run `python -m debias_vision_lang_tpu.cli download utkface`, "
+            "or point --data-path / $DEBIAS_VLT_UTKFACE_PATH at an existing "
+            "copy.") from e
     with tarfile.open(archive) as tf:
         for member in tf.getmembers():
             if not member.isfile():
