@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .oracle import resolve_topn
-from .ranking import metrics_from_top_labels
+from .ranking import canonicalize_zeros, metrics_from_top_labels
 
 
 def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
@@ -56,7 +56,7 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
            valid_shard: jax.Array, prompts: jax.Array):
         n_local = img_shard.shape[0]
         k = min(k_local, n_local)
-        scores = prompts @ img_shard.T  # [Pn, N_local]
+        scores = canonicalize_zeros(prompts @ img_shard.T)  # [Pn, N_local]
         scores = jnp.where(valid_shard[None, :], scores, -jnp.inf)
         vals, idx = jax.lax.top_k(scores, k)  # [Pn, k]
         cand_labels = labels_shard[idx]
