@@ -38,6 +38,104 @@ class TestQuantPrimitives:
         assert q["scale"].shape == (3, 1, 16)  # per layer per out-channel
 
 
+class TestOutlierChannels:
+    """De-risk per-row dynamic int8 against the KNOWN failure mode of real
+    transformer checkpoints: a few input channels carrying 10-100x the
+    typical magnitude (weight rows and/or activation channels).  Per-row
+    activation scales are set by the largest channel, crushing resolution
+    for the rest of the row — these tests pin where the scheme holds and
+    where it measurably degrades, until real CLIP weights can be fetched
+    (VERDICT r2 item 8)."""
+
+    def _outlier_matmul_cosine(self, rng, w_scale, a_scale, n_out=8):
+        d_in, d_out, b = 256, 256, 32
+        w = rng.normal(size=(d_in, d_out)).astype(np.float32)
+        w[rng.choice(d_in, n_out, replace=False)] *= w_scale
+        x = rng.normal(size=(b, d_in)).astype(np.float32)
+        x[:, rng.choice(d_in, n_out, replace=False)] *= a_scale
+        exact = x @ w
+        approx = np.asarray(int8_matmul(jnp.asarray(x), quantize_weight(jnp.asarray(w))))
+        return float((exact * approx).sum()
+                     / (np.linalg.norm(exact) * np.linalg.norm(approx)))
+
+    def test_realistic_outliers_hold(self, rng):
+        """50x heavy-tailed weight rows and activation channels (the
+        magnitude reported for real ViT/CLIP checkpoints) keep matmul
+        cosine >= 0.99."""
+        assert self._outlier_matmul_cosine(rng, 50.0, 1.0) > 0.99
+        assert self._outlier_matmul_cosine(rng, 1.0, 50.0) > 0.99
+        assert self._outlier_matmul_cosine(rng, 50.0, 50.0) > 0.99
+
+    def test_extreme_outliers_degrade_measurably(self, rng):
+        """100x outliers in DISJOINT weight-row / activation-channel sets
+        degrade the per-row scheme (measured ~0.90 cosine): the activation
+        outliers set the row scale while the weight outliers amplify
+        DIFFERENT channels, so the crushed non-outlier lanes dominate the
+        output.  Pinned so the boundary is visible; real-weight validation
+        remains network-gated (PERF.md)."""
+        d, b = 256, 32
+        w = rng.normal(size=(d, d)).astype(np.float32)
+        w[:16] *= 100.0
+        x = rng.normal(size=(b, d)).astype(np.float32)
+        x[:, 128:144] *= 100.0  # disjoint from w's outlier rows
+        exact = x @ w
+        approx = np.asarray(
+            int8_matmul(jnp.asarray(x), quantize_weight(jnp.asarray(w))))
+        cos = float((exact * approx).sum()
+                    / (np.linalg.norm(exact) * np.linalg.norm(approx)))
+        assert cos < 0.99  # the scheme genuinely degrades here
+        assert cos > 0.80  # but does not collapse
+
+    def _outlier_tower(self, tiny_clip, rng, paths, factor):
+        import jax.tree_util as jtu
+
+        cfg, params = tiny_clip
+        params = jtu.tree_map(lambda a: np.array(a, np.float32), params)
+        vis = params["visual"]["resblocks"]
+        for p0, p1 in paths:
+            w = vis[p0][p1]  # [L, in, out]
+            idx = rng.choice(w.shape[1], max(2, w.shape[1] // 16), replace=False)
+            w[:, idx, :] *= factor
+        base = CLIP(params=jtu.tree_map(jnp.asarray, params), cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        images = jnp.asarray(rng.normal(size=(12, 32, 32, 3)).astype(np.float32))
+        e_fp = np.asarray(base.encode_image(images, use_pallas=False,
+                                            dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_image(images, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        prompt = rng.normal(size=(cfg.embed_dim,)).astype(np.float32)
+        top_fp = set(np.argsort(-(e_fp @ prompt))[:3])
+        top_q = set(np.argsort(-(e_q @ prompt))[:3])
+        return cos, len(top_fp & top_q)
+
+    def test_tower_rank_stability_realistic_outliers(self, tiny_clip, rng):
+        """Realistic pattern: heavy-tailed input rows at 30x, in the post-LN
+        consumer matmuls only (wqkv/w1 — where real checkpoint outliers
+        live).  Embeddings stay high-cosine and rank-stable."""
+        cos, overlap = self._outlier_tower(
+            tiny_clip, rng, (("attn", "wqkv"), ("mlp", "w1")), 30.0)
+        # tiny tower = 1/16 of channels outlier (denser than real
+        # checkpoints relative to width); measured min 0.956, median 0.998
+        assert cos.min() > 0.93, cos
+        assert np.median(cos) > 0.99
+        assert overlap >= 2
+
+    def test_tower_degrades_under_dense_extreme_outliers(self, tiny_clip, rng):
+        """Dense extreme injection (50x rows in ALL FOUR matmuls of every
+        layer, 1/16 of channels) compounds across layers: per-image cosine
+        measurably drops (min ~0.85 here).  Pins the honest failure
+        boundary of per-row dynamic int8 — the motivation for re-validating
+        on real weights once the network gate opens."""
+        cos, _ = self._outlier_tower(
+            tiny_clip, rng,
+            (("attn", "wqkv"), ("attn", "wo"), ("mlp", "w1"), ("mlp", "w2")),
+            50.0)
+        assert cos.min() < 0.99   # degradation is real and visible
+        assert cos.min() > 0.60   # but bounded
+        assert np.median(cos) > 0.95
+
+
 class TestQuantizedCLIP:
     def test_embedding_cosine_parity(self, tiny_clip, rng):
         cfg, params = tiny_clip
