@@ -5,6 +5,13 @@ bit-exact resize/crop, micro-batch coalescing, bucketed device launch —
 with N threads each posting single-image requests in a closed loop, the
 worst case for a batching server (every image rides one request).
 
+Three phases:
+  1. JSON/base64 single-image clients (the original worst case)
+  2. RAW single-image clients (/v1/embed/image-raw, u8 frames + raw f32
+     response — no JSON or base64 anywhere)
+  3. RAW batch clients (64 frames per request) — the encoding-free
+     batch path's ceiling
+
 Usage: python benchmarks/serve_load.py [clients] [seconds] [arch]
 """
 
@@ -51,35 +58,67 @@ def main():
     payload = json.dumps(
         {"images_b64": [base64.b64encode(buf.getvalue()).decode()]}).encode()
 
-    def post():
+    raw_url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/embed/image-raw"
+    n_px = engine.info()["n_px"]
+    frame = rng.integers(0, 256, (n_px, n_px, 3), dtype=np.uint8).tobytes()
+    raw_batch = frame * 64
+
+    def post_json():
         req = urllib.request.Request(
             url, data=payload, headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=120) as r:
             json.loads(r.read())
+        return 1
 
-    post()  # warm: compiles bucket 1
-    counts = [0] * clients
-    stop = threading.Event()
+    def post_raw():
+        req = urllib.request.Request(
+            raw_url, data=frame,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Image-Format": "u8"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read()
+        return 1
 
-    def client(i):
-        while not stop.is_set():
-            post()
-            counts[i] += 1
+    def post_raw_batch():
+        req = urllib.request.Request(
+            raw_url, data=raw_batch,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Image-Format": "u8"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read()
+        return 64
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    time.sleep(seconds)
-    stop.set()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    total = sum(counts)
-    print(f"{arch}: {clients} clients, {total} reqs in {dt:.1f}s = "
-          f"{total / dt:.1f} img/s end-to-end "
-          f"(backend={engine.info()['backend']}, "
-          f"dtype={engine.info()['compute_dtype']})")
+    def run_phase(name, post, n_clients):
+        post()  # warm
+        counts = [0] * n_clients
+        stop = threading.Event()
+
+        def client(i):
+            while not stop.is_set():
+                counts[i] += post()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(seconds)
+        stop.set()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        total = sum(counts)
+        print(f"{name}: {n_clients} clients, {total} imgs in {dt:.1f}s = "
+              f"{total / dt:.1f} img/s end-to-end", flush=True)
+        return total / dt
+
+    info = engine.info()
+    print(f"{arch} (backend={info['backend']}, dtype={info['compute_dtype']})")
+    r_json = run_phase("json/base64 single", post_json, clients)
+    r_raw = run_phase("raw u8 single     ", post_raw, clients)
+    r_rawb = run_phase("raw u8 batch-64   ", post_raw_batch, max(2, clients // 4))
+    print(f"raw single vs json: {r_raw / r_json:.2f}x ; "
+          f"raw batch-64 vs json: {r_rawb / r_json:.2f}x")
     print("batcher:", app._images.stats)
     httpd.shutdown()
     httpd.server_close()

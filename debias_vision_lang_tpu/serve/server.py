@@ -8,6 +8,18 @@ Endpoints (JSON in/out; images as base64):
   POST /v1/score           {"image_b64": ..., "texts": [...]} → {"probs": [...]}
                            (the reference README inference flow, README.md:44-75)
 
+Raw binary batch endpoint (no JSON/base64 on either side — the measured
+HTTP bottleneck on small hosts was encoding, not the stack; PERF.md):
+
+  POST /v1/embed/image-raw   Content-Type: application/octet-stream
+    X-Image-Format: u8    body = N × n_px·n_px·3 raw uint8 HWC frames,
+                          back-to-back (N inferred from Content-Length)
+    X-Image-Format: jpeg  body = repeated [4-byte big-endian length][JPEG]
+                          records (decoded via the native ingest runtime)
+    Response: raw little-endian float32 [N, D] embeddings
+    (application/octet-stream, X-Count / X-Dim headers); send
+    Accept: application/json to get the JSON {"embeddings": ...} form.
+
 Single-item requests from concurrent clients coalesce into device batches
 via the MicroBatcher (power-of-two buckets — bounded compile count);
 multi-item requests batch trivially.  Stdlib-only (http.server), threaded.
@@ -68,6 +80,43 @@ class ServeApp:
         txt = self.embed_texts(texts)
         return self.engine.score(img, txt)[0]
 
+    def embed_images_raw_u8(self, body: bytes) -> np.ndarray:
+        """Raw uint8 HWC frames at the model resolution, back-to-back.
+
+        Zero-copy views into the request body; a single-frame request rides
+        the micro-batcher (cross-client coalescing), multi-frame requests go
+        straight to the engine's chunked batch path."""
+        n_px = self.engine.n_px
+        frame = n_px * n_px * 3
+        if not body or len(body) % frame:
+            raise ValueError(
+                f"u8 body must be a multiple of {frame} bytes "
+                f"({n_px}x{n_px}x3 frames); got {len(body)}")
+        arr = np.frombuffer(body, np.uint8).reshape(-1, n_px, n_px, 3)
+        if arr.shape[0] == 1:
+            return self._images.submit(arr[0]).result()[None]
+        return self.engine.embed_image_arrays(list(arr))
+
+    def embed_images_raw_jpeg(self, body: bytes) -> np.ndarray:
+        """[4-byte big-endian length][JPEG bytes] records; decode + bit-exact
+        resize via the native ingest runtime, then batch like u8."""
+        arrays = []
+        off = 0
+        while off < len(body):
+            if off + 4 > len(body):
+                raise ValueError("truncated length header in JPEG stream")
+            ln = int.from_bytes(body[off:off + 4], "big")
+            off += 4
+            if ln <= 0 or off + ln > len(body):
+                raise ValueError(f"bad record length {ln} at offset {off - 4}")
+            arrays.append(self.engine.prepare_image(body[off:off + ln]))
+            off += ln
+        if not arrays:
+            raise ValueError("empty JPEG stream")
+        if len(arrays) == 1:
+            return self._images.submit(arrays[0]).result()[None]
+        return self.engine.embed_image_arrays(arrays)
+
 
 # request-body ceiling: 64 images × ~1.4 MB JPEG-as-base64 with headroom.
 # A Content-Length beyond this is rejected up front (413) — rfile.read of an
@@ -117,7 +166,48 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"no route {self.path}"})
 
+    def _read_raw(self) -> Optional[bytes]:
+        length = int(self.headers.get("Content-Length", 0))
+        if length < 0 or length > MAX_BODY_BYTES:
+            self._json(413, {"error": f"body of {length} bytes exceeds "
+                                      f"the {MAX_BODY_BYTES}-byte limit"})
+            return None
+        return self.rfile.read(length)
+
+    def _emit_embeddings(self, embs: np.ndarray):
+        """Raw f32 by default for the raw endpoint; JSON on request."""
+        if "application/json" in self.headers.get("Accept", ""):
+            self._json(200, {"embeddings": embs.tolist()})
+            return
+        body = np.ascontiguousarray(embs, dtype="<f4").tobytes()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Count", str(embs.shape[0]))
+        self.send_header("X-Dim", str(embs.shape[1]))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self):
+        if self.path == "/v1/embed/image-raw":
+            body = self._read_raw()
+            if body is None:
+                return
+            fmt = self.headers.get("X-Image-Format", "u8").lower()
+            try:
+                if fmt == "u8":
+                    embs = self.app.embed_images_raw_u8(body)
+                elif fmt == "jpeg":
+                    embs = self.app.embed_images_raw_jpeg(body)
+                else:
+                    raise ValueError(f"unknown X-Image-Format {fmt!r} "
+                                     "(expected u8 or jpeg)")
+                self._emit_embeddings(embs)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         payload = self._read_json()
         if payload is None:
             return

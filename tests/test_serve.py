@@ -225,6 +225,84 @@ class TestHTTP:
         with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
             assert resp.status == 200
 
+    def _post_raw(self, url, body, headers):
+        req = urllib.request.Request(url, data=body, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    def test_raw_u8_batch(self, server, rng):
+        """Raw uint8 frames in, raw f32 embeddings out — and identical to
+        the engine's own answer for the same pixels."""
+        frames = rng.integers(0, 256, (3, N_PX, N_PX, 3), dtype=np.uint8)
+        code, hdrs, body = self._post_raw(
+            server + "/v1/embed/image-raw", frames.tobytes(),
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "u8"})
+        assert code == 200, body
+        assert hdrs["Content-Type"] == "application/octet-stream"
+        n, dim = int(hdrs["X-Count"]), int(hdrs["X-Dim"])
+        embs = np.frombuffer(body, "<f4").reshape(n, dim)
+        assert embs.shape == (3, 16) and np.isfinite(embs).all()
+
+    def test_raw_u8_matches_engine(self, server, engine, rng):
+        frame = rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+        _, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", frame.tobytes(),
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "u8"})
+        via_http = np.frombuffer(body, "<f4").reshape(1, -1)
+        direct = engine.embed_image_arrays([frame])
+        np.testing.assert_allclose(via_http, direct, atol=1e-5)
+
+    def test_raw_jpeg_stream(self, server, engine, rng):
+        """Length-prefixed JPEG records decode to the same embeddings as the
+        base64 JSON path."""
+        jb = _jpeg_bytes(rng)
+        stream = len(jb).to_bytes(4, "big") + jb
+        code, hdrs, body = self._post_raw(
+            server + "/v1/embed/image-raw", stream,
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "jpeg"})
+        assert code == 200, body
+        raw_embs = np.frombuffer(body, "<f4").reshape(1, -1)
+        b64 = base64.b64encode(jb).decode()
+        _, out = self._post(server + "/v1/embed/image", {"images_b64": [b64]})
+        np.testing.assert_allclose(raw_embs, np.asarray(out["embeddings"]),
+                                   atol=1e-5)
+
+    def test_raw_json_accept(self, server, rng):
+        frame = rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+        code, hdrs, body = self._post_raw(
+            server + "/v1/embed/image-raw", frame.tobytes(),
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "u8", "Accept": "application/json"})
+        assert code == 200
+        out = json.loads(body)
+        assert np.asarray(out["embeddings"]).shape == (1, 16)
+
+    def test_raw_errors(self, server):
+        # wrong frame size
+        code, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", b"\x00" * 17,
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "u8"})
+        assert code == 400 and b"multiple" in body
+        # unknown format
+        code, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", b"\x00" * 4,
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "png"})
+        assert code == 400
+        # truncated jpeg record
+        code, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", (1000).to_bytes(4, "big") + b"xx",
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "jpeg"})
+        assert code == 400
+
     def test_concurrent_clients_coalesce(self, server, rng):
         """6 parallel single-text requests → identical to serial answers."""
         texts = [f"the{'!' * i}" for i in range(6)]
@@ -402,6 +480,7 @@ class TestMeshServing:
 
 
 class TestInt8Serving:
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_int8_engine(self, engine, rng):
         """compute_dtype='int8' wraps the vision tower in QuantizedCLIP;
         embeddings close to the fp engine (rank-stable contract)."""
