@@ -134,22 +134,174 @@ def _wrow(scale):
     return jnp.asarray(scale, jnp.float32).reshape(1, -1)
 
 
+# ---------------------------------------------------------------------------
+# Batch-chain interleaved kernels (round 3)
+#
+# Kernel decomposition (benchmarks/q_attribution.py) showed the int8 blocks
+# are NOT MXU-bound: the MLP matmuls already run at ~92% of the int8 peak,
+# and per grid step the VPU glue (LN/quant/gelu/softmax) that Mosaic cannot
+# hide under the SAME batch item's matmuls is exposed (~12 ms MLP / ~10 ms
+# attention per 12-layer tower at B=512).  Writing bb batch items as
+# EXPLICIT independent dataflow chains inside one grid step lets the
+# scheduler overlap chain i's VPU work with chain j's MXU dots.  Measured
+# (benchmarks/q_ilp*.py, B=512, 12L): MLP 59.0 → 53.3 ms (bb=4, modulo-2
+# software pipeline), attention 50.5 → 45.3 ms (bb=4, head-major
+# interleave).  Per-item math is unchanged (per-row quantization
+# included): attention outputs are bit-identical to bb=1; the MLP pipe
+# differs by <=1 ulp of compiler-level FMA/reassociation (pinned in
+# tests/test_fused_block_q.py).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_q_up(x1, lns, lnb, w1q_ref, s1_ref, b1):
+    xn = _ln_f32(x1, lns, lnb).astype(jnp.float32)
+    xq, xs = _quant_rows(xn)
+    return _dot_q(xq, xs, w1q_ref, s1_ref) + b1
+
+
+def _mlp_q_down(h, w2q_ref, s2_ref, act_kind):
+    if act_kind == "quick_gelu":
+        g = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        g = jax.nn.gelu(h, approximate=False)
+    gq, gs = _quant_rows(g)
+    return _dot_q(gq, gs, w2q_ref, s2_ref)
+
+
+def _mlp_q_pipe_kernel(x_ref, lns_ref, lnb_ref, w1q_ref, s1_ref, b1_ref,
+                       w2q_ref, s2_ref, b2_ref, o_ref, *, act_kind: str,
+                       bb: int):
+    """bb independent chains, modulo-2 software pipeline: at most two
+    hidden activations live at once (VMEM bound), while every down-proj
+    dot has another chain's up/VPU work adjacent in issue order."""
+    lns = lns_ref[:][0]
+    lnb = lnb_ref[:][0]
+    b1 = b1_ref[:][0].astype(jnp.float32)
+    b2 = b2_ref[:][0].astype(jnp.float32)
+
+    parts = [None] * bb
+    h_prev = _mlp_q_up(x_ref[0:1], lns, lnb, w1q_ref, s1_ref, b1)
+    for c in range(1, bb):
+        h_next = _mlp_q_up(x_ref[c:c + 1], lns, lnb, w1q_ref, s1_ref, b1)
+        parts[c - 1] = _mlp_q_down(h_prev, w2q_ref, s2_ref, act_kind)
+        h_prev = h_next
+    parts[bb - 1] = _mlp_q_down(h_prev, w2q_ref, s2_ref, act_kind)
+    for c in range(bb):
+        o_ref[c:c + 1] = (x_ref[c:c + 1].astype(jnp.float32) + b2
+                          + parts[c]).astype(o_ref.dtype)
+
+
+def _attn_q_chains_kernel(x_ref, lns_ref, lnb_ref, wqkvq_ref, sqkv_ref,
+                          bqkv_ref, woq_ref, so_ref, bo_ref, o_ref, *,
+                          heads: int, scale: float, causal: bool, bb: int):
+    """bb chains interleaved at HEAD granularity (head-major, chains
+    inner): each head's softmax (VPU) sits adjacent to another chain's
+    QK/PV dots (MXU) in issue order — measured better than whole-block
+    chain interleaving (50.5 → 45.3 ms bb=4 vs 48.8 bb=2-chain-major)."""
+    s = x_ref.shape[1]
+    d = x_ref.shape[2]
+    hd = d // heads
+    lns = lns_ref[:][0]
+    lnb = lnb_ref[:][0]
+    bqkv = bqkv_ref[:][0].astype(jnp.float32)
+    bo = bo_ref[:][0].astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+    else:
+        neg = None
+    qkvs = []
+    for c in range(bb):
+        xn = _ln_f32(x_ref[c:c + 1], lns, lnb).astype(jnp.float32)
+        xq, xs = _quant_rows(xn)
+        qkv = _dot_q(xq, xs, wqkvq_ref, sqkv_ref)
+        qkvs.append((qkv + bqkv).astype(x_ref.dtype))
+    outs = [[] for _ in range(bb)]
+    for h in range(heads):
+        for c in range(bb):
+            qkv = qkvs[c]
+            q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+            k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd,
+                                     axis=2)
+            v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd,
+                                     2 * d + (h + 1) * hd, axis=2)
+            sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            sc = sc * scale
+            if neg is not None:
+                sc = sc + neg
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_ref.dtype)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            outs[c].append(o.astype(x_ref.dtype))
+    for c in range(bb):
+        attn = jnp.concatenate(outs[c], axis=-1).astype(jnp.float32)
+        aq, ascale = _quant_rows(attn)
+        proj = _dot_q(aq, ascale, woq_ref, so_ref) + bo
+        o_ref[c:c + 1] = (x_ref[c:c + 1].astype(jnp.float32)
+                          + proj).astype(o_ref.dtype)
+
+
+def _mlp_pipe_fits_vmem(s: int, d: int, f: int, bb: int,
+                        budget: int = 15 * 1024 * 1024) -> bool:
+    """Live set of the modulo-2 pipeline: int8 weights + 2 f32 hidden
+    activations + double-buffered bf16 in/out blocks (measured-calibrated:
+    ViT-B bb=4 ≈ 14.3 MB runs)."""
+    weights = 2 * d * f                    # int8 W1 + W2
+    hidden = 2 * s * f * 4                 # two live f32 activations
+    blocks = 2 * 2 * bb * s * d * 2        # in+out, double-buffered, bf16
+    return weights + hidden + blocks <= budget
+
+
+def _attn_chains_fit_vmem(s: int, d: int, bb: int,
+                          budget: int = 16 * 1024 * 1024) -> bool:
+    """Live set of the head-major chain kernel: all bb qkv tensors live the
+    whole kernel; scores/probs are transient per (head, chain) step
+    (measured-calibrated: ViT-B/16 bb=4 ≈ 15.5 MB runs)."""
+    weights = 4 * d * d                    # int8 Wqkv + Wo
+    qkv = bb * s * 3 * d * 2               # bf16 qkv per chain, all live
+    scores = 4 * s * s * 4                 # transient f32 score/prob set
+    blocks = 2 * 2 * bb * s * d * 2        # in+out, double-buffered, bf16
+    return weights + qkv + scores + blocks <= budget
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "bb", "causal",
                                              "interpret"))
 def attention_block_q(x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv,
-                      wo_q, wo_scale, bo, *, heads: int, bb: int = 1,
+                      wo_q, wo_scale, bo, *, heads: int, bb: int = None,
                       causal: bool = False, interpret: bool = False):
     """x + attn(LN(x)) with int8 QKV and out-proj matmuls.
 
     ``wqkv_q``/``wo_q`` int8 [D, 3D]/[D, D] with per-output-channel scales
-    (ops/quant.quantize_weight layout)."""
+    (ops/quant.quantize_weight layout).
+
+    ``bb=None`` (default) auto-picks the head-major chain width (4/2/1 by
+    divisibility + VMEM fit) — bb>1 interleaves bb batch items' head loops
+    so softmax VPU work overlaps other chains' dots (bit-identical,
+    measured 50.5 → 45.3 ms on the ViT-B/16 B=512 12-layer tower)."""
     b, s, d = x.shape
+    if bb is None:
+        bb = 1
+        if not interpret:
+            for cand in (4, 2):
+                if b % cand == 0 and _attn_chains_fit_vmem(s, d, cand):
+                    bb = cand
+                    break
     if b % bb:
         raise ValueError(f"batch {b} not divisible by bb={bb} — the grid "
                          "would silently drop the remainder rows")
     dt = x.dtype
-    kern = functools.partial(_attn_q_kernel, heads=heads,
-                             scale=1.0 / (d // heads) ** 0.5, causal=causal)
+    if bb > 1:
+        kern = functools.partial(_attn_q_chains_kernel, heads=heads,
+                                 scale=1.0 / (d // heads) ** 0.5,
+                                 causal=causal, bb=bb)
+    else:
+        kern = functools.partial(_attn_q_kernel, heads=heads,
+                                 scale=1.0 / (d // heads) ** 0.5,
+                                 causal=causal)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
@@ -175,10 +327,17 @@ def attention_block_q(x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv,
 @functools.partial(jax.jit, static_argnames=("act_kind", "bb", "fb",
                                              "interpret"))
 def mlp_block_q(x, ln_scale, ln_bias, w1_q, w1_scale, b1, w2_q, w2_scale,
-                b2, *, act_kind: str = "quick_gelu", bb: int = 1,
+                b2, *, act_kind: str = "quick_gelu", bb: int = None,
                 fb: int = None, interpret: bool = False):
     """x + mlp(LN(x)) with int8 up/down matmuls (F-split accumulation as in
     the bf16 kernel; int8 weights halve the F-tile footprint).
+
+    ``bb=None`` (default) auto-picks the batch-chain pipeline width: the
+    largest of 4/2/1 that divides B and fits VMEM — bb>1 runs bb items as
+    independent interleaved chains per grid step (bit-identical, measured
+    59.0 → 53.3 ms on the ViT-B/16 B=512 12-layer tower; see the
+    batch-chain section above).  Pass bb=1 to force the single-chain
+    kernel.
 
     NB: with ``fb < F`` the hidden activation quantizes per F-tile — each
     tile gets its own per-row scale, a (slightly finer-grained) relaxation
@@ -188,14 +347,45 @@ def mlp_block_q(x, ln_scale, ln_bias, w1_q, w1_scale, b1, w2_q, w2_scale,
     VMEM unsplit."""
     b, s, d = x.shape
     f = w1_q.shape[-1]
-    if b % bb:
-        raise ValueError(f"batch {b} not divisible by bb={bb}")
     dt = x.dtype
     if fb is None:
         fb = _pick_fblock(d, f, itemsize=1)
     if f % fb:
         raise ValueError(f"mlp dim {f} not divisible by fb={fb} — the "
                          "F-tile loop would truncate the hidden sum")
+    if bb is None:
+        bb = 1
+        if fb == f and not interpret:
+            for cand in (4, 2):
+                if b % cand == 0 and _mlp_pipe_fits_vmem(s, d, f, cand):
+                    bb = cand
+                    break
+    if b % bb:
+        raise ValueError(f"batch {b} not divisible by bb={bb}")
+    if bb > 1:
+        if fb != f:
+            raise ValueError("bb>1 chains require the unsplit MLP (fb==F)")
+        kern = functools.partial(_mlp_q_pipe_kernel, act_kind=act_kind, bb=bb)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+            grid=(b // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, _row(ln_scale), _row(ln_bias), w1_q, _wrow(w1_scale), _row(b1),
+          w2_q, _wrow(w2_scale), _row(b2))
     n_fb = f // fb
     kern = functools.partial(_mlp_q_kernel, act_kind=act_kind, n_fblocks=n_fb)
     w1s = _wrow(w1_scale)

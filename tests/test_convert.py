@@ -138,6 +138,7 @@ class TestRoundTrip:
 
 
 class TestResNetConverter:
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_synthetic_rn_state_dict(self):
         """RN converter: build a state_dict from our own randomly-initialized
         RN params exported shape-for-shape in OpenAI naming, reload, compare

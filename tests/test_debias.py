@@ -252,6 +252,7 @@ class TestFreezing:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_from_cfg_and_forward(self):
         model, preprocess, tokenizer, alias = DebiasCLIP.from_cfg(
             {

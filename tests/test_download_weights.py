@@ -115,6 +115,7 @@ class TestWeightResolution:
         for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_weights_dir_env_resolution(self, tmp_path, monkeypatch):
         """$DEBIAS_VLT_WEIGHTS_DIR/<alias>.npz resolves for a real arch name
         (full ViT-B/32 shape, random init exported then reloaded)."""

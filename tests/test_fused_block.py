@@ -89,6 +89,7 @@ class TestCausal:
         np.testing.assert_allclose(np.asarray(pert[:, :-1]),
                                    np.asarray(base[:, :-1]), atol=1e-6)
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_causal_tower_gradients_match_xla(self, stacked, x):
         from debias_vision_lang_tpu.models.layers import causal_mask
 

@@ -56,6 +56,75 @@ class TestEquivalence:
         cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
         assert cos > 0.999
 
+    def test_batch_chain_kernels_bit_identical(self, stacked_q, x):
+        """The bb>1 interleaved-chain kernels (round-3 ILP win) reorder
+        INDEPENDENT batch items only — per-row quantization and every
+        per-item op sequence are unchanged.  Attention is bit-identical;
+        the MLP pipe differs from the bb=1 (scratch-accumulator) kernel by
+        <=1 ulp of compiler-level FMA/reassociation."""
+        from debias_vision_lang_tpu.ops.fused_block_q import attention_block_q
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked_q)
+        a = layer0["attn"]
+        m = layer0["mlp"]
+        base_attn = attention_block_q(
+            x, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+            a["wqkv"]["q"], a["wqkv"]["scale"], a["bqkv"],
+            a["wo"]["q"], a["wo"]["scale"], a["bo"],
+            heads=H, bb=1, interpret=True)
+        base_mlp = mlp_block_q(
+            x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+            m["w1"]["q"], m["w1"]["scale"], m["b1"],
+            m["w2"]["q"], m["w2"]["scale"], m["b2"], bb=1, interpret=True)
+        for bb in (2, 4):
+            got_attn = attention_block_q(
+                x, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+                a["wqkv"]["q"], a["wqkv"]["scale"], a["bqkv"],
+                a["wo"]["q"], a["wo"]["scale"], a["bo"],
+                heads=H, bb=bb, interpret=True)
+            got_mlp = mlp_block_q(
+                x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+                m["w1"]["q"], m["w1"]["scale"], m["b1"],
+                m["w2"]["q"], m["w2"]["scale"], m["b2"], bb=bb,
+                interpret=True)
+            np.testing.assert_array_equal(np.asarray(got_attn),
+                                          np.asarray(base_attn))
+            np.testing.assert_allclose(np.asarray(got_mlp),
+                                       np.asarray(base_mlp), atol=1e-6)
+
+    def test_batch_chain_causal_bit_identical(self, stacked_q, x):
+        from debias_vision_lang_tpu.ops.fused_block_q import attention_block_q
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked_q)
+        a = layer0["attn"]
+        args = (x, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+                a["wqkv"]["q"], a["wqkv"]["scale"], a["bqkv"],
+                a["wo"]["q"], a["wo"]["scale"], a["bo"])
+        base = attention_block_q(*args, heads=H, bb=1, causal=True,
+                                 interpret=True)
+        got = attention_block_q(*args, heads=H, bb=2, causal=True,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+    def test_chain_bb_validation(self, stacked_q, x):
+        from debias_vision_lang_tpu.ops.fused_block_q import attention_block_q
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked_q)
+        a = layer0["attn"]
+        with pytest.raises(ValueError, match="not divisible"):
+            attention_block_q(
+                x, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+                a["wqkv"]["q"], a["wqkv"]["scale"], a["bqkv"],
+                a["wo"]["q"], a["wo"]["scale"], a["bo"],
+                heads=H, bb=3, interpret=True)
+        m = layer0["mlp"]
+        with pytest.raises(ValueError, match="fb==F"):
+            mlp_block_q(
+                x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+                m["w1"]["q"], m["w1"]["scale"], m["b1"],
+                m["w2"]["q"], m["w2"]["scale"], m["b2"],
+                bb=2, fb=(4 * D) // 2, interpret=True)
+
     def test_fsplit_within_quant_error(self, stacked_q, x):
         """fb < F quantizes the hidden activation per F-tile (documented
         semantic relaxation) — split and unsplit agree within quantization
@@ -110,6 +179,7 @@ class TestPolicy:
         assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow  # >20s combos on the 1-core gate host; full suite: -m ''
 class TestShapeSweep:
     """Kernel correctness across arch-like shapes (interpret mode)."""
 

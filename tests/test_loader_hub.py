@@ -11,6 +11,7 @@ class TestModelLoader:
         with pytest.raises(NotImplementedError):
             model_loader("openai/CLIP/ViT-H/14")
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_loads_vit_random(self):
         model, preprocess, tokenizer, alias = model_loader(
             "openai/CLIP/ViT-B/32", pretrained=False)
@@ -21,12 +22,14 @@ class TestModelLoader:
         img = np.zeros((1, 224, 224, 3), np.float32)
         assert model.encode_image(img, use_pallas=False).shape == (1, 512)
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_device_and_jit_args_inert(self):
         # reference-parity signature: (model_name, device, jit)
         model, *_ = model_loader("openai/CLIP/ViT-B/32", device="cuda", jit=True,
                                  pretrained=False)
         assert model is not None
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_slip_loads(self):
         model, _, _, alias = model_loader("facebookresearch/SLIP/ViT-B/16",
                                           pretrained=False)

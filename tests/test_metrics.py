@@ -354,6 +354,7 @@ class TestTopNExceedsDataset:
             np.testing.assert_allclose(float(out["ndkl_eq_opp"][p]),
                                        nd["ndkl_eq_opp"], atol=1e-4)
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_sharded_matches_too(self, rng):
         from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
         from debias_vision_lang_tpu.metrics.ranking import eval_ranking

@@ -62,6 +62,7 @@ class TestFrozenInTime:
                            use_pallas=False)
         assert np.abs(np.asarray(fwd) - np.asarray(rev)).max() > 1e-6
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_cliplike_protocol(self, tiny_fit):
         from debias_vision_lang_tpu.models.loader import ClipLike
 
@@ -74,6 +75,7 @@ class TestFrozenInTime:
                        t, use_pallas=False)
         assert li.shape == (3, 2)
 
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_loader_builds_fit(self):
         from debias_vision_lang_tpu.models.loader import model_loader
 
@@ -350,6 +352,7 @@ class TestPairsHeterogeneousSizes:
 
 
 class TestZeroShotInt8:
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_int8_dtype_runs_and_agrees(self, tiny_clip, rng):
         """zero_shot_accuracy(dtype='int8') quantizes the vision tower;
         predictions match fp32 on well-separated synthetic data."""
