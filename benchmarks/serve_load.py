@@ -66,7 +66,7 @@ def main():
     def post_json():
         req = urllib.request.Request(
             url, data=payload, headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=120) as r:
+        with urllib.request.urlopen(req, timeout=600) as r:
             json.loads(r.read())
         return 1
 
@@ -75,7 +75,7 @@ def main():
             raw_url, data=frame,
             headers={"Content-Type": "application/octet-stream",
                      "X-Image-Format": "u8"})
-        with urllib.request.urlopen(req, timeout=120) as r:
+        with urllib.request.urlopen(req, timeout=600) as r:
             r.read()
         return 1
 
@@ -84,7 +84,7 @@ def main():
             raw_url, data=raw_batch,
             headers={"Content-Type": "application/octet-stream",
                      "X-Image-Format": "u8"})
-        with urllib.request.urlopen(req, timeout=120) as r:
+        with urllib.request.urlopen(req, timeout=600) as r:
             r.read()
         return 64
 
