@@ -89,6 +89,72 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     o_ref[:] = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
 
 
+def _attn_chains_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                        wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
+                        causal: bool, chains: int):
+    """Head-major batch-chain variant (round 3): ``chains`` batch items as
+    explicit independent dataflow chains, head loops interleaved, so one
+    chain's softmax VPU work overlaps another's dots.  Bit-identical to
+    the single-chain kernel; measured 62.6 → 57.2 ms on the bf16 ViT-B/16
+    B=512 12-layer attention tower (same structure as the int8 kernels'
+    measured win, ops/fused_block_q.py)."""
+    s = x_ref.shape[1]
+    d = x_ref.shape[2]
+    hd = d // heads
+    lns = lns_ref[:][0]
+    lnb = lnb_ref[:][0]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+    qkvs = []
+    for c in range(chains):
+        xn = _ln_f32(x_ref[c:c + 1], lns, lnb)
+        qkv = jax.lax.dot_general(xn, wqkv_ref[:], (((2,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        qkvs.append((qkv + bqkv_ref[:][0].astype(jnp.float32))
+                    .astype(x_ref.dtype))
+    outs = [[] for _ in range(chains)]
+    for h in range(heads):
+        for c in range(chains):
+            qkv = qkvs[c]
+            q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+            k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd,
+                                     axis=2)
+            v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd,
+                                     2 * d + (h + 1) * hd, axis=2)
+            sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            sc = sc * scale
+            if causal:
+                sc = sc + neg
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_ref.dtype)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            outs[c].append(o.astype(x_ref.dtype))
+    for c in range(chains):
+        attn = jnp.concatenate(outs[c], axis=-1)
+        proj = jax.lax.dot_general(attn, wo_ref[:], (((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        proj = proj + bo_ref[:][0].astype(jnp.float32)
+        o_ref[c:c + 1] = (x_ref[c:c + 1].astype(jnp.float32)
+                          + proj).astype(o_ref.dtype)
+
+
+def _attn_bf16_chains_fit_vmem(s: int, d: int, chains: int,
+                               budget: int = 16 * 1024 * 1024) -> bool:
+    """Live set: bf16 weights + all chains' qkv + transient scores +
+    double-buffered io blocks (ViT-B chains=2 ≈ 11.3 MB; ViT-L ≈ 17 MB →
+    falls back to single-chain)."""
+    weights = 4 * d * d * 2
+    qkv = chains * s * 3 * d * 2
+    scores = 4 * s * s * 4
+    blocks = 2 * 2 * chains * s * d * 2
+    return weights + qkv + scores + blocks <= budget
+
+
 def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                       b2_ref, o_ref, acc_ref, *, act_kind: str,
                       n_fblocks: int):
@@ -128,13 +194,50 @@ def _row(v):
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "bb", "causal",
-                                             "interpret"))
+                                             "interpret", "chains"))
 def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
                     heads: int, bb: int = 4, causal: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, chains: int = None):
     """x: [B, S, D] → x + attn(LN(x)).  B must be divisible by bb.
-    ``causal=True`` applies CLIP's text-tower causal mask in-kernel."""
+    ``causal=True`` applies CLIP's text-tower causal mask in-kernel.
+
+    ``chains=None`` auto-picks the head-major batch-chain width (2 when B
+    is even and the chain live set fits VMEM — bit-identical, measured
+    -8.6% on the bf16 ViT-B/16 tower); chains>1 overrides bb (each grid
+    step then runs ``chains`` interleaved single-item dataflow chains).
+    Pass chains=1 to force the batched single-chain kernel."""
     b, s, d = x.shape
+    if chains is None:
+        chains = 1
+        if (not interpret and b % 2 == 0
+                and _attn_bf16_chains_fit_vmem(s, d, 2)):
+            chains = 2
+    if chains > 1:
+        if b % chains:
+            raise ValueError(f"batch {b} not divisible by chains={chains}")
+        dt = x.dtype
+        kern = functools.partial(_attn_chains_kernel, heads=heads,
+                                 scale=1.0 / (d // heads) ** 0.5,
+                                 causal=causal, chains=chains)
+        cb = chains
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+            grid=(b // cb,),
+            in_specs=[
+                pl.BlockSpec((cb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((cb, s, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, _row(ln_scale), _row(ln_bias), wqkv.astype(dt), _row(bqkv),
+          wo.astype(dt), _row(bo))
     if b % bb:
         raise ValueError(f"batch {b} not divisible by bb={bb} — the grid "
                          "would silently drop the remainder rows")

@@ -64,6 +64,41 @@ class TestForwardEquivalence:
         assert cos > 0.9999
 
 
+class TestBatchChains:
+    """Head-major chain variant of the bf16 attention kernel (round 3):
+    per-item math identical to the single-chain kernel → bit-identical
+    outputs, plain and causal."""
+
+    def test_chains_bit_identical(self, stacked, x):
+        from debias_vision_lang_tpu.ops.fused_block import attention_block
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        args = (x, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+                layer0["attn"]["wqkv"], layer0["attn"]["bqkv"],
+                layer0["attn"]["wo"], layer0["attn"]["bo"])
+        base = attention_block(*args, heads=H, bb=1, chains=1, interpret=True)
+        for causal in (False, True):
+            b = attention_block(*args, heads=H, bb=1, chains=1,
+                                causal=causal, interpret=True)
+            g = attention_block(*args, heads=H, chains=2, causal=causal,
+                                interpret=True)
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+        del base
+
+    def test_chains_divisibility(self, stacked):
+        from debias_vision_lang_tpu.ops.fused_block import attention_block
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        rng = np.random.default_rng(1)
+        x3 = jnp.asarray(rng.normal(size=(3, S, D)).astype(np.float32))
+        with pytest.raises(ValueError, match="chains"):
+            attention_block(
+                x3, layer0["ln_1"]["scale"], layer0["ln_1"]["bias"],
+                layer0["attn"]["wqkv"], layer0["attn"]["bqkv"],
+                layer0["attn"]["wo"], layer0["attn"]["bo"],
+                heads=H, bb=1, chains=2, interpret=True)
+
+
 class TestCausal:
     """Text-tower variant: in-kernel causal mask must equal the XLA path
     with models.layers.causal_mask."""
