@@ -22,9 +22,11 @@ BENCH_PALLAS (1|0), BENCH_QUANT (1|0, default 1).
 The headline config is the production serving path: int8 fused-block
 kernels with batch-chain interleaving (ops/fused_block_q.py — bb=4
 independent dataflow chains per grid step so one chain's quant/softmax VPU
-work overlaps another's MXU dots) — measured 5,906 img/s (round 3; was
-5,380 single-chain, 4,163 bf16) — with tower-level cosine vs fp32 =
-0.99989 and rank-stable MaxSkew/NDKL (tested, ops/quant contract).
+work overlaps another's MXU dots) plus the relayout-free dot_general
+patch embedding (ops/quant.py::patch_embed_q) — measured 6,016 img/s
+(round 3; was 5,906 before the stem fix, 5,380 single-chain, 4,163 bf16)
+— with tower-level cosine vs fp32 = 0.99989 and rank-stable MaxSkew/NDKL
+(tested, ops/quant contract).
 BENCH_QUANT=0 measures the numeric-faithful bf16 fused path;
 BENCH_DTYPE=float32 the reference-parity mode.
 """

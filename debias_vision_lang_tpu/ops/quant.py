@@ -195,6 +195,36 @@ def _patchify(images: jax.Array, patch: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, patch * patch * c)
 
 
+def patch_embed_q(images: jax.Array, patch: int, wq: Dict[str, jax.Array],
+                  bias: Optional[jax.Array] = None,
+                  out_dtype=jnp.bfloat16) -> jax.Array:
+    """Relayout-free int8 patch embedding: [B, H, W, C] float → [B, P, width].
+
+    Same per-patch dynamic activation quantization as
+    ``int8_matmul(_patchify(x), wq)`` (amax over each patch's patch²·C
+    elements), but the patchify transpose never materializes — the split
+    patch dims (row-in-patch, col·chan) contract directly via
+    ``dot_general`` against the kernel reshaped [patch, patch·C, width],
+    and the images skip the f32→bf16 pre-cast (quantization reads full-
+    precision values).  Measured +5.5% end-to-end on the headline int8
+    path (benchmarks/stem_variants.py)."""
+    b, hh, ww, c = images.shape
+    width = wq["q"].shape[-1]
+    gh, gw = hh // patch, ww // patch
+    x5 = images.astype(jnp.float32).reshape(b, gh, patch, gw, patch * c)
+    amax = jnp.max(jnp.abs(x5), axis=(2, 4), keepdims=True)
+    x_scale = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x5 / x_scale), -127, 127).astype(jnp.int8)
+    w3 = wq["q"].reshape(patch, patch * c, width)
+    acc = jax.lax.dot_general(xq, w3, (((2, 4), (0, 1)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * x_scale[:, :, 0, :, 0][..., None]
+           * wq["scale"][..., 0, :])
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.reshape(b, gh * gw, width).astype(out_dtype)
+
+
 def _vit_q_trunk(p: Params, x: jax.Array, cfg,
                  fused: Optional[bool]) -> jax.Array:
     """cls/pos/pre-LN → int8 transformer → head, from patch embeddings."""
@@ -224,9 +254,8 @@ def encode_image_vit_q_u8(params_q: Params, images_u8: jax.Array, cfg,
     (models/clip.py::fold_preprocess_into_patch) — patchify runs on uint8
     and no float image tensor is materialized."""
     p = params_q
-    x = _patchify(images_u8, cfg.patch_size).astype(dtype)
-    x = int8_matmul(x, p["conv1_folded"],
-                    p["conv1_bias_folded"]).astype(dtype)
+    x = patch_embed_q(images_u8, cfg.patch_size, p["conv1_folded"],
+                      p["conv1_bias_folded"], out_dtype=dtype)
     return _vit_q_trunk(p, x, cfg, fused)
 
 
@@ -238,8 +267,7 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
     Mirrors the fp path's architecture branches (models/clip.py:109-121):
     SLIP's timm-style tower has no pre-LN and uses plain GELU."""
     p = params_q
-    x = _patchify(images.astype(dtype), cfg.patch_size)
-    x = int8_matmul(x, p["conv1"]).astype(dtype)
+    x = patch_embed_q(images, cfg.patch_size, p["conv1"], out_dtype=dtype)
     return _vit_q_trunk(p, x, cfg, fused)
 
 

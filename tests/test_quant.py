@@ -37,6 +37,38 @@ class TestQuantPrimitives:
         q = quantize_weight(w)
         assert q["scale"].shape == (3, 1, 16)  # per layer per out-channel
 
+    def test_patch_embed_q_matches_patchify_oracle(self, rng):
+        """Relayout-free int8 patch embedding == int8_matmul over the
+        explicitly patchified tensor (same per-patch dynamic quantization,
+        same contraction) — bit-level up to f32 reduction order."""
+        from debias_vision_lang_tpu.ops.quant import _patchify, patch_embed_q
+
+        patch, width = 4, 24
+        x = jnp.asarray(rng.normal(size=(2, 12, 12, 3)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(patch * patch * 3, width)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(width,)).astype(np.float32))
+        wq = quantize_weight(w)
+        oracle = np.asarray(
+            int8_matmul(_patchify(x, patch), wq, b), np.float32)
+        got = np.asarray(
+            patch_embed_q(x, patch, wq, b, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-5)
+
+    def test_patch_embed_dot_general_matches_transpose(self, rng):
+        """Float patch_embed (dot_general over split patch dims) == the
+        reshape/transpose+matmul formulation."""
+        from debias_vision_lang_tpu.models.clip import patch_embed
+        from debias_vision_lang_tpu.ops.quant import _patchify
+
+        patch, width = 4, 24
+        x = jnp.asarray(rng.normal(size=(2, 12, 12, 3)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(patch * patch * 3, width)).astype(np.float32))
+        oracle = np.asarray(_patchify(x, patch) @ k)
+        got = np.asarray(patch_embed({"kernel": k}, x, patch))
+        np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-5)
+
 
 class TestOutlierChannels:
     """De-risk per-row dynamic int8 against the KNOWN failure mode of real
