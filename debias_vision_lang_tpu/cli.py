@@ -223,6 +223,15 @@ def _add_serve(sub):
     p.add_argument("--mesh", default=None, choices=[None, "auto"],
                    help="'auto' = data-parallel serving over all visible "
                         "chips (batches shard over the mesh's data axis)")
+    p.add_argument("--auth-token", default=None,
+                   help="require 'Authorization: Bearer <token>' on data "
+                        "endpoints (default: $DVL_SERVE_TOKEN if set, "
+                        "else open; /healthz stays open for LB probes)")
+    p.add_argument("--tls-cert", default=None,
+                   help="PEM certificate chain — serve HTTPS directly "
+                        "(for production prefer a fronting LB/proxy)")
+    p.add_argument("--tls-key", default=None,
+                   help="PEM private key (defaults to --tls-cert file)")
 
 
 def _cmd_serve(args):
@@ -249,7 +258,8 @@ def _cmd_serve(args):
     serve_forever(model, tokenizer, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                   compute_dtype=args.dtype, warmup=not args.no_warmup,
-                  mesh=args.mesh)
+                  mesh=args.mesh, auth_token=args.auth_token,
+                  tls_cert=args.tls_cert, tls_key=args.tls_key)
 
 
 _HEAVY_CMDS = {"measure-bias", "train", "zero-shot", "serve", "bench"}

@@ -24,13 +24,28 @@ Single-item requests from concurrent clients coalesce into device batches
 via the MicroBatcher (power-of-two buckets — bounded compile count);
 multi-item requests batch trivially.  Stdlib-only (http.server), threaded.
 
+Hardening / deployment:
+  * bearer-token auth on data endpoints (``--auth-token`` /
+    $DVL_SERVE_TOKEN; /healthz stays open for LB probes)
+  * direct TLS termination (``--tls-cert``/``--tls-key``, TLS1.2+) for
+    the exposed-instance case; production deployments should prefer a
+    fronting load balancer / reverse proxy for TLS + auth + rate limits
+  * scale-out: one server process per host/chip-set (the engine lock
+    serializes one process's device launches by design; JAX owns its
+    chips exclusively, so processes must not share a chip) behind an LB;
+    within one host, ``--mesh auto`` shards batches over all visible
+    chips — scale-out across hosts is horizontal replicas.
+
 Run:  python -m debias_vision_lang_tpu.cli serve --model ViT-B/16-gender
 """
 
 from __future__ import annotations
 
 import base64
+import hmac
 import json
+import os
+import ssl
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -126,11 +141,24 @@ MAX_BODY_BYTES = 256 * 1024 * 1024
 
 class _Handler(BaseHTTPRequestHandler):
     app: ServeApp  # set by make_server
+    auth_token: Optional[str] = None  # set by make_server; None = open
 
     # -- plumbing ------------------------------------------------------------
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
+
+    def _authorized(self) -> bool:
+        """Bearer-token check on data endpoints (constant-time compare).
+        /healthz stays open for load-balancer probes."""
+        if self.auth_token is None:
+            return True
+        header = self.headers.get("Authorization", "")
+        supplied = header[7:] if header.startswith("Bearer ") else ""
+        if hmac.compare_digest(supplied, self.auth_token):
+            return True
+        self._json(401, {"error": "missing or invalid bearer token"})
+        return False
 
     def _json(self, code: int, payload: dict):
         body = json.dumps(payload).encode()
@@ -189,6 +217,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_POST(self):
+        if not self._authorized():
+            return
         if self.path == "/v1/embed/image-raw":
             body = self._read_raw()
             if body is None:
@@ -241,17 +271,41 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(app: ServeApp, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server; port 0 = ephemeral."""
-    handler = type("BoundHandler", (_Handler,), {"app": app})
-    return ThreadingHTTPServer((host, port), handler)
+                port: int = 0, auth_token: Optional[str] = None,
+                tls_cert: Optional[str] = None,
+                tls_key: Optional[str] = None) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 = ephemeral.
+
+    ``auth_token``: require ``Authorization: Bearer <token>`` on every data
+    endpoint (401 otherwise; /healthz stays open for LB probes).  Defaults
+    to $DVL_SERVE_TOKEN when unset; pass "" to force-open an instance in an
+    environment that sets the variable.
+
+    ``tls_cert``/``tls_key``: PEM paths — wraps the listening socket in
+    TLS (stdlib ssl, TLS1.2+).  For production deployments prefer a
+    fronting load balancer / reverse proxy terminating TLS and doing
+    request auth; these built-ins cover the direct-exposure case."""
+    if auth_token is None:
+        auth_token = os.environ.get("DVL_SERVE_TOKEN") or None
+    handler = type("BoundHandler", (_Handler,),
+                   {"app": app, "auth_token": auth_token or None})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    if tls_cert:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+        ctx.load_cert_chain(tls_cert, tls_key or tls_cert)
+        httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    return httpd
 
 
 def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
                   port: int = 8000, max_batch: int = 64,
                   max_wait_ms: float = 5.0,
                   compute_dtype: Optional[str] = None,
-                  warmup: bool = True, mesh=None):
+                  warmup: bool = True, mesh=None,
+                  auth_token: Optional[str] = None,
+                  tls_cert: Optional[str] = None,
+                  tls_key: Optional[str] = None):
     """Blocking entry point used by the CLI."""
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
@@ -262,11 +316,14 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
     if warmup:
         engine.warmup(log=lambda m: print(m, flush=True))
     app = ServeApp(engine, max_wait_ms=max_wait_ms)
-    httpd = make_server(app, host, port)
+    httpd = make_server(app, host, port, auth_token=auth_token,
+                        tls_cert=tls_cert, tls_key=tls_key)
+    scheme = "https" if tls_cert else "http"
     print(f"serving {engine.info()['model']} on "
-          f"http://{host}:{httpd.server_address[1]}  "
+          f"{scheme}://{host}:{httpd.server_address[1]}  "
           f"(backend={engine.info()['backend']}, "
-          f"dtype={engine.info()['compute_dtype']})")
+          f"dtype={engine.info()['compute_dtype']}, "
+          f"auth={'bearer' if (auth_token or os.environ.get('DVL_SERVE_TOKEN')) else 'open'})")
     try:
         httpd.serve_forever()
     finally:

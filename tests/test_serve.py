@@ -516,3 +516,102 @@ class TestInt8Serving:
         single = InferenceEngine(engine.model, engine.tokenizer, max_batch=16,
                                  compute_dtype="int8").embed_image_arrays(imgs)
         np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
+
+
+class TestAuthTLS:
+    """Serving hardening: bearer-token auth and direct-TLS termination."""
+
+    @pytest.fixture(scope="class")
+    def auth_server(self, engine):
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0, auth_token="sekrit-42")
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+        httpd.server_close()
+        app.close()
+
+    def _post(self, url, payload, token=None):
+        headers = {"Content-Type": "application/json"}
+        if token is not None:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_data_endpoints_require_token(self, auth_server):
+        code, out = self._post(auth_server + "/v1/embed/text",
+                               {"texts": ["the"]})
+        assert code == 401 and "token" in out["error"]
+        code, _ = self._post(auth_server + "/v1/embed/text",
+                             {"texts": ["the"]}, token="wrong")
+        assert code == 401
+
+    def test_correct_token_accepted(self, auth_server):
+        code, out = self._post(auth_server + "/v1/embed/text",
+                               {"texts": ["the"]}, token="sekrit-42")
+        assert code == 200
+        assert np.isfinite(np.asarray(out["embeddings"])).all()
+
+    def test_healthz_stays_open(self, auth_server):
+        with urllib.request.urlopen(auth_server + "/healthz",
+                                    timeout=10) as resp:
+            assert resp.status == 200
+
+    def test_env_token_default(self, engine, monkeypatch):
+        monkeypatch.setenv("DVL_SERVE_TOKEN", "env-tok")
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, _ = self._post(base + "/v1/embed/text", {"texts": ["the"]})
+            assert code == 401
+            code, _ = self._post(base + "/v1/embed/text", {"texts": ["the"]},
+                                 token="env-tok")
+            assert code == 200
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            app.close()
+
+    def test_tls_termination(self, engine, tmp_path):
+        import ssl
+        import subprocess
+
+        cert = tmp_path / "cert.pem"
+        try:
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout",
+                 str(cert), "-out", str(cert), "-days", "1", "-nodes",
+                 "-subj", "/CN=localhost"],
+                check=True, capture_output=True, timeout=60)
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            pytest.skip("openssl unavailable")
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0, tls_cert=str(cert))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        base = f"https://127.0.0.1:{httpd.server_address[1]}"
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        try:
+            req = urllib.request.Request(
+                base + "/v1/embed/text",
+                data=json.dumps({"texts": ["the"]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30, context=ctx) as resp:
+                assert resp.status == 200
+                out = json.loads(resp.read())
+            assert np.isfinite(np.asarray(out["embeddings"])).all()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            app.close()
