@@ -60,9 +60,7 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     if causal:
         # additive causal mask, computed in-kernel (iota is free; shipping a
         # [S, S] operand would cost HBM traffic per grid step)
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+        neg = _causal_neg(s)
 
     outs = []
     for h in range(heads):
@@ -89,6 +87,43 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     o_ref[:] = (x.astype(jnp.float32) + proj).astype(o_ref.dtype)
 
 
+def _causal_neg(s: int):
+    """[1, S, S] additive causal mask (0 below/on diagonal, -inf above)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+
+
+def _chain_head_loop(qkvs, heads: int, d: int, scale: float, neg, dtype):
+    """The shared head-major chain interleave: for each head, walk every
+    chain's [1, S, 3D] qkv — one chain's softmax (VPU) sits adjacent to
+    another chain's QK/PV dots (MXU) in issue order, which is the whole
+    point of the chain kernels (measured in both the int8 and bf16
+    variants; see the batch-chain sections of PERF.md).  Returns one
+    [1, S, D] concatenated attention output per chain."""
+    hd = d // heads
+    outs = [[] for _ in qkvs]
+    for h in range(heads):
+        for c, qkv in enumerate(qkvs):
+            q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+            k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd,
+                                     axis=2)
+            v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd,
+                                     2 * d + (h + 1) * hd, axis=2)
+            sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            sc = sc * scale
+            if neg is not None:
+                sc = sc + neg
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            outs[c].append(o.astype(dtype))
+    return [jnp.concatenate(chain_outs, axis=-1) for chain_outs in outs]
+
+
 def _attn_chains_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                         wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
                         causal: bool, chains: int):
@@ -100,13 +135,9 @@ def _attn_chains_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     measured win, ops/fused_block_q.py)."""
     s = x_ref.shape[1]
     d = x_ref.shape[2]
-    hd = d // heads
     lns = lns_ref[:][0]
     lnb = lnb_ref[:][0]
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+    neg = _causal_neg(s) if causal else None
     qkvs = []
     for c in range(chains):
         xn = _ln_f32(x_ref[c:c + 1], lns, lnb)
@@ -114,28 +145,8 @@ def _attn_chains_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                                   preferred_element_type=jnp.float32)
         qkvs.append((qkv + bqkv_ref[:][0].astype(jnp.float32))
                     .astype(x_ref.dtype))
-    outs = [[] for _ in range(chains)]
-    for h in range(heads):
-        for c in range(chains):
-            qkv = qkvs[c]
-            q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
-            k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd,
-                                     axis=2)
-            v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd,
-                                     2 * d + (h + 1) * hd, axis=2)
-            sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-            sc = sc * scale
-            if causal:
-                sc = sc + neg
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_ref.dtype)
-            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32)
-            outs[c].append(o.astype(x_ref.dtype))
-    for c in range(chains):
-        attn = jnp.concatenate(outs[c], axis=-1)
+    attns = _chain_head_loop(qkvs, heads, d, scale, neg, x_ref.dtype)
+    for c, attn in enumerate(attns):
         proj = jax.lax.dot_general(attn, wo_ref[:], (((2,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         proj = proj + bo_ref[:][0].astype(jnp.float32)
@@ -144,14 +155,16 @@ def _attn_chains_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
 
 def _attn_bf16_chains_fit_vmem(s: int, d: int, chains: int,
+                               itemsize: int = 2,
                                budget: int = 16 * 1024 * 1024) -> bool:
-    """Live set: bf16 weights + all chains' qkv + transient scores +
-    double-buffered io blocks (ViT-B chains=2 ≈ 11.3 MB; ViT-L ≈ 17 MB →
-    falls back to single-chain)."""
-    weights = 4 * d * d * 2
-    qkv = chains * s * 3 * d * 2
+    """Live set: weights + all chains' qkv + transient scores +
+    double-buffered io blocks, at the activation ``itemsize`` (ViT-B bf16
+    chains=2 ≈ 11.3 MB; ViT-L ≈ 17 MB → falls back to single-chain; f32
+    inputs double everything — the auto-pick must account for it)."""
+    weights = 4 * d * d * itemsize
+    qkv = chains * s * 3 * d * itemsize
     scores = 4 * s * s * 4
-    blocks = 2 * 2 * chains * s * d * 2
+    blocks = 2 * 2 * chains * s * d * itemsize
     return weights + qkv + scores + blocks <= budget
 
 
@@ -196,22 +209,28 @@ def _row(v):
 @functools.partial(jax.jit, static_argnames=("heads", "bb", "causal",
                                              "interpret", "chains"))
 def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
-                    heads: int, bb: int = 4, causal: bool = False,
+                    heads: int, bb: int = None, causal: bool = False,
                     interpret: bool = False, chains: int = None):
     """x: [B, S, D] → x + attn(LN(x)).  B must be divisible by bb.
     ``causal=True`` applies CLIP's text-tower causal mask in-kernel.
 
-    ``chains=None`` auto-picks the head-major batch-chain width (2 when B
-    is even and the chain live set fits VMEM — bit-identical, measured
-    -8.6% on the bf16 ViT-B/16 tower); chains>1 overrides bb (each grid
-    step then runs ``chains`` interleaved single-item dataflow chains).
-    Pass chains=1 to force the batched single-chain kernel."""
+    With both ``bb`` and ``chains`` at their None defaults, auto-picks the
+    head-major batch-chain width (chains=2 when B is even, the activation
+    dtype's chain live set fits VMEM — bit-identical, measured -8.6% on
+    the bf16 ViT-B/16 tower), falling back to the batched single-chain
+    kernel at bb=4.  An EXPLICIT ``bb`` selects the batched kernel with
+    that grid tile (no chain auto-pick — benchmark baselines depend on
+    this); chains>1 runs ``chains`` interleaved single-item dataflow
+    chains per grid step, ignoring bb.  The no-chain fallback is bb=1
+    (the measured-fastest single-chain config on v5e)."""
     b, s, d = x.shape
     if chains is None:
         chains = 1
-        if (not interpret and b % 2 == 0
-                and _attn_bf16_chains_fit_vmem(s, d, 2)):
+        if (bb is None and not interpret and b % 2 == 0
+                and _attn_bf16_chains_fit_vmem(s, d, 2, x.dtype.itemsize)):
             chains = 2
+    if bb is None:
+        bb = 1
     if chains > 1:
         if b % chains:
             raise ValueError(f"batch {b} not divisible by chains={chains}")
@@ -325,7 +344,7 @@ def mlp_block(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
 
 
 def fused_resblock(layer_p: Params, x: jax.Array, heads: int, *,
-                   act_kind: str = "quick_gelu", bb_attn: int = 4,
+                   act_kind: str = "quick_gelu", bb_attn: int = None,
                    bb_mlp: int = 2, causal: bool = False,
                    interpret: bool = False) -> jax.Array:
     """One pre-LN residual block via the two fused kernels (layer_p is an
@@ -343,7 +362,7 @@ def fused_resblock(layer_p: Params, x: jax.Array, heads: int, *,
 
 
 def fused_transformer(stacked: Params, x: jax.Array, heads: int, *,
-                      act_kind: str = "quick_gelu", bb_attn: int = 4,
+                      act_kind: str = "quick_gelu", bb_attn: int = None,
                       bb_mlp: int = 2, interpret: bool = False) -> jax.Array:
     """Stacked-resblock tower via lax.scan over the fused kernels."""
     def body(carry, layer_p):
@@ -373,8 +392,10 @@ def _xla_resblock(layer_p, x, heads, act_kind, causal=False):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _fused_resblock_diff(layer_p, x, heads, act_kind, causal=False,
                          interpret=False):
+    # bb_attn=None → chain auto-pick (chains=2 when the live set fits,
+    # else the measured-fastest bb=1); MLP stays the bb=1 single-chain
     return fused_resblock(layer_p, x, heads, act_kind=act_kind,
-                          bb_attn=1, bb_mlp=1, causal=causal,
+                          bb_attn=None, bb_mlp=1, causal=causal,
                           interpret=interpret)
 
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_block import _ln_f32, _pick_fblock, _row
+from .fused_block import (_causal_neg, _chain_head_loop, _ln_f32,
+                          _pick_fblock, _row)
 
 Params = Dict[str, Any]
 
@@ -70,9 +71,7 @@ def _attn_q_kernel(x_ref, lns_ref, lnb_ref, wqkvq_ref, sqkv_ref, bqkv_ref,
     qkv = (qkv + bqkv_ref[:][0].astype(jnp.float32)).astype(x.dtype)
 
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
+        neg = _causal_neg(s)
 
     # per-head attention identical to the bf16 kernel (fp compute — the
     # [S, 64] dots are ~11% of layer FLOPs and int8 would cost accuracy)
@@ -200,71 +199,48 @@ def _attn_q_chains_kernel(x_ref, lns_ref, lnb_ref, wqkvq_ref, sqkv_ref,
     chain interleaving (50.5 → 45.3 ms bb=4 vs 48.8 bb=2-chain-major)."""
     s = x_ref.shape[1]
     d = x_ref.shape[2]
-    hd = d // heads
     lns = lns_ref[:][0]
     lnb = lnb_ref[:][0]
     bqkv = bqkv_ref[:][0].astype(jnp.float32)
     bo = bo_ref[:][0].astype(jnp.float32)
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        neg = jnp.where(col <= row, 0.0, -jnp.inf).astype(jnp.float32)[None]
-    else:
-        neg = None
+    neg = _causal_neg(s) if causal else None
     qkvs = []
     for c in range(bb):
         xn = _ln_f32(x_ref[c:c + 1], lns, lnb).astype(jnp.float32)
         xq, xs = _quant_rows(xn)
         qkv = _dot_q(xq, xs, wqkvq_ref, sqkv_ref)
         qkvs.append((qkv + bqkv).astype(x_ref.dtype))
-    outs = [[] for _ in range(bb)]
-    for h in range(heads):
-        for c in range(bb):
-            qkv = qkvs[c]
-            q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
-            k = jax.lax.slice_in_dim(qkv, d + h * hd, d + (h + 1) * hd,
-                                     axis=2)
-            v = jax.lax.slice_in_dim(qkv, 2 * d + h * hd,
-                                     2 * d + (h + 1) * hd, axis=2)
-            sc = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-            sc = sc * scale
-            if neg is not None:
-                sc = sc + neg
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_ref.dtype)
-            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32)
-            outs[c].append(o.astype(x_ref.dtype))
-    for c in range(bb):
-        attn = jnp.concatenate(outs[c], axis=-1).astype(jnp.float32)
-        aq, ascale = _quant_rows(attn)
+    attns = _chain_head_loop(qkvs, heads, d, scale, neg, x_ref.dtype)
+    for c, attn in enumerate(attns):
+        aq, ascale = _quant_rows(attn.astype(jnp.float32))
         proj = _dot_q(aq, ascale, woq_ref, so_ref) + bo
         o_ref[c:c + 1] = (x_ref[c:c + 1].astype(jnp.float32)
                           + proj).astype(o_ref.dtype)
 
 
 def _mlp_pipe_fits_vmem(s: int, d: int, f: int, bb: int,
+                        itemsize: int = 2,
                         budget: int = 15 * 1024 * 1024) -> bool:
     """Live set of the modulo-2 pipeline: int8 weights + 2 f32 hidden
-    activations + double-buffered bf16 in/out blocks (measured-calibrated:
-    ViT-B bb=4 ≈ 14.3 MB runs)."""
+    activations + double-buffered in/out blocks at the activation
+    ``itemsize`` (measured-calibrated: ViT-B bb=4 bf16 ≈ 14.3 MB runs)."""
     weights = 2 * d * f                    # int8 W1 + W2
     hidden = 2 * s * f * 4                 # two live f32 activations
-    blocks = 2 * 2 * bb * s * d * 2        # in+out, double-buffered, bf16
+    blocks = 2 * 2 * bb * s * d * itemsize  # in+out, double-buffered
     return weights + hidden + blocks <= budget
 
 
-def _attn_chains_fit_vmem(s: int, d: int, bb: int,
+def _attn_chains_fit_vmem(s: int, d: int, bb: int, itemsize: int = 2,
                           budget: int = 16 * 1024 * 1024) -> bool:
     """Live set of the head-major chain kernel: all bb qkv tensors live the
     whole kernel; scores/probs are transient per (head, chain) step
-    (measured-calibrated: ViT-B/16 bb=4 ≈ 15.5 MB runs)."""
+    (measured-calibrated: ViT-B/16 bb=4 bf16 ≈ 15.5 MB runs).  ``itemsize``
+    = activation dtype size (the auto-pick must not assume bf16 — fused=True
+    callers can feed f32, doubling qkv and io blocks)."""
     weights = 4 * d * d                    # int8 Wqkv + Wo
-    qkv = bb * s * 3 * d * 2               # bf16 qkv per chain, all live
+    qkv = bb * s * 3 * d * itemsize        # qkv per chain, all live
     scores = 4 * s * s * 4                 # transient f32 score/prob set
-    blocks = 2 * 2 * bb * s * d * 2        # in+out, double-buffered, bf16
+    blocks = 2 * 2 * bb * s * d * itemsize  # in+out, double-buffered
     return weights + qkv + scores + blocks <= budget
 
 
@@ -287,7 +263,8 @@ def attention_block_q(x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv,
         bb = 1
         if not interpret:
             for cand in (4, 2):
-                if b % cand == 0 and _attn_chains_fit_vmem(s, d, cand):
+                if b % cand == 0 and _attn_chains_fit_vmem(
+                        s, d, cand, x.dtype.itemsize):
                     bb = cand
                     break
     if b % bb:
@@ -357,14 +334,16 @@ def mlp_block_q(x, ln_scale, ln_bias, w1_q, w1_scale, b1, w2_q, w2_scale,
         bb = 1
         if fb == f and not interpret:
             for cand in (4, 2):
-                if b % cand == 0 and _mlp_pipe_fits_vmem(s, d, f, cand):
+                if b % cand == 0 and _mlp_pipe_fits_vmem(
+                        s, d, f, cand, x.dtype.itemsize):
                     bb = cand
                     break
     if b % bb:
         raise ValueError(f"batch {b} not divisible by bb={bb}")
-    if bb > 1:
-        if fb != f:
-            raise ValueError("bb>1 chains require the unsplit MLP (fb==F)")
+    # chains (the modulo-2 pipeline) need the whole hidden row resident, so
+    # they only apply unsplit; an explicit bb>1 WITH an F-split runs the
+    # batched F-split grid below (bb = plain batch tile there)
+    if bb > 1 and fb == f:
         kern = functools.partial(_mlp_q_pipe_kernel, act_kind=act_kind, bb=bb)
         return pl.pallas_call(
             kern,

@@ -155,7 +155,10 @@ class _Handler(BaseHTTPRequestHandler):
             return True
         header = self.headers.get("Authorization", "")
         supplied = header[7:] if header.startswith("Bearer ") else ""
-        if hmac.compare_digest(supplied, self.auth_token):
+        # compare bytes: compare_digest raises TypeError on non-ASCII str
+        # operands (a hostile header must 401, not kill the connection)
+        if hmac.compare_digest(supplied.encode("utf-8", "surrogateescape"),
+                               self.auth_token.encode("utf-8")):
             return True
         self._json(401, {"error": "missing or invalid bearer token"})
         return False
@@ -195,7 +198,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"no route {self.path}"})
 
     def _read_raw(self) -> Optional[bytes]:
-        length = int(self.headers.get("Content-Length", 0))
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length header"})
+            return None
         if length < 0 or length > MAX_BODY_BYTES:
             self._json(413, {"error": f"body of {length} bytes exceeds "
                                       f"the {MAX_BODY_BYTES}-byte limit"})
@@ -288,13 +295,23 @@ def make_server(app: ServeApp, host: str = "127.0.0.1",
     if auth_token is None:
         auth_token = os.environ.get("DVL_SERVE_TOKEN") or None
     handler = type("BoundHandler", (_Handler,),
-                   {"app": app, "auth_token": auth_token or None})
+                   {"app": app, "auth_token": auth_token or None,
+                    # bound per-connection blocking (incl. the lazy TLS
+                    # handshake below): a stalled client times out instead
+                    # of holding a handler thread forever
+                    "timeout": 60})
     httpd = ThreadingHTTPServer((host, port), handler)
     if tls_cert:
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.minimum_version = ssl.TLSVersion.TLSv1_2
         ctx.load_cert_chain(tls_cert, tls_key or tls_cert)
-        httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+        # do_handshake_on_connect=False: accept() must NOT block on the
+        # handshake — a client that connects and never speaks TLS would
+        # stall the single accept loop (unauthenticated DoS).  The
+        # handshake runs lazily on first read, inside the per-connection
+        # handler thread, bounded by the handler timeout.
+        httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True,
+                                       do_handshake_on_connect=False)
     return httpd
 
 
@@ -316,14 +333,19 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
     if warmup:
         engine.warmup(log=lambda m: print(m, flush=True))
     app = ServeApp(engine, max_wait_ms=max_wait_ms)
-    httpd = make_server(app, host, port, auth_token=auth_token,
+    if auth_token is None:
+        auth_token = os.environ.get("DVL_SERVE_TOKEN") or None
+    httpd = make_server(app, host, port, auth_token=auth_token or "",
                         tls_cert=tls_cert, tls_key=tls_key)
     scheme = "https" if tls_cert else "http"
+    # the handler's resolved token is the single source of truth for the
+    # banner (auth_token="" force-opens even when $DVL_SERVE_TOKEN is set)
+    resolved = httpd.RequestHandlerClass.auth_token
     print(f"serving {engine.info()['model']} on "
           f"{scheme}://{host}:{httpd.server_address[1]}  "
           f"(backend={engine.info()['backend']}, "
           f"dtype={engine.info()['compute_dtype']}, "
-          f"auth={'bearer' if (auth_token or os.environ.get('DVL_SERVE_TOKEN')) else 'open'})")
+          f"auth={'bearer' if resolved else 'open'})")
     try:
         httpd.serve_forever()
     finally:

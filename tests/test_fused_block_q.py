@@ -117,13 +117,15 @@ class TestEquivalence:
                 a["wqkv"]["q"], a["wqkv"]["scale"], a["bqkv"],
                 a["wo"]["q"], a["wo"]["scale"], a["bo"],
                 heads=H, bb=3, interpret=True)
+        # explicit bb>1 WITH an F-split is the batched F-split grid (bb =
+        # plain batch tile, not chains) — per-item math identical to bb=1
         m = layer0["mlp"]
-        with pytest.raises(ValueError, match="fb==F"):
-            mlp_block_q(
-                x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
+        args = (x, layer0["ln_2"]["scale"], layer0["ln_2"]["bias"],
                 m["w1"]["q"], m["w1"]["scale"], m["b1"],
-                m["w2"]["q"], m["w2"]["scale"], m["b2"],
-                bb=2, fb=(4 * D) // 2, interpret=True)
+                m["w2"]["q"], m["w2"]["scale"], m["b2"])
+        base = mlp_block_q(*args, bb=1, fb=(4 * D) // 2, interpret=True)
+        tiled = mlp_block_q(*args, bb=2, fb=(4 * D) // 2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(tiled), np.asarray(base))
 
     def test_fsplit_within_quant_error(self, stacked_q, x):
         """fb < F quantizes the hidden activation per F-tile (documented

@@ -303,6 +303,26 @@ class TestHTTP:
              "X-Image-Format": "jpeg"})
         assert code == 400
 
+    def test_raw_bad_content_length_400(self, server):
+        """A malformed Content-Length header must get a 400, not abort the
+        connection with an unhandled ValueError."""
+        import http.client
+
+        host, port = server.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.putrequest("POST", "/v1/embed/image-raw",
+                            skip_accept_encoding=True)
+            conn.putheader("Content-Type", "application/octet-stream")
+            conn.putheader("X-Image-Format", "u8")
+            conn.putheader("Content-Length", "abc")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert b"Content-Length" in resp.read()
+        finally:
+            conn.close()
+
     def test_concurrent_clients_coalesce(self, server, rng):
         """6 parallel single-text requests → identical to serial answers."""
         texts = [f"the{'!' * i}" for i in range(6)]
@@ -615,3 +635,22 @@ class TestAuthTLS:
             httpd.shutdown()
             httpd.server_close()
             app.close()
+
+    def test_non_ascii_bearer_401_not_crash(self, auth_server):
+        # compare_digest would TypeError on non-ASCII str operands; the
+        # handler must 401 cleanly instead of aborting the connection
+        req = urllib.request.Request(
+            auth_server + "/v1/embed/text",
+            data=json.dumps({"texts": ["the"]}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer caf\xe9"})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 401
+        # server still alive
+        with urllib.request.urlopen(auth_server + "/healthz",
+                                    timeout=10) as resp:
+            assert resp.status == 200
