@@ -113,6 +113,12 @@ def _add_train(sub):
                    help="differentiable text-tower precision (mixed "
                         "precision: prompt array, grads, losses and the "
                         "adversary stay fp32)")
+    p.add_argument("--approx-frozen-scores", action="store_true",
+                   help="OPT-IN approximation for vid-layer/unfrozen-proj "
+                        "training: the adversarial-score term keeps image "
+                        "embeddings frozen (saves one image fwd+bwd per "
+                        "step; CHANGES GRADIENTS — see "
+                        "TrainConfig.approx_frozen_scores)")
 
 
 def _cmd_train(args):
@@ -134,6 +140,7 @@ def _cmd_train(args):
         resume=args.resume,
         embed_dtype=args.embed_dtype,
         train_dtype=args.train_dtype,
+        approx_frozen_scores=args.approx_frozen_scores,
     )
     print(json.dumps(best, indent=2))
 

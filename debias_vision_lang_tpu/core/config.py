@@ -189,6 +189,25 @@ class TrainConfig:
     # stay fp32 (cast-in/cast-out — the dominant prompt_step cost is the
     # 319-prompt text tower f+b, fp32 on the reference path).
     train_dtype: str = "float32"
+    # OPT-IN approximation for image-path training configs (vid layers or
+    # unfrozen projections): the adversarial-score term treats the attribute
+    # batch's image embeddings as FROZEN (precomputed by the no-gradient
+    # embed pass, stop-gradient) — only the caption batch re-embeds
+    # differentiably for the contrastive term.  Saves one image-tower
+    # fwd+bwd per step, but CHANGES GRADIENTS: the adversary signal reaches
+    # image-path params only through contrastive alignment, not directly
+    # (and the scores see embed_dtype precision).  Ignored by exact-frozen
+    # configs, whose fast path is already exact.  Measured step-time and
+    # training-dynamics comparison: PERF.md "approximate adversarial split".
+    approx_frozen_scores: bool = False
+    # Per-layer rematerialization (jax.checkpoint) for the DIFFERENTIABLE
+    # image-tower passes of the with-layers steps.  Numerically identical
+    # (same ops recomputed in the backward); trades ~one extra tower
+    # forward for a ~num_layers reduction in saved activations.  Without
+    # it the exact with-layers step at ViT-B/16 does not fit one v5e chip
+    # even at batch 32 (measured 16.8 G > 15.75 G HBM; benchmarks/
+    # train_approx.py).  The frozen no-gradient embed passes never need it.
+    remat_image_tower: bool = True
 
 
 _UPPER_KEYS = {

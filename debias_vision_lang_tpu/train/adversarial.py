@@ -90,6 +90,7 @@ class TrainStepFns:
     prompt_step: Callable
     prompt_step_with_layers: Callable
     prompt_step_text_layers: Callable
+    prompt_step_approx_scores: Callable
     eval_scores: Callable
 
 
@@ -119,6 +120,9 @@ def build_train_steps(
     # stop_gradient) — closed-over weights would be baked into the compiled
     # program as constants, which the remote-compile path rejects.
     train_dtype = jnp.dtype(getattr(train_cfg, "train_dtype", "float32"))
+    # per-layer jax.checkpoint for differentiable image passes — numerically
+    # identical; see TrainConfig.remat_image_tower
+    remat_img = bool(getattr(train_cfg, "remat_image_tower", True))
 
     def encode_sensitive(cp, debias_tokens: jax.Array) -> jax.Array:
         # mixed precision: tower runs at train_dtype, output upcast so the
@@ -304,12 +308,53 @@ def build_train_steps(
         def loss_fn(args):
             deb, cpp = args
             image_embs = clip_model.encode_image(
-                cpp, images, clip_cfg, use_pallas=use_pallas).astype(jnp.float32)
+                cpp, images, clip_cfg, use_pallas=use_pallas,
+                remat=remat_img).astype(jnp.float32)
             caption_image_embs = clip_model.encode_image(
-                cpp, caption_images, clip_cfg, use_pallas=use_pallas
-            ).astype(jnp.float32)
+                cpp, caption_images, clip_cfg, use_pallas=use_pallas,
+                remat=remat_img).astype(jnp.float32)
             return _prompt_losses(cpp, deb, adv_params, image_embs, attr_labels,
                                   caption_image_embs, caption_tokens)
+
+        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
+            loss_fn, has_aux=True)((debias_tokens, cp))
+        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
+        updates, joint_opt_state = prompt_optimizer.update(
+            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
+        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
+        return debias_tokens, cp, joint_opt_state, {
+            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
+        }
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def prompt_step_approx_scores(
+        cp: Params,
+        debias_tokens: jax.Array,
+        joint_opt_state,
+        grad_mask: Params,
+        adv_params: Params,
+        image_embs: jax.Array,
+        attr_labels: jax.Array,
+        caption_images: jax.Array,
+        caption_tokens: jax.Array,
+    ):
+        """OPT-IN approximate with-layers step (train_cfg.approx_frozen_scores):
+        the adversarial-score term uses the PRECOMPUTED attribute-batch
+        embeddings (frozen no-gradient pass, stop-gradient here) even though
+        image-path params train; only the caption batch embeds inside the
+        loss, for the contrastive term.  Saves one image fwd+bwd per step vs
+        prompt_step_with_layers, but the adversary signal reaches image-path
+        params only via contrastive alignment — NOT gradient-equivalent
+        (except at adversarial_weight=0, pinned in tests)."""
+
+        def loss_fn(args):
+            deb, cpp = args
+            caption_image_embs = clip_model.encode_image(
+                cpp, caption_images, clip_cfg, use_pallas=use_pallas,
+                remat=remat_img).astype(jnp.float32)
+            return _prompt_losses(
+                cpp, deb, adv_params, jax.lax.stop_gradient(image_embs),
+                attr_labels, caption_image_embs, caption_tokens)
 
         (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
             loss_fn, has_aux=True)((debias_tokens, cp))
@@ -327,6 +372,7 @@ def build_train_steps(
         prompt_step=prompt_step,
         prompt_step_with_layers=prompt_step_with_layers,
         prompt_step_text_layers=prompt_step_text_layers,
+        prompt_step_approx_scores=prompt_step_approx_scores,
         eval_scores=eval_scores,
     )
     return fns, prompt_optimizer, adversary_optimizer
@@ -455,6 +501,16 @@ class AdversarialTrainer:
                 cp, self.model.debias_tokens, self.prompt_opt_state,
                 self.grad_mask, self.adversary_params, image_embs,
                 labels, cap_embs, cap_tok)
+        elif self.grad_mask is not None and getattr(
+                self.train_cfg, "approx_frozen_scores", False):
+            # opt-in approximation: score embeddings stay frozen (reuse the
+            # precomputed pass above); only the caption batch re-embeds
+            # differentiably — see TrainConfig.approx_frozen_scores
+            (self.model.debias_tokens, self.model.clip_params,
+             self.prompt_opt_state, metrics) = self.fns.prompt_step_approx_scores(
+                cp, self.model.debias_tokens, self.prompt_opt_state,
+                self.grad_mask, self.adversary_params, image_embs,
+                labels, self._shard(caption_images), cap_tok)
         elif self.grad_mask is not None:
             # raw images go in: the step embeds them differentiably
             (self.model.debias_tokens, self.model.clip_params,

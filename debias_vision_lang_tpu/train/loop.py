@@ -81,6 +81,7 @@ def run_training(
     mesh=None,
     embed_dtype: str = "float32",
     train_dtype: str = "float32",
+    approx_frozen_scores: bool = False,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -145,6 +146,8 @@ def run_training(
             overrides["embed_dtype"] = embed_dtype
         if train_dtype != "float32":
             overrides["train_dtype"] = train_dtype
+        if approx_frozen_scores:
+            overrides["approx_frozen_scores"] = True
         if overrides:
             import dataclasses
 
@@ -154,7 +157,8 @@ def run_training(
                            eval_every_steps=eval_every,
                            checkpoint_dir=checkpoint_dir, seed=seed,
                            embed_dtype=embed_dtype,
-                           train_dtype=train_dtype)
+                           train_dtype=train_dtype,
+                           approx_frozen_scores=approx_frozen_scores)
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
 

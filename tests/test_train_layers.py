@@ -153,6 +153,112 @@ class TestLayerTraining:
                                             use_pallas=False)
         assert trainer.trains_image
 
+    def test_approx_scores_routes_and_trains(self):
+        """approx_frozen_scores with vid layers: the approximate step runs,
+        the top vid layer still trains (via the contrastive term)."""
+        model = make_model(n_train_vid_layers=1)
+        before = np.asarray(
+            model.clip_params["visual"]["resblocks"]["attn"]["wqkv"]).copy()
+        trainer = AdversarialTrainer.create(
+            model, make_adversary(4),
+            TrainConfig(approx_frozen_scores=True), sens_tokens(4),
+            use_pallas=False)
+        assert trainer.trains_image
+        rng = np.random.default_rng(7)
+        m = trainer.step(*batch(rng))
+        assert np.isfinite(m["loss"])
+        after = np.asarray(
+            trainer.model.clip_params["visual"]["resblocks"]["attn"]["wqkv"])
+        assert np.abs(after[1] - before[1]).max() > 0  # top vid layer trained
+        np.testing.assert_array_equal(after[0], before[0])  # bottom frozen
+
+    def test_approx_matches_exact_at_zero_adversarial_weight(self):
+        """With adversarial_weight=0 the dropped gradient path (adversary →
+        attribute-batch image embeddings → vid layers) contributes nothing,
+        so the approximate and exact with-layers steps must produce the same
+        updates — the approximation's ONLY gradient difference is that
+        path."""
+        rng = np.random.default_rng(8)
+        b = batch(rng)
+
+        model_a = make_model(n_train_vid_layers=1)
+        trainer_a = AdversarialTrainer.create(
+            model_a, make_adversary(4),
+            TrainConfig(adversarial_weight=0.0, approx_frozen_scores=True),
+            sens_tokens(4), use_pallas=False)
+        trainer_a.step(*b)
+
+        model_b = make_model(n_train_vid_layers=1)
+        trainer_b = AdversarialTrainer.create(
+            model_b, make_adversary(4),
+            TrainConfig(adversarial_weight=0.0), sens_tokens(4),
+            use_pallas=False)
+        trainer_b.step(*b)
+
+        np.testing.assert_allclose(
+            np.asarray(trainer_a.model.debias_tokens),
+            np.asarray(trainer_b.model.debias_tokens), rtol=1e-5, atol=1e-6)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
+            trainer_a.model.clip_params, trainer_b.model.clip_params)
+
+    def test_approx_differs_with_adversarial_weight(self):
+        """With adversarial_weight>0 the approximation genuinely changes the
+        vid-layer gradients (the direct adversary→image path is dropped) —
+        this is why the flag is opt-in."""
+        rng = np.random.default_rng(9)
+        b = batch(rng)
+
+        model_a = make_model(n_train_vid_layers=1)
+        trainer_a = AdversarialTrainer.create(
+            model_a, make_adversary(4),
+            TrainConfig(adversarial_weight=5.0, approx_frozen_scores=True),
+            sens_tokens(4), use_pallas=False)
+        trainer_a.step(*b)
+
+        model_b = make_model(n_train_vid_layers=1)
+        trainer_b = AdversarialTrainer.create(
+            model_b, make_adversary(4),
+            TrainConfig(adversarial_weight=5.0), sens_tokens(4),
+            use_pallas=False)
+        trainer_b.step(*b)
+
+        wa = np.asarray(
+            trainer_a.model.clip_params["visual"]["resblocks"]["attn"]["wqkv"])
+        wb = np.asarray(
+            trainer_b.model.clip_params["visual"]["resblocks"]["attn"]["wqkv"])
+        assert np.abs(wa[1] - wb[1]).max() > 1e-7
+
+    def test_approx_flag_ignored_when_image_path_frozen(self):
+        """Frozen / text-only configs ignore the flag — their fast paths are
+        already exact, so the approximation must not engage (updates match a
+        flagless trainer bit-for-bit)."""
+        rng = np.random.default_rng(10)
+        b = batch(rng)
+
+        model_a = make_model(n_train_text_layers=1)
+        trainer_a = AdversarialTrainer.create(
+            model_a, make_adversary(4),
+            TrainConfig(approx_frozen_scores=True), sens_tokens(4),
+            use_pallas=False)
+        assert not trainer_a.trains_image
+        trainer_a.step(*b)
+
+        model_b = make_model(n_train_text_layers=1)
+        trainer_b = AdversarialTrainer.create(
+            model_b, make_adversary(4), TrainConfig(), sens_tokens(4),
+            use_pallas=False)
+        trainer_b.step(*b)
+
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)),
+            trainer_a.model.clip_params, trainer_b.model.clip_params)
+        np.testing.assert_array_equal(
+            np.asarray(trainer_a.model.debias_tokens),
+            np.asarray(trainer_b.model.debias_tokens))
+
     def test_vision_layer_trains(self):
         """n_train_vid_layers: the with-layers step embeds images inside the
         loss, so the top image resblock receives gradients."""
