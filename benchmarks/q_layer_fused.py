@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = int(os.environ.get("ILP_BATCH", 512))
 STEPS = int(os.environ.get("ILP_STEPS", 10))
+SCOPED_KIB = int(os.environ.get("ILP_SCOPED_KIB", "0"))
 
 
 def main():
@@ -114,6 +115,33 @@ def main():
             for c in range(bb):
                 o_ref[c:c + 1] = (ys[c] + b2
                                   + mlp_down(hs[c])).astype(o_ref.dtype)
+        elif mode == "prod":
+            # PRODUCTION structure fused: head-major attention interleave
+            # across all chains (the bb=4 within-block winner), then the
+            # modulo-2 MLP pipe — only the pallas_call boundary removed.
+            qkvs = []
+            for c in range(bb):
+                xn = _ln_f32(x_ref[c:c + 1], lns1, lnb1).astype(jnp.float32)
+                xq, xsc = _quant_rows(xn)
+                qkv = _dot_q(xq, xsc, wqkvq_ref, sqkv_ref) + bqkv
+                qkvs.append(qkv.astype(x_ref.dtype))
+            attns = _chain_head_loop(qkvs, heads, d, scale, None,
+                                     x_ref.dtype)
+            ys = []
+            for c, a_out in enumerate(attns):
+                aq, ascale = _quant_rows(a_out.astype(jnp.float32))
+                proj = _dot_q(aq, ascale, woq_ref, so_ref) + bo
+                ys.append(x_ref[c:c + 1].astype(jnp.float32) + proj)
+            parts = [None] * bb
+            h_prev = mlp_up(ys[0])
+            for c in range(1, bb):
+                h_next = mlp_up(ys[c])
+                parts[c - 1] = mlp_down(h_prev)
+                h_prev = h_next
+            parts[bb - 1] = mlp_down(h_prev)
+            for c in range(bb):
+                o_ref[c:c + 1] = (ys[c] + b2
+                                  + parts[c]).astype(o_ref.dtype)
         else:  # xpipe: chain 1's attention between chain 0's MLP dots
             y0 = attn(0)
             h0 = mlp_up(y0)
@@ -123,10 +151,14 @@ def main():
             o_ref[0:1] = (y0 + b2 + p0).astype(o_ref.dtype)
             o_ref[1:2] = (y1 + b2 + mlp_down(h1)).astype(o_ref.dtype)
 
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_KIB)}
+            if SCOPED_KIB else None)
+    jit = functools.partial(jax.jit, compiler_options=opts)
+
     def tower(bb, mode):
         kern = functools.partial(layer_kernel, bb=bb, mode=mode)
 
-        @jax.jit
+        @jit
         def call(x, rq):
             def body(c, lp):
                 a = lp["attn"]
@@ -190,11 +222,13 @@ def main():
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
     ref = base_call(xs[0], rq)
-    print(json.dumps({"layer_base_ms": round(timeit(base_call, xs, rq) * 1e3, 2)}),
-          flush=True)
-    for name, bb, mode in (("seq_bb2", 2, "seq"),
-                           ("xpipe_bb2", 2, "xpipe"),
-                           ("seq_bb4", 4, "seq")):
+    print(json.dumps({"scoped_vmem_kib": SCOPED_KIB or "default",
+                      "layer_base_ms": round(timeit(base_call, xs, rq) * 1e3,
+                                             2)}), flush=True)
+    variants = (("prod_bb4", 4, "prod"),) if SCOPED_KIB else (
+        ("seq_bb2", 2, "seq"), ("xpipe_bb2", 2, "xpipe"),
+        ("seq_bb4", 4, "seq"))
+    for name, bb, mode in variants:
         fn = tower(bb, mode)
         try:
             ms = round(timeit(fn, xs, rq) * 1e3, 2)
