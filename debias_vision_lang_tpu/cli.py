@@ -119,6 +119,16 @@ def _add_train(sub):
                         "embeddings frozen (saves one image fwd+bwd per "
                         "step; CHANGES GRADIENTS — see "
                         "TrainConfig.approx_frozen_scores)")
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "warmup_cosine"],
+                   help="LR schedule for both optimizers; cosine horizon "
+                        "defaults to epochs x steps-per-epoch")
+    p.add_argument("--warmup-steps", default=0, type=int,
+                   help="linear LR warmup steps (warmup_cosine)")
+    p.add_argument("--decay-steps", default=None, type=int,
+                   help="cosine horizon override in optimizer steps")
+    p.add_argument("--grad-clip-norm", default=None, type=float,
+                   help="global-norm gradient clipping before adam")
 
 
 def _cmd_train(args):
@@ -141,6 +151,10 @@ def _cmd_train(args):
         embed_dtype=args.embed_dtype,
         train_dtype=args.train_dtype,
         approx_frozen_scores=args.approx_frozen_scores,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
+        grad_clip_norm=args.grad_clip_norm,
     )
     print(json.dumps(best, indent=2))
 

@@ -200,6 +200,21 @@ class TrainConfig:
     # configs, whose fast path is already exact.  Measured step-time and
     # training-dynamics comparison: PERF.md "approximate adversarial split".
     approx_frozen_scores: bool = False
+    # Optimizer shaping for BOTH default optax chains (prompt + adversary;
+    # explicit optimizers passed to build_train_steps bypass these).
+    # "constant" reproduces the plain adam(lr) used so far; "cosine" /
+    # "warmup_cosine" run optax schedules over ``decay_steps`` TOTAL update
+    # steps of the respective optimizer (warmup_steps of linear ramp from 0
+    # first, for warmup_cosine).  ``decay_steps`` is required for the
+    # cosine schedules when calling build_train_steps directly;
+    # run_training derives it from epochs × steps-per-epoch when left None.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None
+    # Optional global-norm gradient clipping (optax.clip_by_global_norm)
+    # applied before adam in both chains.  None = off (the default keeps
+    # the historical update rule bit-identical).
+    grad_clip_norm: Optional[float] = None
     # Per-layer rematerialization (jax.checkpoint) for the DIFFERENTIABLE
     # image-tower passes of the with-layers steps.  Numerically identical
     # (same ops recomputed in the backward); trades ~one extra tower

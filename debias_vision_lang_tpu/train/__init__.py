@@ -2,6 +2,7 @@ from .adversarial import (
     AdversarialTrainer,
     build_train_steps,
     clip_contrastive_loss,
+    make_optimizer,
     sigmoid_bce,
     similarity_scores,
 )

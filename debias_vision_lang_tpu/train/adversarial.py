@@ -94,6 +94,47 @@ class TrainStepFns:
     eval_scores: Callable
 
 
+def make_optimizer(peak_lr: float,
+                   train_cfg: TrainConfig) -> optax.GradientTransformation:
+    """Default optax chain for the adversarial-loop optimizers.
+
+    ``lr_schedule="constant"`` (default) is plain ``adam(peak_lr)`` — the
+    update rule every earlier round trained with, bit-identical.  The
+    cosine schedules need ``decay_steps`` (TOTAL update steps of the
+    optimizer, warmup included); ``run_training`` derives it from
+    epochs × steps-per-epoch when the config leaves it None, but a direct
+    caller must set it — no silent horizon guessing here.
+    ``grad_clip_norm`` chains ``clip_by_global_norm`` before adam.
+    """
+    sched = train_cfg.lr_schedule
+    if sched == "constant":
+        lr = peak_lr
+    elif sched in ("cosine", "warmup_cosine"):
+        if not train_cfg.decay_steps:
+            raise ValueError(
+                f"lr_schedule={sched!r} needs TrainConfig.decay_steps (total "
+                "optimizer update steps); run_training derives it, direct "
+                "build_train_steps callers must set it")
+        if sched == "cosine":
+            lr = optax.cosine_decay_schedule(peak_lr, train_cfg.decay_steps)
+        else:
+            if train_cfg.warmup_steps >= train_cfg.decay_steps:
+                raise ValueError(
+                    f"warmup_steps={train_cfg.warmup_steps} must be < "
+                    f"decay_steps={train_cfg.decay_steps}")
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, peak_lr, train_cfg.warmup_steps, train_cfg.decay_steps)
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {sched!r} — one of constant/cosine/"
+            "warmup_cosine")
+    tx = optax.adam(lr)
+    if train_cfg.grad_clip_norm is not None:
+        tx = optax.chain(
+            optax.clip_by_global_norm(train_cfg.grad_clip_norm), tx)
+    return tx
+
+
 def build_train_steps(
     clip_cfg: CLIPConfig,
     debias_cfg: DebiasConfig,
@@ -110,9 +151,9 @@ def build_train_steps(
     training; the prompt array changes what they encode to).
     """
     if prompt_optimizer is None:
-        prompt_optimizer = optax.adam(train_cfg.prompt_lr)
+        prompt_optimizer = make_optimizer(train_cfg.prompt_lr, train_cfg)
     if adversary_optimizer is None:
-        adversary_optimizer = optax.adam(train_cfg.adversary_lr)
+        adversary_optimizer = make_optimizer(train_cfg.adversary_lr, train_cfg)
 
     sensitive_tokens = jnp.asarray(sensitive_tokens, jnp.int32)
 

@@ -82,6 +82,10 @@ def run_training(
     embed_dtype: str = "float32",
     train_dtype: str = "float32",
     approx_frozen_scores: bool = False,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: Optional[int] = None,
+    grad_clip_norm: Optional[float] = None,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -148,6 +152,14 @@ def run_training(
             overrides["train_dtype"] = train_dtype
         if approx_frozen_scores:
             overrides["approx_frozen_scores"] = True
+        if lr_schedule != "constant":
+            overrides["lr_schedule"] = lr_schedule
+        if warmup_steps:
+            overrides["warmup_steps"] = warmup_steps
+        if decay_steps is not None:
+            overrides["decay_steps"] = decay_steps
+        if grad_clip_norm is not None:
+            overrides["grad_clip_norm"] = grad_clip_norm
         if overrides:
             import dataclasses
 
@@ -158,7 +170,22 @@ def run_training(
                            checkpoint_dir=checkpoint_dir, seed=seed,
                            embed_dtype=embed_dtype,
                            train_dtype=train_dtype,
-                           approx_frozen_scores=approx_frozen_scores)
+                           approx_frozen_scores=approx_frozen_scores,
+                           lr_schedule=lr_schedule,
+                           warmup_steps=warmup_steps,
+                           decay_steps=decay_steps,
+                           grad_clip_norm=grad_clip_norm)
+    if tcfg.lr_schedule != "constant" and not tcfg.decay_steps:
+        # derive the cosine horizon the trainer can't know: total update
+        # steps = epochs × batches per epoch (drop_remainder loader below)
+        import dataclasses
+
+        # NB: epochs/batch_size kwargs, not tcfg fields — they are what
+        # actually drive the loop and loader below
+        steps_per_epoch = max(1, len(train_ds) // batch_size)
+        tcfg = dataclasses.replace(
+            tcfg, decay_steps=max(tcfg.warmup_steps + 1,
+                                  epochs * steps_per_epoch))
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
 

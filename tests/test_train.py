@@ -151,6 +151,25 @@ class TestTrainerDynamics:
         m = trainer.step(*_batch(rng))
         assert m["step"] == 1 and np.isfinite(m["adversary_bce"])
 
+    def test_schedule_and_clip_step(self, setup):
+        """warmup_cosine + grad clipping through the full trainer: the first
+        step's prompt update is exactly zero (lr starts at 0), the second
+        is not, and losses stay finite."""
+        model, adv, sens = setup
+        cfg = TrainConfig(lr_schedule="warmup_cosine", warmup_steps=5,
+                          decay_steps=50, grad_clip_norm=1.0)
+        trainer = AdversarialTrainer.create(model, adv, cfg, sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(11)
+        before = np.asarray(trainer.model.debias_tokens).copy()
+        m = trainer.step(*_batch(rng))
+        assert np.isfinite(m["loss"]) and np.isfinite(m["adversary_bce"])
+        np.testing.assert_array_equal(
+            np.asarray(trainer.model.debias_tokens), before)
+        trainer.step(*_batch(rng))
+        assert np.abs(np.asarray(trainer.model.debias_tokens)
+                      - before).max() > 0
+
     def test_best_ndkl_selection(self, setup):
         model, adv, sens = setup
         trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,

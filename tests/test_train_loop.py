@@ -102,6 +102,32 @@ class TestRunTraining:
         assert any("ndkl_eq_opp" in l for l in lines)
         assert any("adversary_bce" in l for l in lines)
 
+    def test_schedule_horizon_derived(self, ff_root, tmp_path):
+        """lr_schedule through run_training with decay_steps=None: the
+        cosine horizon derives from epochs × steps-per-epoch instead of
+        raising (make_optimizer requires it for direct callers)."""
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        result = run_training(
+            model=tiny_model(),
+            tokenizer=tok,
+            attribute="gender",
+            epochs=1,
+            batch_size=8,
+            data_path=ff_root,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            eval_every=10,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False,
+            progress=False,
+            lr_schedule="warmup_cosine",
+            warmup_steps=1,
+            grad_clip_norm=1.0,
+        )
+        assert result["steps"] == 2
+        assert np.isfinite(result["best_ndkl"])
+
     def test_export_loads_in_hub(self, ff_root, tmp_path):
         from debias_vision_lang_tpu.train.loop import run_training
 
