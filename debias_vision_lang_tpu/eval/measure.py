@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import os
 from typing import Callable, Dict, List, Optional, Union
 
@@ -277,8 +278,24 @@ def measure_bias(
     # reference's IATDataset reserves an image_embeddings slot for this idea
     # (datasets.py:22) but never implements it
     cache_path = extra.get("cache_embeddings")
+    # the cached labels are ATTRIBUTE-SPECIFIC (same images, different
+    # iat labels) — a gender cache silently scored as race would return
+    # wrong metrics, so the dataset-selection identity rides in the file
+    # and mismatches fail loudly.  Model identity stays the caller's
+    # responsibility (documented above).
+    cache_key = json.dumps({
+        "attribute": attribute, "dataset": dataset_name, "mode": mode,
+        "n_samples": n_samples, "dtype": cfg.dtype,
+    }, sort_keys=True)
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
+        stored = str(data["cache_key"]) if "cache_key" in data else None
+        if stored != cache_key:
+            raise ValueError(
+                f"embedding cache {cache_path} was written for "
+                f"{stored or 'an older layout without a cache key'} but this "
+                f"call needs {cache_key} — the cached labels would be wrong; "
+                "use a separate cache path per attribute/dataset config")
         labels, img_embs = data["labels"], jnp.asarray(data["embeddings"])
     else:
         labels, img_embs = get_labels_img_embeddings(
@@ -286,7 +303,7 @@ def measure_bias(
             host_transform=host_transform, dtype=cfg.dtype)
         if cache_path:
             np.savez(cache_path, labels=labels,
-                     embeddings=np.asarray(img_embs))
+                     embeddings=np.asarray(img_embs), cache_key=cache_key)
 
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)

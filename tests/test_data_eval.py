@@ -334,6 +334,13 @@ class TestEmbeddingCache:
         r3 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
         assert r1 == r3
 
+        # the cached labels are attribute-specific: reusing a gender cache
+        # for race would silently score wrong labels — must fail loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="cache"):
+            measure_bias(model, Preprocess(32), tok, "race", opts=opts)
+
 
 class TestUnknownOptsRejected:
     def test_typo_opt_raises(self):
