@@ -286,6 +286,8 @@ def measure_bias(
     cache_key = json.dumps({
         "attribute": attribute, "dataset": dataset_name, "mode": mode,
         "n_samples": n_samples, "dtype": cfg.dtype,
+        "equal_split": equal_split, "data_path": data_path,
+        "num_frames": extra.get("num_frames"),
     }, sort_keys=True)
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
