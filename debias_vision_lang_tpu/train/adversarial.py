@@ -153,7 +153,19 @@ def build_train_steps(
     if prompt_optimizer is None:
         prompt_optimizer = make_optimizer(train_cfg.prompt_lr, train_cfg)
     if adversary_optimizer is None:
-        adversary_optimizer = make_optimizer(train_cfg.adversary_lr, train_cfg)
+        adv_cfg_sched = train_cfg
+        cadence = train_cfg.adversary_steps_per_prompt_step
+        if train_cfg.lr_schedule != "constant" and cadence > 1:
+            # the adversary takes ``cadence`` update steps per trainer step —
+            # an unscaled horizon would hit lr≈0 after 1/cadence of training
+            # and freeze the adversary while the prompt keeps moving
+            adv_cfg_sched = dataclasses.replace(
+                train_cfg,
+                warmup_steps=train_cfg.warmup_steps * cadence,
+                decay_steps=(train_cfg.decay_steps * cadence
+                             if train_cfg.decay_steps else None))
+        adversary_optimizer = make_optimizer(train_cfg.adversary_lr,
+                                             adv_cfg_sched)
 
     sensitive_tokens = jnp.asarray(sensitive_tokens, jnp.int32)
 

@@ -97,3 +97,48 @@ class TestMakeOptimizer:
     def test_unknown_schedule_raises(self):
         with pytest.raises(ValueError, match="lr_schedule"):
             make_optimizer(1e-3, TrainConfig(lr_schedule="linear"))
+
+
+class TestAdversaryHorizonScaling:
+    def test_cadence_scales_adversary_horizon(self):
+        """adversary_steps_per_prompt_step=N means the adversary optimizer
+        steps N× per trainer step: its default cosine horizon must scale by
+        N or its lr hits ~0 after 1/N of training (frozen adversary)."""
+        from debias_vision_lang_tpu.train.adversarial import build_train_steps
+        from debias_vision_lang_tpu.core.config import (
+            AdversaryConfig, CLIPConfig, DebiasConfig, TextConfig,
+            VisionConfig)
+
+        cfg = CLIPConfig(
+            name="tiny-h",
+            vision=VisionConfig(kind="vit", image_size=16, patch_size=8,
+                                width=32, layers=1, heads=2, embed_dim=16),
+            text=TextConfig(vocab_size=64, context_length=8, width=32,
+                            layers=1, heads=2, embed_dim=16))
+        tcfg = TrainConfig(lr_schedule="cosine", decay_steps=10,
+                           adversary_steps_per_prompt_step=4)
+        sens = np.zeros((3, 8), np.int32)
+        sens[:, 0], sens[:, 1] = 62, 63
+        _, p_opt, a_opt = build_train_steps(
+            cfg, DebiasConfig(num_debias_tokens=1, hidden_dim=32,
+                              max_tokens=8),
+            AdversaryConfig(n_input=3, hidden_size=4), tcfg, sens,
+            use_pallas=False)
+
+        def lr_ratio(tx, steps):
+            """update magnitude after `steps` warm steps vs step 1, same
+            constant gradient — tracks the schedule's lr decay."""
+            grads = {"w": jnp.ones((2, 2), jnp.float32)}
+            params = {"w": jnp.zeros((2, 2), jnp.float32)}
+            state = tx.init(params)
+            first = None
+            for i in range(steps):
+                updates, state = tx.update(grads, state, params)
+                if i == 0:
+                    first = float(jnp.abs(updates["w"]).max())
+            return float(jnp.abs(updates["w"]).max()) / first
+
+        # after 10 updates the PROMPT optimizer is at its horizon (lr≈0)...
+        assert lr_ratio(p_opt, 10) < 0.05
+        # ...but the adversary (horizon 40) still has most of its lr
+        assert lr_ratio(a_opt, 10) > 0.5
