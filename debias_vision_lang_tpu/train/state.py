@@ -67,7 +67,16 @@ def restore_checkpoint(path: str, trainer) -> None:
     if getattr(trainer, "grad_mask", None) is not None:
         template["clip_params"] = trainer.model.clip_params
     with ocp.PyTreeCheckpointer() as ckptr:
-        state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+        try:
+            state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"checkpoint {path} does not match the current trainer state "
+                "tree. The usual cause: TrainConfig optimizer settings "
+                "(lr_schedule/grad_clip_norm) or the layer-training config "
+                "changed between save and resume — the optimizer state "
+                "structure must match the one that wrote the checkpoint."
+            ) from e
     if "clip_params" in state:
         trainer.model.clip_params = state["clip_params"]
     trainer.model.debias_tokens = state["debias_tokens"]

@@ -205,6 +205,26 @@ class TestCheckpointing:
         assert trainer2.best_ndkl == pytest.approx(0.42)
         np.testing.assert_allclose(trainer2.best_tokens, trainer.best_tokens)
 
+    def test_mismatched_optimizer_config_actionable_error(self, setup,
+                                                          tmp_path):
+        """Resuming with a different optimizer structure (e.g. grad clipping
+        added after the save) fails with a message naming TrainConfig, not
+        an opaque orbax tree error."""
+        from debias_vision_lang_tpu.train.state import (
+            restore_checkpoint, save_checkpoint)
+
+        model, adv, sens = setup
+        trainer = AdversarialTrainer.create(model, adv, TrainConfig(), sens,
+                                            use_pallas=False)
+        trainer.step(*_batch(np.random.default_rng(8)))
+        path = save_checkpoint(str(tmp_path / "ckpt"), trainer)
+
+        changed = AdversarialTrainer.create(
+            model, adv, TrainConfig(grad_clip_norm=1.0), sens,
+            use_pallas=False)
+        with pytest.raises(ValueError, match="TrainConfig"):
+            restore_checkpoint(path, changed)
+
     def test_reference_pt_export(self, setup, tmp_path):
         import torch
 
