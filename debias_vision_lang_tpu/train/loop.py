@@ -60,12 +60,12 @@ def run_training(
     num_debias_tokens: int = 2,
     debias_pos: str = "prepend",
     debias_token_init="zeros",
-    epochs: int = 5,
-    batch_size: int = 64,
+    epochs: Optional[int] = None,
+    batch_size: Optional[int] = None,
     pairs_path: Optional[str] = None,
     data_path: Optional[str] = None,
     checkpoint_dir: str = "checkpoints",
-    eval_every: int = 500,
+    eval_every: Optional[int] = None,
     eval_n_samples: Optional[int] = 2000,
     pretrained: bool = True,
     tokenizer=None,
@@ -165,8 +165,9 @@ def run_training(
 
             tcfg = dataclasses.replace(tcfg, **overrides)
     else:
-        tcfg = TrainConfig(batch_size=batch_size, num_epochs=epochs,
-                           eval_every_steps=eval_every,
+        tcfg = TrainConfig(batch_size=batch_size or 64,
+                           num_epochs=epochs or 5,
+                           eval_every_steps=eval_every or 500,
                            checkpoint_dir=checkpoint_dir, seed=seed,
                            embed_dtype=embed_dtype,
                            train_dtype=train_dtype,
@@ -175,13 +176,20 @@ def run_training(
                            warmup_steps=warmup_steps,
                            decay_steps=decay_steps,
                            grad_clip_norm=grad_clip_norm)
+    # the loop below drives off the LOCALS — resolve them from the config so
+    # a provided train_cfg's num_epochs/batch_size/eval_every_steps are
+    # honored instead of silently losing to the kwarg defaults (explicit
+    # kwargs still win, mirroring the dtype-override rule above)
+    epochs = epochs if epochs is not None else tcfg.num_epochs
+    batch_size = batch_size if batch_size is not None else tcfg.batch_size
+    eval_every = eval_every if eval_every is not None else tcfg.eval_every_steps
     if tcfg.lr_schedule != "constant" and not tcfg.decay_steps:
         # derive the cosine horizon the trainer can't know: total update
         # steps = epochs × batches per epoch (drop_remainder loader below)
         import dataclasses
 
-        # NB: epochs/batch_size kwargs, not tcfg fields — they are what
-        # actually drive the loop and loader below
+        # NB: the resolved locals — they are what actually drive the loop
+        # and loader below
         steps_per_epoch = max(1, len(train_ds) // batch_size)
         tcfg = dataclasses.replace(
             tcfg, decay_steps=max(tcfg.warmup_steps + 1,

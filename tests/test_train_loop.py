@@ -128,6 +128,28 @@ class TestRunTraining:
         assert result["steps"] == 2
         assert np.isfinite(result["best_ndkl"])
 
+    def test_train_cfg_drives_loop_knobs(self, ff_root, tmp_path):
+        """A provided TrainConfig's num_epochs/batch_size/eval_every_steps
+        drive the loop when the kwargs are left unset (they used to lose
+        silently to the kwarg defaults)."""
+        from debias_vision_lang_tpu.core.config import TrainConfig
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        result = run_training(
+            model=tiny_model(),
+            tokenizer=tok,
+            attribute="gender",
+            data_path=ff_root,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False,
+            progress=False,
+            train_cfg=TrainConfig(num_epochs=2, batch_size=8,
+                                  eval_every_steps=100),
+        )
+        assert result["steps"] == 4  # 2 epochs × (16 imgs / batch 8)
+
     def test_export_loads_in_hub(self, ff_root, tmp_path):
         from debias_vision_lang_tpu.train.loop import run_training
 
