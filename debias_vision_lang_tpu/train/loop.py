@@ -183,6 +183,8 @@ def run_training(
     epochs = epochs if epochs is not None else tcfg.num_epochs
     batch_size = batch_size if batch_size is not None else tcfg.batch_size
     eval_every = eval_every if eval_every is not None else tcfg.eval_every_steps
+    if checkpoint_dir == "checkpoints" and tcfg.checkpoint_dir:
+        checkpoint_dir = tcfg.checkpoint_dir
     if tcfg.lr_schedule != "constant" and not tcfg.decay_steps:
         # derive the cosine horizon the trainer can't know: total update
         # steps = epochs × batches per epoch (drop_remainder loader below)
