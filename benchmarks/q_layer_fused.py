@@ -108,8 +108,10 @@ def main():
                               bqkv, woq_ref, so_ref, bo)
 
         if mode == "seq":
-            # attention for all chains (head-major would need the shared
-            # loop; per-chain here since bb=2), then modulo-2 MLP pipe
+            # per-chain attention, then ALL-UP MLP (every chain's hidden
+            # live at once — heavier than the production modulo-2 pipe, so
+            # the bb=4 OOM datapoint for THIS mode is about the all-up
+            # structure; the "prod" mode below is the faithful one)
             ys = [attn(c) for c in range(bb)]
             hs = [mlp_up(y) for y in ys]
             for c in range(bb):

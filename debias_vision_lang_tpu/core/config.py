@@ -203,11 +203,15 @@ class TrainConfig:
     # Optimizer shaping for BOTH default optax chains (prompt + adversary;
     # explicit optimizers passed to build_train_steps bypass these).
     # "constant" reproduces the plain adam(lr) used so far; "cosine" /
-    # "warmup_cosine" run optax schedules over ``decay_steps`` TOTAL update
-    # steps of the respective optimizer (warmup_steps of linear ramp from 0
-    # first, for warmup_cosine).  ``decay_steps`` is required for the
-    # cosine schedules when calling build_train_steps directly;
-    # run_training derives it from epochs × steps-per-epoch when left None.
+    # "warmup_cosine" run optax schedules over ``decay_steps`` TOTAL
+    # trainer steps (warmup_steps of linear ramp from 0 first, for
+    # warmup_cosine).  ``decay_steps`` is required for the cosine
+    # schedules when calling build_train_steps directly; run_training
+    # derives it from epochs × steps-per-epoch when left None.  With
+    # ``adversary_steps_per_prompt_step`` > 1 the adversary's default
+    # chain scales its horizon/warmup by the cadence so both schedules
+    # finish at the same TRAINER step (the adversary takes cadence×
+    # updates per trainer step) — see build_train_steps.
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     decay_steps: Optional[int] = None

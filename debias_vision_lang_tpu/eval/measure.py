@@ -282,13 +282,16 @@ def measure_bias(
     # iat labels) — a gender cache silently scored as race would return
     # wrong metrics, so the dataset-selection identity rides in the file
     # and mismatches fail loudly.  Model identity stays the caller's
-    # responsibility (documented above).
-    cache_key = json.dumps({
-        "attribute": attribute, "dataset": dataset_name, "mode": mode,
-        "n_samples": n_samples, "dtype": cfg.dtype,
-        "equal_split": equal_split, "data_path": data_path,
-        "num_frames": extra.get("num_frames"),
-    }, sort_keys=True)
+    # responsibility (documented above).  default=str normalizes non-JSON
+    # opt values (pathlib.Path data_path, numpy n_samples); only built
+    # when caching is on.
+    if cache_path:
+        cache_key = json.dumps({
+            "attribute": attribute, "dataset": dataset_name, "mode": mode,
+            "n_samples": n_samples, "dtype": cfg.dtype,
+            "equal_split": equal_split, "data_path": data_path,
+            "num_frames": extra.get("num_frames"),
+        }, sort_keys=True, default=str)
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
         stored = str(data["cache_key"]) if "cache_key" in data else None

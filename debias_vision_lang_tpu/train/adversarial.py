@@ -116,6 +116,10 @@ def make_optimizer(peak_lr: float,
                 "optimizer update steps); run_training derives it, direct "
                 "build_train_steps callers must set it")
         if sched == "cosine":
+            if train_cfg.warmup_steps:
+                raise ValueError(
+                    "warmup_steps is set but lr_schedule='cosine' has no "
+                    "warmup phase — use lr_schedule='warmup_cosine'")
             lr = optax.cosine_decay_schedule(peak_lr, train_cfg.decay_steps)
         else:
             if train_cfg.warmup_steps >= train_cfg.decay_steps:

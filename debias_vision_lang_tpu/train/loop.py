@@ -15,6 +15,7 @@ alignment pressure without an external dataset.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Dict, Optional
 
@@ -64,7 +65,7 @@ def run_training(
     batch_size: Optional[int] = None,
     pairs_path: Optional[str] = None,
     data_path: Optional[str] = None,
-    checkpoint_dir: str = "checkpoints",
+    checkpoint_dir: Optional[str] = None,
     eval_every: Optional[int] = None,
     eval_n_samples: Optional[int] = 2000,
     pretrained: bool = True,
@@ -161,8 +162,6 @@ def run_training(
         if grad_clip_norm is not None:
             overrides["grad_clip_norm"] = grad_clip_norm
         if overrides:
-            import dataclasses
-
             tcfg = dataclasses.replace(tcfg, **overrides)
     else:
         tcfg = TrainConfig(batch_size=batch_size or 64,
@@ -183,13 +182,10 @@ def run_training(
     epochs = epochs if epochs is not None else tcfg.num_epochs
     batch_size = batch_size if batch_size is not None else tcfg.batch_size
     eval_every = eval_every if eval_every is not None else tcfg.eval_every_steps
-    if checkpoint_dir == "checkpoints" and tcfg.checkpoint_dir:
-        checkpoint_dir = tcfg.checkpoint_dir
+    checkpoint_dir = checkpoint_dir or tcfg.checkpoint_dir or "checkpoints"
     if tcfg.lr_schedule != "constant" and not tcfg.decay_steps:
         # derive the cosine horizon the trainer can't know: total update
         # steps = epochs × batches per epoch (drop_remainder loader below)
-        import dataclasses
-
         # NB: the resolved locals — they are what actually drive the loop
         # and loader below
         steps_per_epoch = max(1, len(train_ds) // batch_size)

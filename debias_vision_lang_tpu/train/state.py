@@ -71,11 +71,14 @@ def restore_checkpoint(path: str, trainer) -> None:
             state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
         except (ValueError, KeyError) as e:
             raise ValueError(
-                f"checkpoint {path} does not match the current trainer state "
-                "tree. The usual cause: TrainConfig optimizer settings "
+                f"restoring checkpoint {path} failed ({e!r}). If the "
+                "checkpoint file is intact, the usual cause is a trainer "
+                "state-tree mismatch: TrainConfig optimizer settings "
                 "(lr_schedule/grad_clip_norm) or the layer-training config "
                 "changed between save and resume — the optimizer state "
-                "structure must match the one that wrote the checkpoint."
+                "structure must match the one that wrote the checkpoint. "
+                "A truncated/corrupted checkpoint or an orbax version "
+                "change fails the same way."
             ) from e
     if "clip_params" in state:
         trainer.model.clip_params = state["clip_params"]

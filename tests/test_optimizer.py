@@ -94,6 +94,13 @@ class TestMakeOptimizer:
             make_optimizer(1e-3, TrainConfig(lr_schedule="warmup_cosine",
                                              warmup_steps=50, decay_steps=50))
 
+    def test_warmup_with_plain_cosine_raises(self):
+        """warmup_steps would be silently ignored by 'cosine' — reject."""
+        with pytest.raises(ValueError, match="warmup_cosine"):
+            make_optimizer(1e-3, TrainConfig(lr_schedule="cosine",
+                                             warmup_steps=10,
+                                             decay_steps=100))
+
     def test_unknown_schedule_raises(self):
         with pytest.raises(ValueError, match="lr_schedule"):
             make_optimizer(1e-3, TrainConfig(lr_schedule="linear"))
