@@ -174,14 +174,20 @@ class HostLoader:
 
 def shard_batch(batch: Batch, mesh=None, data_axis: str = "data"):
     """Place a host batch onto the device mesh, batch dim sharded over
-    ``data_axis``.  Without a mesh, plain device_put."""
+    ``data_axis``.  Without a mesh, plain device_put.
+
+    Thin Batch-shaped front over ``parallel.mesh.shard_batch_arrays`` (the
+    single implementation every in-package consumer uses)."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh is None:
         return jax.device_put(batch.images), jax.device_put(batch.labels)
-    sharding = NamedSharding(mesh, P(data_axis))
-    return (
-        jax.device_put(batch.images, sharding),
-        jax.device_put(batch.labels, sharding),
-    )
+    if data_axis != "data":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(data_axis))
+        return (jax.device_put(batch.images, sharding),
+                jax.device_put(batch.labels, sharding))
+    from ..parallel.mesh import shard_batch_arrays
+
+    return shard_batch_arrays(mesh, batch.images, batch.labels)

@@ -31,9 +31,16 @@ from .oracle import resolve_topn
 from .ranking import canonicalize_zeros, metrics_from_top_labels
 
 
+@functools.lru_cache(maxsize=64)
 def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
                         n_real: int, k_local: int):
-    """Build the shard_map kernel.
+    """Build (and cache) the jitted shard_map kernel.
+
+    lru_cache keyed on (mesh, shapes, budgets): without it every
+    sharded_ranking_metrics call — e.g. the two evaluations of one
+    measure_bias(sharded_metrics=True) run — re-traced and re-compiled the
+    whole merge kernel (jax.jit caches by function identity, so a fresh
+    closure per call defeats it).  Mesh is hashable by devices+axis names.
 
     ``n_real``: number of REAL (non-pad) rows globally — pad rows (ragged-N
     padding to a multiple of the axis size) carry score −inf and are
@@ -102,7 +109,7 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
         # identical on every shard: outputs are replicated
         return {k_: v for k_, v in metrics.items()}, overflow
 
-    return fn
+    return jax.jit(fn)
 
 
 def sharded_ranking_metrics(
@@ -173,7 +180,9 @@ def sharded_eval_ranking(
         mesh = default_mesh()
     from .oracle import validate_dense_labels
 
-    n = np.asarray(image_embeddings).shape[0]
+    # shape only — np.asarray here would all-gather a device-sharded matrix
+    # to the host (and fail on multi-host non-addressable arrays)
+    n = image_embeddings.shape[0]
     top_n = resolve_topn(topn, n)
     n_classes = validate_dense_labels(labels)
     metrics = sharded_ranking_metrics(

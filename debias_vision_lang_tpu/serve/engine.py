@@ -150,6 +150,9 @@ class InferenceEngine:
             self._embed_images = _sharded_embed(mesh, _embed_images_u8, dt)
             self._embed_tokens = _sharded_embed(mesh, _embed_texts, dt)
         self._lock = threading.Lock()
+        # params are frozen for the engine's lifetime: read logit_scale once
+        # instead of a blocking device→host fetch on every score() call
+        self._score_scale = float(np.exp(np.asarray(_logit_scale(self.model))))
 
     # -- batch entry points (called by the micro-batcher) --------------------
 
@@ -250,8 +253,7 @@ class InferenceEngine:
         reference: README.md:57-64): [N_img, N_txt] probabilities."""
         img = image_embs / np.linalg.norm(image_embs, axis=-1, keepdims=True)
         txt = text_embs / np.linalg.norm(text_embs, axis=-1, keepdims=True)
-        scale = float(np.exp(np.asarray(_logit_scale(self.model))))
-        logits = scale * img @ txt.T
+        logits = self._score_scale * img @ txt.T
         e = np.exp(logits - logits.max(-1, keepdims=True))
         return e / e.sum(-1, keepdims=True)
 

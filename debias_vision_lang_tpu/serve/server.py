@@ -79,20 +79,45 @@ class ServeApp:
 
     # -- request-level operations (thread-per-request calls these) ----------
 
+    def _decode_b64_images(self, images_b64: List[str]) -> List[np.ndarray]:
+        # undecodable image payloads are CLIENT errors (→ 400), but PIL
+        # raises UnidentifiedImageError/OSError, which the handler would
+        # report as 500 — normalize at the payload boundary
+        try:
+            return [self.engine.prepare_image(base64.b64decode(b))
+                    for b in images_b64]
+        except OSError as e:
+            raise ValueError(f"undecodable image payload: {e}") from e
+
+    def _tokenize(self, texts: List[str]) -> np.ndarray:
+        # over-long text is a client error (→ 400); a missing tokenizer is a
+        # server configuration fault and stays a RuntimeError (→ 500)
+        try:
+            return self.engine.tokenize(texts)
+        except RuntimeError as e:
+            if self.engine.tokenizer is None:
+                raise
+            raise ValueError(str(e)) from e
+
     def embed_images_b64(self, images_b64: List[str]) -> np.ndarray:
-        arrays = [self.engine.prepare_image(base64.b64decode(b))
-                  for b in images_b64]
+        arrays = self._decode_b64_images(images_b64)
         futs: List[Future] = [self._images.submit(a) for a in arrays]
         return np.stack([f.result() for f in futs])
 
     def embed_texts(self, texts: List[str]) -> np.ndarray:
-        tokens = self.engine.tokenize(texts)
+        tokens = self._tokenize(texts)
         futs = [self._texts.submit(row) for row in tokens]
         return np.stack([f.result() for f in futs])
 
     def score(self, image_b64: str, texts: List[str]) -> np.ndarray:
-        img = self.embed_images_b64([image_b64])
-        txt = self.embed_texts(texts)
+        # submit BOTH modalities before blocking on either — sequential
+        # embed calls would serialize two micro-batch windows per request
+        arrays = self._decode_b64_images([image_b64])
+        tokens = self._tokenize(texts)
+        img_futs = [self._images.submit(a) for a in arrays]
+        txt_futs = [self._texts.submit(row) for row in tokens]
+        img = np.stack([f.result() for f in img_futs])
+        txt = np.stack([f.result() for f in txt_futs])
         return self.engine.score(img, txt)[0]
 
     def embed_images_raw_u8(self, body: bytes) -> np.ndarray:

@@ -216,11 +216,21 @@ class TestHTTP:
         code, out = self._post(server + "/v1/embed/image", {"images_b64": "x"})
         assert code == 400
 
-    def test_undecodable_image_500_not_crash(self, server):
+    def test_overlong_text_400(self, server):
+        """Text past the context length is a client error (the tokenizer
+        raises RuntimeError; the payload boundary maps it to 400)."""
+        code, out = self._post(server + "/v1/embed/text",
+                               {"texts": ["the " * 100]})
+        assert code == 400
+        assert "error" in out
+
+    def test_undecodable_image_400_not_crash(self, server):
+        """Undecodable image bytes are a CLIENT error (400, not 500 — a
+        health-based LB must not eject an instance over malformed input)."""
         bad = base64.b64encode(b"notanimage").decode()
         code, out = self._post(server + "/v1/embed/image",
                                {"images_b64": [bad]})
-        assert code == 500
+        assert code == 400
         # server still alive
         with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
             assert resp.status == 200
