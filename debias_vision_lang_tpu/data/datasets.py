@@ -68,6 +68,22 @@ class IATDataset:
 
     labels: pd.DataFrame
 
+    def _subsample_and_balance(self, _n_samples, equal_split: bool) -> None:
+        """Shared float/int ``_n_samples`` truncation + seeded gender
+        balancing (random_state=1, male block first — parity with the
+        reference, datasets.py:61-78).  Mutates ``self.labels``."""
+        if _n_samples is not None:
+            if isinstance(_n_samples, float):
+                _n_samples = int(len(self.labels) * _n_samples)
+            self.labels = self.labels.iloc[:_n_samples]
+        if equal_split and len(self.labels):
+            males = self.labels.loc[self.labels["gender"] == "Male"]
+            females = self.labels.loc[self.labels["gender"] == "Female"]
+            n = min(len(males), len(females))
+            males = males.sample(n=n, random_state=1)
+            females = females.sample(n=n, random_state=1)
+            self.labels = pd.concat([males, females], ignore_index=True)
+
     def gen_labels(self, iat_type: str, label_encoding: Optional[dict] = None):
         """attribute name → (int label array, n_classes).
 
@@ -136,20 +152,7 @@ class FairFace(IATDataset):
         self.labels = pd.read_csv(csv_path)
         self.labels.sort_values("file", inplace=True)
 
-        if _n_samples is not None:
-            if isinstance(_n_samples, float):
-                _n_samples = int(len(self.labels) * _n_samples)
-            self.labels = self.labels.iloc[:_n_samples]
-
-        if equal_split:
-            males = self.labels.loc[self.labels["gender"] == "Male"]
-            females = self.labels.loc[self.labels["gender"] == "Female"]
-            n = min(len(males), len(females))
-            # seeded sampling parity with the reference (random_state=1,
-            # datasets.py:75-76); male block first, then female
-            males = males.sample(n=n, random_state=1)
-            females = females.sample(n=n, random_state=1)
-            self.labels = pd.concat([males, females], ignore_index=True)
+        self._subsample_and_balance(_n_samples, equal_split)
 
         self._img_fnames = [
             os.path.join(self.data_path, "imgs", "train_val", f)
@@ -197,8 +200,13 @@ class UTKFace(IATDataset):
         transforms: Optional[Callable] = None,
         equal_split: bool = True,
         data_path: Optional[os.PathLike] = None,
+        download: bool = True,
     ):
         self.data_path = str(data_path or UTKFACE_DATA_PATH)
+        if download:
+            from .download import ensure_utkface
+
+            ensure_utkface(self.data_path)
         self.mode = mode
         self._transforms = (lambda x: x) if transforms is None else transforms
 
@@ -224,20 +232,15 @@ class UTKFace(IATDataset):
                 "gender": "Male" if gender == 0 else "Female",
                 "race": self._RACE_NAMES[race],
             })
+        if not rows:
+            raise RuntimeError(
+                f"no UTKFace images with parseable 'age_gender_race_*' "
+                f"filenames under {img_dir} — run `python -m "
+                "debias_vision_lang_tpu.cli download utkface` or point "
+                "data_path / $DEBIAS_VLT_UTKFACE_PATH at a populated copy")
         self.labels = pd.DataFrame(rows)
 
-        if _n_samples is not None:
-            if isinstance(_n_samples, float):
-                _n_samples = int(len(self.labels) * _n_samples)
-            self.labels = self.labels.iloc[:_n_samples]
-
-        if equal_split and len(self.labels):
-            males = self.labels.loc[self.labels["gender"] == "Male"]
-            females = self.labels.loc[self.labels["gender"] == "Female"]
-            n = min(len(males), len(females))
-            males = males.sample(n=n, random_state=1)
-            females = females.sample(n=n, random_state=1)
-            self.labels = pd.concat([males, females], ignore_index=True)
+        self._subsample_and_balance(_n_samples, equal_split)
 
         self._img_fnames = [
             os.path.join(self.data_path, f) for f in self.labels["file"]

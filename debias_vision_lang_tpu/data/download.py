@@ -31,6 +31,7 @@ import re
 import shutil
 import sys
 import time
+import urllib.parse
 import urllib.request
 import zipfile
 from typing import Optional
@@ -136,8 +137,14 @@ def fetch(
     )
 
 
+def _looks_like_html(path: str) -> bool:
+    with open(path, "rb") as f:
+        start = f.read(512).lstrip().lower()
+    return start.startswith(b"<!doctype html") or start.startswith(b"<html")
+
+
 def fetch_gdrive(file_url: str, dest: str) -> str:
-    """Google Drive download handling the large-file confirm token."""
+    """Google Drive download handling the large-file confirm interstitial."""
     m = re.search(r"id=([\w-]+)", file_url)
     if not m:
         raise ValueError(f"not a drive uc url: {file_url}")
@@ -147,14 +154,33 @@ def fetch_gdrive(file_url: str, dest: str) -> str:
     with urllib.request.urlopen(req, timeout=60) as resp:
         head = resp.read(1 << 20)
         ctype = resp.headers.get("Content-Type", "")
-    if "text/html" in ctype:  # interstitial virus-scan page → confirm token
-        token = re.search(rb"confirm=([\w-]+)", head)
-        confirm = token.group(1).decode() if token else "t"
-        url = (
-            "https://drive.usercontent.google.com/download?"
-            f"id={file_id}&export=download&confirm={confirm}"
-        )
-    return fetch(url, dest)
+        if "text/html" not in ctype:
+            # directly-served asset: stream the already-open response
+            # instead of discarding the first MB and re-requesting
+            os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+            tmp = dest + ".part"
+            with open(tmp, "wb") as out:
+                out.write(head)
+                shutil.copyfileobj(resp, out)
+            os.replace(tmp, dest)
+            return dest
+    # interstitial virus-scan/confirm page: collect the hidden form fields
+    # (modern markup carries confirm + uuid as <input name=.. value=..>)
+    fields = dict(re.findall(rb'name="([\w-]+)"[^>]*value="([^"]*)"', head))
+    params = {"id": file_id, "export": "download",
+              "confirm": fields.get(b"confirm", b"t").decode()}
+    if b"uuid" in fields:
+        params["uuid"] = fields[b"uuid"].decode()
+    url = ("https://drive.usercontent.google.com/download?"
+           + urllib.parse.urlencode(params))
+    out_path = fetch(url, dest)
+    if _looks_like_html(out_path):
+        os.remove(out_path)
+        raise IOError(
+            f"Google Drive returned an HTML page instead of the file for "
+            f"id={file_id} (quota exceeded / permission / changed "
+            "interstitial?) — fetch the asset manually")
+    return out_path
 
 
 def ensure_fairface(root: str) -> None:
@@ -170,7 +196,14 @@ def ensure_fairface(root: str) -> None:
         print(f"Fetching FairFace {part}/{sub}...", file=sys.stderr)
         try:
             fetch_gdrive(url, out_path)
+            if fname.endswith(".zip"):
+                with zipfile.ZipFile(out_path) as zf:
+                    zf.extractall(sub_dir)
+                os.remove(out_path)
         except Exception as e:
+            # cleanup covers extraction too: a truncated zip must not leave
+            # sub_dir behind — idempotency is directory-existence based, so
+            # a surviving partial dir would be silently skipped forever
             shutil.rmtree(sub_dir, ignore_errors=True)
             raise RuntimeError(
                 f"FairFace {part}/{sub} is not present under {root} and "
@@ -178,10 +211,6 @@ def ensure_fairface(root: str) -> None:
                 "networked machine run `python -m debias_vision_lang_tpu.cli "
                 "download fairface`, or point --data-path / "
                 "$DEBIAS_VLT_FAIRFACE_PATH at an existing copy.") from e
-        if fname.endswith(".zip"):
-            with zipfile.ZipFile(out_path) as zf:
-                zf.extractall(sub_dir)
-            os.remove(out_path)
 
 
 def ensure_utkface(root: str) -> None:
@@ -209,16 +238,29 @@ def ensure_utkface(root: str) -> None:
             "run `python -m debias_vision_lang_tpu.cli download utkface`, "
             "or point --data-path / $DEBIAS_VLT_UTKFACE_PATH at an existing "
             "copy.") from e
-    with tarfile.open(archive) as tf:
-        for member in tf.getmembers():
-            if not member.isfile():
-                continue
-            name = os.path.basename(member.name)
-            if not name.lower().endswith((".jpg", ".jpeg", ".png")):
-                continue
-            with tf.extractfile(member) as src, \
-                    open(os.path.join(root, name), "wb") as out:
-                shutil.copyfileobj(src, out)
+    # stage into a temp dir first: idempotency is any-jpg-present, so a
+    # partial extraction straight into root would mask the broken state
+    staging = os.path.join(root, ".utk_partial")
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    try:
+        with tarfile.open(archive) as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                name = os.path.basename(member.name)
+                if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+                    continue
+                with tf.extractfile(member) as src, \
+                        open(os.path.join(staging, name), "wb") as out:
+                    shutil.copyfileobj(src, out)
+        for name in os.listdir(staging):
+            os.replace(os.path.join(staging, name), os.path.join(root, name))
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        os.remove(archive)  # refetch next time rather than re-reading a bad tar
+        raise
+    shutil.rmtree(staging, ignore_errors=True)
     os.remove(archive)
 
 
@@ -237,8 +279,16 @@ def fetch_pretrained_prompts(name: str, root: Optional[os.PathLike] = None) -> s
     return fetch(url, str(dest))
 
 
+KNOWN_TARGETS = ("all", "bpe", "fairface", "utkface")
+
+
 def main(argv=None):
-    args = (argv or sys.argv[1:]) or ["all"]
+    args = list(sys.argv[1:] if argv is None else argv) or ["all"]
+    unknown = [a for a in args if a not in KNOWN_TARGETS]
+    if unknown:
+        raise SystemExit(
+            f"unknown download target(s) {unknown}; known: "
+            f"{list(KNOWN_TARGETS)}")
     if "bpe" in args or "all" in args:
         fetch_bpe_vocab()
     if "fairface" in args or "all" in args:

@@ -73,12 +73,25 @@ def load(
         f"openai/CLIP/{entry['clip_arch']}", pretrained=pretrained_base,
         weights=base_weights)
     hidden_dim = int(base.params["text"]["token_embedding"].shape[1])
-    n_tokens = int(entry["num_debias_tokens"])
-    if prompt_emb.shape != (n_tokens, hidden_dim):
-        raise ValueError(
-            f"checkpoint prompt shape {prompt_emb.shape} != expected "
-            f"({n_tokens}, {hidden_dim})"
-        )
+    if name in _MODELS:
+        # registry entries pin their token count — a mismatch means a
+        # corrupt/wrong download
+        n_tokens = int(entry["num_debias_tokens"])
+        if prompt_emb.shape != (n_tokens, hidden_dim):
+            raise ValueError(
+                f"checkpoint prompt shape {prompt_emb.shape} != expected "
+                f"({n_tokens}, {hidden_dim})"
+            )
+    else:
+        # local user-trained checkpoints carry their own P: infer it from
+        # the tensor (the reference loader accepts any P the same way,
+        # reference: model/clip.py:81); only the hidden dim must match
+        n_tokens = int(prompt_emb.shape[0])
+        if prompt_emb.ndim != 2 or prompt_emb.shape[1] != hidden_dim:
+            raise ValueError(
+                f"checkpoint prompt shape {prompt_emb.shape} incompatible "
+                f"with the {entry['clip_arch']} text width {hidden_dim}"
+            )
 
     model = DebiasCLIP(
         clip_params=base.params,

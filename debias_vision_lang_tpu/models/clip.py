@@ -42,19 +42,29 @@ def init_vit_params(rng, cfg: VisionConfig) -> Params:
     scale = width ** -0.5
     k = jax.random.split(rng, 5)
     patch_dim = cfg.patch_size * cfg.patch_size * 3
-    return {
+    conv1 = {
         # [patch_h * patch_w * channels, width]; layout must match
         # convert.py's conv-weight permutation.
-        "conv1": {"kernel": jax.random.normal(k[0], (patch_dim, width), jnp.float32)
-                  * (patch_dim ** -0.5)},
+        "kernel": jax.random.normal(k[0], (patch_dim, width), jnp.float32)
+        * (patch_dim ** -0.5),
+    }
+    out = {
+        "conv1": conv1,
         "class_embedding": scale * jax.random.normal(k[1], (width,), jnp.float32),
         "positional_embedding": scale
         * jax.random.normal(k[2], (cfg.seq_len, width), jnp.float32),
-        "ln_pre": init_layer_norm(width),
         "resblocks": init_resblocks(k[3], cfg.layers, width),
         "ln_post": init_layer_norm(width),
         "proj": scale * jax.random.normal(k[4], (width, embed), jnp.float32),
     }
+    # random init must produce the SAME tree structure as the checkpoint
+    # converters (from_slip_state_dict emits conv bias + no ln_pre): a
+    # structure mismatch breaks optimizer-state templates and restores
+    if cfg.kind == "slip_vit":
+        conv1["bias"] = jnp.zeros((width,), jnp.float32)
+    else:
+        out["ln_pre"] = init_layer_norm(width)
+    return out
 
 
 def init_text_params(rng, cfg: TextConfig) -> Params:

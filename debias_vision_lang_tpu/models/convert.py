@@ -34,47 +34,58 @@ from ..core.config import CLIPConfig
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor / array → float32 numpy (fp16 upcast)."""
+    """torch tensor / array → float32 numpy (fp16/bf16 upcast)."""
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        # torch bf16 tensors cannot .numpy() directly — upcast torch-side
+        if getattr(t, "dtype", None) is not None and "bfloat16" in str(t.dtype):
+            t = t.float()
+        t = t.numpy()
     t = np.asarray(t)
     if t.dtype == np.float16:
         t = t.astype(np.float32)
     return t
 
 
-def _stack_layers(sd: Dict[str, np.ndarray], prefix: str, n_layers: int):
-    """OpenAI per-layer resblock tensors → our stacked pytree."""
+def _stack_resblocks(sd: Dict[str, np.ndarray], prefix: str, n_layers: int,
+                     names: Dict[str, str]):
+    """Per-layer transformer-block tensors → our stacked pytree.
+
+    ``names`` maps our slots (ln1/qkv/out/ln2/fc1/fc2) to the upstream key
+    stems; torch Linear weights are [out, in] and transpose to our [in, out].
+    One implementation serves both the OpenAI and timm layouts so a stacking
+    change cannot be applied to one and missed in the other."""
 
     def get(i, name):
         return _np(sd[f"{prefix}.{i}.{name}"])
 
+    def col(stem, suffix=".weight", t=False):
+        return np.stack([get(i, stem + suffix).T if t else get(i, stem + suffix)
+                         for i in range(n_layers)])
+
     return {
-        "ln_1": {
-            "scale": np.stack([get(i, "ln_1.weight") for i in range(n_layers)]),
-            "bias": np.stack([get(i, "ln_1.bias") for i in range(n_layers)]),
-        },
+        "ln_1": {"scale": col(names["ln1"]), "bias": col(names["ln1"], ".bias")},
         "attn": {
-            "wqkv": np.stack(
-                [get(i, "attn.in_proj_weight").T for i in range(n_layers)]),
-            "bqkv": np.stack(
-                [get(i, "attn.in_proj_bias") for i in range(n_layers)]),
-            "wo": np.stack(
-                [get(i, "attn.out_proj.weight").T for i in range(n_layers)]),
-            "bo": np.stack(
-                [get(i, "attn.out_proj.bias") for i in range(n_layers)]),
+            "wqkv": col(names["qkv"], names.get("qkv_w", ".weight"), t=True),
+            "bqkv": col(names["qkv"], names.get("qkv_b", ".bias")),
+            "wo": col(names["out"], t=True),
+            "bo": col(names["out"], ".bias"),
         },
-        "ln_2": {
-            "scale": np.stack([get(i, "ln_2.weight") for i in range(n_layers)]),
-            "bias": np.stack([get(i, "ln_2.bias") for i in range(n_layers)]),
-        },
+        "ln_2": {"scale": col(names["ln2"]), "bias": col(names["ln2"], ".bias")},
         "mlp": {
-            "w1": np.stack([get(i, "mlp.c_fc.weight").T for i in range(n_layers)]),
-            "b1": np.stack([get(i, "mlp.c_fc.bias") for i in range(n_layers)]),
-            "w2": np.stack([get(i, "mlp.c_proj.weight").T for i in range(n_layers)]),
-            "b2": np.stack([get(i, "mlp.c_proj.bias") for i in range(n_layers)]),
+            "w1": col(names["fc1"], t=True), "b1": col(names["fc1"], ".bias"),
+            "w2": col(names["fc2"], t=True), "b2": col(names["fc2"], ".bias"),
         },
     }
+
+
+def _stack_layers(sd: Dict[str, np.ndarray], prefix: str, n_layers: int):
+    """OpenAI per-layer resblock tensors → our stacked pytree."""
+    return _stack_resblocks(sd, prefix, n_layers, {
+        "ln1": "ln_1", "qkv": "attn.in_proj", "qkv_w": "_weight",
+        "qkv_b": "_bias", "out": "attn.out_proj", "ln2": "ln_2",
+        "fc1": "mlp.c_fc", "fc2": "mlp.c_proj",
+    })
 
 
 def _count_layers(sd, pattern: str) -> int:
@@ -102,17 +113,25 @@ def _vit_visual_from_openai(sd) -> Dict:
     width = conv.shape[0]
     kernel = conv.transpose(2, 3, 1, 0).reshape(-1, width)  # [p·p·3, O]
     n_layers = _count_layers(sd, r"visual\.transformer\.resblocks\.(\d+)\.ln_1\.weight")
-    return {
-        "conv1": {"kernel": kernel},
+    conv1 = {"kernel": kernel}
+    if "visual.conv1.bias" in sd:
+        # OpenAI conv1 is bias-free; to_openai_state_dict round-trips of
+        # timm-style (SLIP) towers carry one
+        conv1["bias"] = _np(sd["visual.conv1.bias"])
+    out = {
+        "conv1": conv1,
         "class_embedding": _np(sd["visual.class_embedding"]),
         "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": {"scale": _np(sd["visual.ln_pre.weight"]),
-                   "bias": _np(sd["visual.ln_pre.bias"])},
         "resblocks": _stack_layers(sd, "visual.transformer.resblocks", n_layers),
         "ln_post": {"scale": _np(sd["visual.ln_post.weight"]),
                     "bias": _np(sd["visual.ln_post.bias"])},
         "proj": _np(sd["visual.proj"]),
     }
+    if "visual.ln_pre.weight" in sd:
+        # absent on slip_vit trunks (no ln_pre — models/clip.py::_vit_trunk)
+        out["ln_pre"] = {"scale": _np(sd["visual.ln_pre.weight"]),
+                         "bias": _np(sd["visual.ln_pre.bias"])}
+    return out
 
 
 def _resnet_visual_from_openai(sd) -> Dict:
@@ -272,8 +291,13 @@ def to_openai_state_dict(params, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
         np.asarray(v["conv1"]["kernel"]).reshape(p, p, 3, width).transpose(3, 2, 0, 1))
     out["visual.class_embedding"] = np.asarray(v["class_embedding"])
     out["visual.positional_embedding"] = np.asarray(v["positional_embedding"])
-    out["visual.ln_pre.weight"] = np.asarray(v["ln_pre"]["scale"])
-    out["visual.ln_pre.bias"] = np.asarray(v["ln_pre"]["bias"])
+    if "bias" in v["conv1"]:
+        # timm-style (SLIP) patch embed carries a bias; OpenAI's conv1 none
+        out["visual.conv1.bias"] = np.asarray(v["conv1"]["bias"])
+    if "ln_pre" in v:
+        # slip_vit trunks have no ln_pre (models/clip.py::_vit_trunk)
+        out["visual.ln_pre.weight"] = np.asarray(v["ln_pre"]["scale"])
+        out["visual.ln_pre.bias"] = np.asarray(v["ln_pre"]["bias"])
     out["visual.ln_post.weight"] = np.asarray(v["ln_post"]["scale"])
     out["visual.ln_post.bias"] = np.asarray(v["ln_post"]["bias"])
     out["visual.proj"] = np.asarray(v["proj"])
@@ -333,32 +357,10 @@ def _timm_blocks(sd: Dict[str, np.ndarray], prefix: str, n_layers: int):
     timm naming: norm1 / attn.qkv / attn.proj / norm2 / mlp.fc1 / mlp.fc2
     (vs OpenAI's ln_1 / attn.in_proj / attn.out_proj / ln_2 / mlp.c_fc /
     mlp.c_proj — same math, different labels)."""
-
-    def get(i, name):
-        return _np(sd[f"{prefix}.{i}.{name}"])
-
-    return {
-        "ln_1": {
-            "scale": np.stack([get(i, "norm1.weight") for i in range(n_layers)]),
-            "bias": np.stack([get(i, "norm1.bias") for i in range(n_layers)]),
-        },
-        "attn": {
-            "wqkv": np.stack([get(i, "attn.qkv.weight").T for i in range(n_layers)]),
-            "bqkv": np.stack([get(i, "attn.qkv.bias") for i in range(n_layers)]),
-            "wo": np.stack([get(i, "attn.proj.weight").T for i in range(n_layers)]),
-            "bo": np.stack([get(i, "attn.proj.bias") for i in range(n_layers)]),
-        },
-        "ln_2": {
-            "scale": np.stack([get(i, "norm2.weight") for i in range(n_layers)]),
-            "bias": np.stack([get(i, "norm2.bias") for i in range(n_layers)]),
-        },
-        "mlp": {
-            "w1": np.stack([get(i, "mlp.fc1.weight").T for i in range(n_layers)]),
-            "b1": np.stack([get(i, "mlp.fc1.bias") for i in range(n_layers)]),
-            "w2": np.stack([get(i, "mlp.fc2.weight").T for i in range(n_layers)]),
-            "b2": np.stack([get(i, "mlp.fc2.bias") for i in range(n_layers)]),
-        },
-    }
+    return _stack_resblocks(sd, prefix, n_layers, {
+        "ln1": "norm1", "qkv": "attn.qkv", "out": "attn.proj",
+        "ln2": "norm2", "fc1": "mlp.fc1", "fc2": "mlp.fc2",
+    })
 
 
 def _timm_patch_embed(sd, key_prefix: str) -> Dict[str, np.ndarray]:

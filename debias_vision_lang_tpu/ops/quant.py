@@ -175,17 +175,24 @@ def quantize_vit_visual(visual: Params) -> Params:
     # normalize-folded patch weights (models/clip.py) for the direct-from-
     # uint8 path; the plain conv1 stays for preprocessed-float inputs
     w_fold, b_fold = fold_preprocess_into_patch(visual["conv1"])
-    return {
+    out = {
         "conv1": quantize_weight(visual["conv1"]["kernel"]),
         "conv1_folded": quantize_weight(w_fold),
         "conv1_bias_folded": b_fold,
         "class_embedding": visual["class_embedding"],
         "positional_embedding": visual["positional_embedding"],
-        "ln_pre": visual["ln_pre"],
         "resblocks": quantize_resblocks(visual["resblocks"]),
         "ln_post": visual["ln_post"],
         "proj": visual["proj"],
     }
+    # timm-style (SLIP) towers: patch conv carries a bias, no ln_pre —
+    # the bias must ride into the fp-input path too (the folded-u8 path
+    # absorbs it via fold_preprocess_into_patch)
+    if "bias" in visual["conv1"]:
+        out["conv1_bias"] = visual["conv1"]["bias"]
+    if "ln_pre" in visual:
+        out["ln_pre"] = visual["ln_pre"]
+    return out
 
 
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
@@ -267,7 +274,8 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
     Mirrors the fp path's architecture branches (models/clip.py:109-121):
     SLIP's timm-style tower has no pre-LN and uses plain GELU."""
     p = params_q
-    x = patch_embed_q(images, cfg.patch_size, p["conv1"], out_dtype=dtype)
+    x = patch_embed_q(images, cfg.patch_size, p["conv1"],
+                      p.get("conv1_bias"), out_dtype=dtype)
     return _vit_q_trunk(p, x, cfg, fused)
 
 

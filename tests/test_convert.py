@@ -136,6 +136,48 @@ class TestRoundTrip:
         for leaf in jax.tree.leaves(back):
             assert leaf.dtype == jnp.float32
 
+    def test_torch_bf16_upcast(self, tiny_clip):
+        """torch bf16 tensors cannot .numpy() directly — the converter must
+        upcast torch-side (common dtype for modern fine-tune checkpoints)."""
+        import torch
+
+        cfg, params = tiny_clip
+        sd = to_openai_state_dict(params, cfg)
+        sd_bf16 = {k: torch.from_numpy(np.asarray(v)).bfloat16()
+                   for k, v in sd.items()}
+        back = from_openai_state_dict(sd_bf16, cfg)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            assert np.asarray(b).dtype == np.float32
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0.02, rtol=0.02)
+
+    def test_slip_roundtrip(self, rng):
+        """slip_vit trees (no ln_pre, conv bias) round-trip through the
+        OpenAI-format export/import."""
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+
+        cfg = CLIPConfig(
+            name="slip-tiny",
+            vision=VisionConfig(kind="slip_vit", image_size=32, patch_size=8,
+                                width=64, layers=2, heads=2, embed_dim=32),
+            text=TextConfig(vocab_size=512, context_length=16, width=32,
+                            layers=2, heads=2, embed_dim=32))
+        params = init_clip_params(jax.random.key(3), cfg)
+        assert "ln_pre" not in params["visual"]
+        assert "bias" in params["visual"]["conv1"]
+        sd = to_openai_state_dict(params, cfg)
+        assert "visual.ln_pre.weight" not in sd
+        assert "visual.conv1.bias" in sd
+        back = from_openai_state_dict(sd, cfg)
+        flat1 = jax.tree.leaves(params)
+        flat2 = jax.tree.leaves(back)
+        assert len(flat1) == len(flat2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+
 
 class TestResNetConverter:
     @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
