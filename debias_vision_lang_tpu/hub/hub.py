@@ -86,12 +86,12 @@ def load(
         # local user-trained checkpoints carry their own P: infer it from
         # the tensor (the reference loader accepts any P the same way,
         # reference: model/clip.py:81); only the hidden dim must match
-        n_tokens = int(prompt_emb.shape[0])
         if prompt_emb.ndim != 2 or prompt_emb.shape[1] != hidden_dim:
             raise ValueError(
                 f"checkpoint prompt shape {prompt_emb.shape} incompatible "
                 f"with the {entry['clip_arch']} text width {hidden_dim}"
             )
+        n_tokens = int(prompt_emb.shape[0])
 
     model = DebiasCLIP(
         clip_params=base.params,

@@ -184,3 +184,131 @@ class TestUTKFaceDownloader:
         monkeypatch.setitem(dl.KNOWN_SHA256, "asset.bin", good)
         # existing file with matching pinned digest → returned as-is
         assert dl.fetch("http://invalid.example/asset.bin", str(target)) == str(target)
+
+
+class TestGDriveFetch:
+    """fetch_gdrive's three paths: direct stream, confirm interstitial,
+    HTML-masquerading payload (quota page) — all offline via monkeypatch."""
+
+    @staticmethod
+    def _fake_response(body: bytes, ctype: str):
+        import email.message
+        import io
+
+        class Resp(io.BytesIO):
+            def __init__(self):
+                super().__init__(body)
+                self.headers = email.message.Message()
+                self.headers["Content-Type"] = ctype
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return Resp()
+
+    def test_direct_stream(self, tmp_path, monkeypatch):
+        """Non-HTML first response is streamed to dest without a re-request."""
+        import urllib.request
+
+        from debias_vision_lang_tpu.data import download as dl
+
+        payload = b"\x89PNGbinarypayload" * 1000
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda req, timeout=60: self._fake_response(
+                payload, "application/octet-stream"))
+        monkeypatch.setattr(dl, "fetch", lambda *a, **k: pytest.fail(
+            "direct response must not trigger a second fetch"))
+        dest = str(tmp_path / "direct.bin")
+        assert dl.fetch_gdrive("https://drive.google.com/uc?id=abc123", dest) == dest
+        assert open(dest, "rb").read() == payload
+        assert not os.path.exists(dest + ".part")
+
+    def test_confirm_form_fields_forwarded(self, tmp_path, monkeypatch):
+        """Interstitial HTML → confirm+uuid parsed from the form and put on
+        the usercontent download URL."""
+        import urllib.request
+
+        from debias_vision_lang_tpu.data import download as dl
+
+        html = (b'<!DOCTYPE html><html><form action="x">'
+                b'<input type="hidden" name="confirm" value="tok123">'
+                b'<input type="hidden" name="uuid" value="u-456">'
+                b'</form></html>')
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda req, timeout=60: self._fake_response(html, "text/html"))
+        seen = {}
+
+        def fake_fetch(url, dest, **k):
+            seen["url"] = url
+            open(dest, "wb").write(b"realbinary")
+            return dest
+
+        monkeypatch.setattr(dl, "fetch", fake_fetch)
+        dest = str(tmp_path / "confirmed.bin")
+        out = dl.fetch_gdrive("https://drive.google.com/uc?id=abc123", dest)
+        assert out == dest
+        assert "confirm=tok123" in seen["url"]
+        assert "uuid=u-456" in seen["url"]
+        assert "id=abc123" in seen["url"]
+
+    def test_html_payload_rejected(self, tmp_path, monkeypatch):
+        """A confirm-path download that still yields HTML (quota page) is
+        deleted and raises an actionable error."""
+        import urllib.request
+
+        from debias_vision_lang_tpu.data import download as dl
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda req, timeout=60: self._fake_response(
+                b"<html>interstitial</html>", "text/html"))
+
+        def fake_fetch(url, dest, **k):
+            open(dest, "wb").write(b"  <html><body>quota exceeded</body>")
+            return dest
+
+        monkeypatch.setattr(dl, "fetch", fake_fetch)
+        dest = str(tmp_path / "quota.bin")
+        with pytest.raises(IOError, match="fetch the asset manually"):
+            dl.fetch_gdrive("https://drive.google.com/uc?id=abc123", dest)
+        assert not os.path.exists(dest)  # no HTML left masquerading as data
+
+    def test_bad_url_rejected(self, tmp_path):
+        from debias_vision_lang_tpu.data import download as dl
+
+        with pytest.raises(ValueError, match="not a drive uc url"):
+            dl.fetch_gdrive("https://example.com/nofileid", str(tmp_path / "x"))
+
+
+class TestDownloadCLI:
+    def test_unknown_target_rejected(self):
+        from debias_vision_lang_tpu.data.download import main
+
+        with pytest.raises(SystemExit, match="unknown download target"):
+            main(["bogus-target"])
+
+
+class TestUTKFaceStagedExtraction:
+    def test_bad_tar_cleaned_up(self, tmp_path, monkeypatch):
+        """A truncated/corrupt archive must not leave a partial root (the
+        idempotency check is any-jpg-present) and must be deleted so the
+        next call re-fetches."""
+        from debias_vision_lang_tpu.data import download as dl
+
+        def fake_gdrive(url, dest):
+            open(dest, "wb").write(b"not a tar at all")
+            return dest
+
+        monkeypatch.setattr(dl, "fetch_gdrive", fake_gdrive)
+        root = tmp_path / "utk"
+        with pytest.raises(Exception):
+            dl.ensure_utkface(str(root))
+        leftovers = [p.name for p in root.iterdir()] if root.exists() else []
+        assert not any(n.lower().endswith(".jpg") for n in leftovers)
+        assert ".utk_partial" not in leftovers
+        assert "UTKFace.tar.gz" not in leftovers  # bad archive removed

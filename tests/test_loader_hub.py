@@ -101,3 +101,28 @@ class TestHub:
         save_debias_prompt_pt(np.zeros((3, 99), np.float32), path)
         with pytest.raises(ValueError, match="prompt shape"):
             load(path, pretrained_base=False)
+
+    def test_local_checkpoint_infers_prompt_count(self, tmp_path):
+        """User-trained local checkpoints carry their own P — the loader
+        infers it from the tensor instead of pinning the registry count
+        (reference accepts any P the same way, model/clip.py:81)."""
+        from debias_vision_lang_tpu.hub import load
+        from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+        emb = np.random.default_rng(1).normal(size=(7, 512)).astype(np.float32)
+        path = str(tmp_path / "p7.pt")
+        save_debias_prompt_pt(emb, path)
+        model, _ = load(path, pretrained_base=False)
+        assert model.debias_cfg.num_debias_tokens == 7
+        np.testing.assert_allclose(np.asarray(model.debias_tokens), emb)
+
+    def test_local_checkpoint_wrong_rank_raises(self, tmp_path):
+        """0-d/1-d prompt tensors must fail with the shape ValueError, not an
+        IndexError from reading shape[0] before validation."""
+        from debias_vision_lang_tpu.hub import load
+        from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+        path = str(tmp_path / "rank1.pt")
+        save_debias_prompt_pt(np.zeros((512,), np.float32), path)
+        with pytest.raises(ValueError, match="prompt shape"):
+            load(path, pretrained_base=False)
