@@ -99,6 +99,28 @@ class HostLoader:
         # only ever runs leaf decode tasks (no nested submission → no
         # thread-pool deadlock), while `prefetch` batches stay in flight.
         window = self.prefetch * self.batch_size
+        if self.native_n_px is not None:
+            # native runtime unavailable but a target size was requested:
+            # apply the bit-exact host resize/crop per image so the shape
+            # contract ([B, n_px, n_px, 3]) holds — without it np.stack
+            # crashes on variable-size datasets (e.g. ImageNet)
+            from ..vision.preprocess import resize_crop_u8, to_rgb_array
+
+            n_px = self.native_n_px
+
+            def load_one(i: int):
+                arr = to_rgb_array(self.dataset.load_image(i))
+                if arr.ndim == 4:  # video: [T, H, W, 3] → per-frame
+                    if arr.shape[1] == n_px and arr.shape[2] == n_px:
+                        return arr
+                    return np.stack([resize_crop_u8(f, n_px) for f in arr])
+                if arr.shape[0] == n_px and arr.shape[1] == n_px:
+                    return arr  # already target-sized: resize is identity
+                return resize_crop_u8(arr, n_px)
+        else:
+            def load_one(i: int):
+                return self.dataset.load_image(i)
+
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
             futures = {}
             next_submit = 0
@@ -107,7 +129,7 @@ class HostLoader:
                 nonlocal next_submit
                 while next_submit < min(until, last):
                     futures[next_submit] = pool.submit(
-                        self.dataset.load_image, int(order[next_submit])
+                        load_one, int(order[next_submit])
                     )
                     next_submit += 1
 

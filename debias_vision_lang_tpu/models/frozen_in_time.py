@@ -53,9 +53,12 @@ def init_video_vit_params(rng, cfg: VisionConfig,
                           num_frames: int = DEFAULT_NUM_FRAMES,
                           divided: bool = False) -> Params:
     p = clip_model.init_vit_params(rng, cfg)
-    k = jax.random.fold_in(rng, 17)
-    p["temporal_embedding"] = (cfg.width ** -0.5) * jax.random.normal(
-        k, (num_frames, cfg.width), jnp.float32)
+    # ZERO-initialized (upstream FiT's identity trick, same reason as the
+    # temporal attention's zero output proj below): a freshly-added temporal
+    # axis must not perturb image-pretrained weights — with zeros, a 1-frame
+    # video embeds exactly like the underlying image ViT; training grows the
+    # temporal signal from zero
+    p["temporal_embedding"] = jnp.zeros((num_frames, cfg.width), jnp.float32)
     if divided:
         p["temporal_attn"] = init_temporal_attn_params(
             jax.random.fold_in(rng, 19), cfg)
@@ -164,10 +167,7 @@ def encode_video_divided(
     x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
     x = ln(p["ln_pre"], x)
 
-    layers = p["resblocks"]["ln_1"]["scale"].shape[0]
-    for i in range(layers):
-        sp = jax.tree.map(lambda a: a[i], p["resblocks"])
-        tp = jax.tree.map(lambda a: a[i], p["temporal_attn"])
+    def block(x, sp, tp):
         # temporal: attend over T at each spatial location
         xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, cfg.width)
         at = multi_head_attention(tp["attn"], ln(tp["ln_t"], xt), cfg.heads,
@@ -181,8 +181,18 @@ def encode_video_divided(
         # MLP (timm tower → exact GELU)
         hdn = linear({"kernel": sp["mlp"]["w1"], "bias": sp["mlp"]["b1"]},
                      ln(sp["ln_2"], x))
-        x = x + linear({"kernel": sp["mlp"]["w2"], "bias": sp["mlp"]["b2"]},
-                       jax.nn.gelu(hdn, approximate=False))
+        return x + linear({"kernel": sp["mlp"]["w2"], "bias": sp["mlp"]["b2"]},
+                          jax.nn.gelu(hdn, approximate=False))
+
+    if remat:
+        # recompute each block's activations on the backward pass (long
+        # videos: activation memory scales with T·N per layer)
+        block = jax.checkpoint(block)
+    layers = p["resblocks"]["ln_1"]["scale"].shape[0]
+    for i in range(layers):
+        sp = jax.tree.map(lambda a: a[i], p["resblocks"])
+        tp = jax.tree.map(lambda a: a[i], p["temporal_attn"])
+        x = block(x, sp, tp)
 
     pooled = jnp.mean(x.reshape(b, t * n, cfg.width), axis=1)
     pooled = ln(p["ln_post"], pooled[:, None, :])[:, 0, :]
@@ -210,10 +220,10 @@ class FrozenInTime:
 
     def __post_init__(self):
         # loader may hand us plain image-ViT params; add the temporal axis
+        # (zeros — the identity-preserving init, see init_video_vit_params)
         if "temporal_embedding" not in self.params["visual"]:
-            self.params["visual"]["temporal_embedding"] = (
-                init_video_vit_params(jax.random.key(0), self.cfg.vision)
-                ["temporal_embedding"])
+            self.params["visual"]["temporal_embedding"] = jnp.zeros(
+                (DEFAULT_NUM_FRAMES, self.cfg.vision.width), jnp.float32)
 
     def encode_image(self, images, **kw):
         """Images are 1-frame videos; [B,T,H,W,3] videos also accepted."""

@@ -101,7 +101,10 @@ def run_training(
     from ..models.loader import model_loader
     from ..vision.preprocess import preprocess_batch
 
-    rng = np.random.default_rng(seed)
+    # caption-batch stream seeded independently of HostLoader's shuffle rng:
+    # both draw permutation(len(train_ds)) per epoch, so sharing the seed
+    # would keep them in lockstep and batch B would equal batch A every step
+    rng = np.random.default_rng([seed, 1])
 
     if model is None:
         base, preprocess, tok, alias = model_loader(arch, pretrained=pretrained,
@@ -121,7 +124,11 @@ def run_training(
         model = DebiasCLIP(clip_params=base.params, debias_tokens=deb,
                            clip_cfg=base.cfg, debias_cfg=dcfg)
     else:
-        alias = model.clip_cfg.name
+        # sanitized (the raw cfg name contains '/' — e.g. "ViT-B/16" — which
+        # would split the export filename into a nonexistent directory)
+        from ..core.registry import alias_name
+
+        alias = alias_name(model.clip_cfg.name)
     if tokenizer is None:
         raise RuntimeError("a tokenizer is required")
 
@@ -198,12 +205,17 @@ def run_training(
         mesh = default_mesh()
     trainer = AdversarialTrainer.create(model, adversary, tcfg, sens_tokens,
                                         use_pallas=use_pallas, mesh=mesh)
+    start_epoch = 0
     if resume:
         from .state import latest_checkpoint, restore_checkpoint
 
         ckpt = latest_checkpoint(checkpoint_dir)
         if ckpt is not None:
             restore_checkpoint(ckpt, trainer)
+            # continue the configured recipe, don't extend it: epochs already
+            # completed (by restored step count) are skipped
+            steps_per_epoch = max(1, len(train_ds) // batch_size)
+            start_epoch = min(epochs, trainer.step_count // steps_per_epoch)
 
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
                       _n_samples=eval_n_samples)
@@ -228,7 +240,7 @@ def run_training(
         return float(out["eq_opp"])
 
     it = loader
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if progress:
             import tqdm
 
@@ -242,7 +254,7 @@ def run_training(
                 cap_tokens,
             )
             logger.log(metrics, step=trainer.step_count)
-            if trainer.step_count % eval_every == 0:
+            if eval_every and trainer.step_count % eval_every == 0:
                 ndkl = evaluate_ndkl()
                 is_best = trainer.maybe_update_best(ndkl)
                 logger.log({"ndkl_eq_opp": ndkl, "is_best": is_best},

@@ -463,3 +463,101 @@ class TestInt8Eval:
         for metric in result.values():
             for v in metric.values():
                 assert np.isfinite(v) and v >= 0
+
+
+class TestHostFallbackResize:
+    def test_native_n_px_honored_without_native_runtime(self, monkeypatch):
+        """When the C++ ingest runtime is unavailable, native_n_px must still
+        produce [B, n_px, n_px, 3] via the bit-exact host resize — previously
+        the request was silently dropped and variable-size datasets crashed
+        np.stack."""
+        from debias_vision_lang_tpu import native
+        from debias_vision_lang_tpu.data.loader import HostLoader
+
+        monkeypatch.setattr(native, "available", lambda: False)
+
+        class VarSizeDS:
+            iat_labels = np.arange(5, dtype=np.int32)
+            _img_fnames = None  # no file paths → host path regardless
+
+            def __len__(self):
+                return 5
+
+            def load_image(self, i):
+                rng = np.random.default_rng(i)
+                side = 24 + 8 * i  # 24..56: heterogeneous
+                return rng.integers(0, 256, (side, side + 4, 3), dtype=np.uint8)
+
+        loader = HostLoader(VarSizeDS(), batch_size=4, num_workers=2,
+                            native_n_px=16)
+        batches = list(loader)
+        assert all(b.images.shape[1:] == (16, 16, 3) for b in batches)
+        assert sum(b.num_valid for b in batches) == 5
+
+
+class TestZeroShotBatchingAndMesh:
+    @staticmethod
+    def _model_and_tok(tiny_clip):
+        from debias_vision_lang_tpu.models.loader import CLIP
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+
+        def tok(prompts):
+            v = cfg.text.vocab_size
+            out = np.zeros((len(prompts), cfg.text.context_length), np.int32)
+            out[:, 0] = v - 2
+            for i, p in enumerate(prompts):
+                out[i, 1] = abs(hash(p)) % (v - 3) + 1
+                out[i, 2] = v - 1
+            return out
+
+        return cfg, model, tok
+
+    def test_classifier_batched_equals_per_class(self, tiny_clip):
+        """batch_size groups several classes per text-tower call; the result
+        must be identical to the one-class-at-a-time build (batch_size small
+        enough to force per_call=1)."""
+        from debias_vision_lang_tpu.eval.zero_shot import (
+            DEFAULT_TEMPLATES, build_zero_shot_classifier)
+
+        cfg, model, tok = self._model_and_tok(tiny_clip)
+        names = ["cat", "dog", "ship", "horse", "truck"]
+        grouped = build_zero_shot_classifier(model, tok, names,
+                                             templates=DEFAULT_TEMPLATES,
+                                             batch_size=256)
+        single = build_zero_shot_classifier(model, tok, names,
+                                            templates=DEFAULT_TEMPLATES,
+                                            batch_size=1)
+        np.testing.assert_allclose(np.asarray(grouped), np.asarray(single),
+                                   atol=1e-6)
+        assert grouped.shape == (5, cfg.text.embed_dim)
+
+    def test_accuracy_mesh_matches_single_device(self, tiny_clip):
+        """zero_shot_accuracy(mesh=...) must actually shard (and agree with
+        the unsharded run) — the mesh arg used to be accepted but ignored."""
+        from debias_vision_lang_tpu.data.loader import HostLoader
+        from debias_vision_lang_tpu.eval.zero_shot import zero_shot_accuracy
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        cfg, model, tok = self._model_and_tok(tiny_clip)
+
+        class DS:
+            iat_labels = np.arange(20, dtype=np.int32) % 3
+            _img_fnames = None
+
+            def __len__(self):
+                return 20
+
+            def load_image(self, i):
+                r = np.random.default_rng(100 + i)
+                return r.integers(0, 256, (32, 32, 3), np.uint8)
+
+        kwargs = dict(class_names=["cat", "dog", "bird"], n_px=32)
+        r1 = zero_shot_accuracy(model, tok,
+                                HostLoader(DS(), batch_size=8, num_workers=1),
+                                **kwargs)
+        r2 = zero_shot_accuracy(model, tok,
+                                HostLoader(DS(), batch_size=8, num_workers=1),
+                                mesh=create_mesh(), **kwargs)
+        assert r1 == r2

@@ -49,9 +49,9 @@ def ff_root(tmp_path_factory):
     return str(root)
 
 
-def tiny_model():
+def tiny_model(name="tiny-loop"):
     cfg = CLIPConfig(
-        name="tiny-loop",
+        name=name,
         vision=VisionConfig(kind="vit", image_size=PX, patch_size=8, width=32,
                             layers=1, heads=2, embed_dim=16),
         text=TextConfig(vocab_size=VOCAB, context_length=CTX, width=32,
@@ -167,6 +167,48 @@ class TestRunTraining:
         assert tuple(t.shape) == (2, 32)
 
 
+class TestLoopFixes:
+    def test_slash_alias_and_eval_every_zero(self, ff_root, tmp_path):
+        """A passed-in model whose cfg name contains '/' (e.g. 'ViT-B/16')
+        must export to a sanitized filename, not a nonexistent directory;
+        eval_every=0 disables periodic eval instead of ZeroDivisionError."""
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        result = run_training(
+            model=tiny_model(name="ViT-B/16"),
+            tokenizer=tok, attribute="gender", epochs=1, batch_size=8,
+            data_path=ff_root, checkpoint_dir=str(tmp_path / "ckpt_alias"),
+            eval_every=0, eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False, progress=False,
+        )
+        assert os.path.exists(result["export"])
+        assert "/16" not in os.path.basename(result["export"])
+        # periodic eval disabled: only the final ndkl_eq_opp line is logged
+        log = os.path.join(result["checkpoint_dir"], "logs", "metrics.jsonl")
+        evals = [l for l in (json.loads(x) for x in open(log))
+                 if "ndkl_eq_opp" in l]
+        assert len(evals) == 0  # the final eval returns, it isn't logged
+
+    def test_caption_batches_not_lockstep(self, ff_root):
+        """Contrastive batch B must not be byte-identical to debias batch A:
+        the caption stream is seeded independently of the loader shuffle
+        (both draw permutation(n) per epoch, so a shared seed = lockstep)."""
+        from debias_vision_lang_tpu.data.datasets import FairFace
+        from debias_vision_lang_tpu.data.loader import HostLoader
+        from debias_vision_lang_tpu.train.loop import _caption_batches
+
+        ds = FairFace(mode="train", iat_type="gender", data_path=ff_root)
+        seed = 0
+        loader = HostLoader(ds, batch_size=8, drop_remainder=True,
+                            shuffle=True, seed=seed)
+        cap_iter = _caption_batches(None, tok, 8, ds, PX,
+                                    np.random.default_rng([seed, 1]))
+        batch_a = next(iter(loader))
+        cap_images, _ = next(cap_iter)
+        assert not np.array_equal(batch_a.images, cap_images)
+
+
 class TestCLI:
     def test_help(self):
         from debias_vision_lang_tpu.cli import main
@@ -210,6 +252,11 @@ class TestResume:
         )
         r1 = run_training(model=tiny_model(), **common)
         assert latest_checkpoint(ckpt_dir) is not None
-        # resume continues the step counter instead of starting at 0
+        # resume COMPLETES the configured recipe rather than extending it:
+        # 1 epoch already done + epochs=1 → nothing left to run
         r2 = run_training(model=tiny_model(), resume=True, **common)
-        assert r2["steps"] == r1["steps"] + 2  # another epoch of 2 steps
+        assert r2["steps"] == r1["steps"]
+        # raising the target trains only the remaining epochs
+        common2 = {**common, "epochs": 2}
+        r3 = run_training(model=tiny_model(), resume=True, **common2)
+        assert r3["steps"] == r1["steps"] + 2  # one more epoch of 2 steps

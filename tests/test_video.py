@@ -106,3 +106,74 @@ class TestVideoMeasureBias:
                                  "num_frames": 4})
         assert set(res) == {"maxskew", "ndkl"}
         assert np.isfinite(res["ndkl"]["eq_opp"])
+
+
+def _tiny_vision_cfg():
+    return VisionConfig(kind="vit", image_size=32, patch_size=8, width=32,
+                        layers=2, heads=2, embed_dim=16)
+
+
+class TestTemporalIdentity:
+    def test_temporal_embedding_zero_init(self):
+        """The temporal embedding must be ZERO-initialized (upstream FiT's
+        identity trick): a fresh temporal axis must not perturb
+        image-pretrained weights."""
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            init_video_vit_params)
+
+        p = init_video_vit_params(jax.random.key(0), _tiny_vision_cfg())
+        assert not np.asarray(p["temporal_embedding"]).any()
+
+    def test_post_init_injection_matches_explicit_zeros(self):
+        """FrozenInTime over plain image-ViT params embeds identically to
+        params carrying an explicit zero temporal embedding (no random
+        perturbation of pretrained weights)."""
+        from debias_vision_lang_tpu.models import clip as clip_model
+        from debias_vision_lang_tpu.models.frozen_in_time import FrozenInTime
+
+        vcfg = _tiny_vision_cfg()
+        cfg = CLIPConfig(
+            name="fit-tiny", vision=vcfg,
+            text=TextConfig(vocab_size=64, context_length=8, width=32,
+                            layers=1, heads=2, embed_dim=16))
+        params = {
+            "visual": clip_model.init_vit_params(jax.random.key(2), vcfg),
+            "text": clip_model.init_text_params(jax.random.key(3), cfg.text),
+            "logit_scale": np.float32(0.0),
+        }
+        import copy
+
+        explicit = copy.deepcopy(params)
+        explicit["visual"]["temporal_embedding"] = np.zeros((4, 32), np.float32)
+
+        imgs = np.asarray(
+            np.random.default_rng(0).normal(size=(2, 32, 32, 3)), np.float32)
+        a = FrozenInTime(params=params, cfg=cfg).encode_image(imgs)
+        b = FrozenInTime(params=explicit, cfg=cfg).encode_image(imgs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDividedRemat:
+    def test_remat_matches_plain(self):
+        """encode_video_divided(remat=True) must apply jax.checkpoint, not
+        silently drop the flag — outputs are identical either way."""
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video_divided, init_video_vit_params)
+
+        vcfg = _tiny_vision_cfg()
+        p = init_video_vit_params(jax.random.key(1), vcfg, divided=True)
+        vids = np.asarray(
+            np.random.default_rng(1).normal(size=(2, 3, 32, 32, 3)), np.float32)
+        plain = encode_video_divided(p, vids, vcfg, use_pallas=False)
+        remat = encode_video_divided(p, vids, vcfg, use_pallas=False,
+                                     remat=True)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(remat),
+                                   atol=1e-6)
+
+        # the gradient path (where remat actually matters) stays finite
+        def loss(pp):
+            return encode_video_divided(pp, vids, vcfg, use_pallas=False,
+                                        remat=True).sum()
+
+        g = jax.grad(loss)(p)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
