@@ -48,11 +48,6 @@ class ImageCaptionPairs:
         return os.path.join(self._img_dir, self.captions.iloc[index]["file"])
 
     def load_image(self, index: int) -> np.ndarray:
-        from PIL import Image
-
-        from ..vision.preprocess import center_crop_slice, resize_output_size
-
-        fname = self._path(index)
         if self.image_size is not None:
             from .. import native
 
@@ -60,10 +55,18 @@ class ImageCaptionPairs:
                 # C++ decode + PIL-bit-exact fixed-point resize + crop (PIL's
                 # own uint8 resize IS the fixed-point path, so this is
                 # bit-identical to the PIL branch below)
-                out, ok = native.ingest_batch_files_u8([fname],
+                out, ok = native.ingest_batch_files_u8([self._path(index)],
                                                        self.image_size)
                 if ok[0]:
                     return out[0]
+        return self._load_image_pil(index)
+
+    def _load_image_pil(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        from ..vision.preprocess import center_crop_slice, resize_output_size
+
+        fname = self._path(index)
         with Image.open(fname) as im:
             if im.mode != "RGB":
                 im = im.convert("RGB")
@@ -102,8 +105,10 @@ class ImageCaptionPairs:
                 images, ok = native.ingest_batch_files_u8(paths,
                                                           self.image_size)
                 if not ok.all():  # corrupt/exotic entries: per-image fallback
+                    # straight to PIL — the native decode just failed for
+                    # these very files, re-running it would fail identically
                     for j in np.nonzero(~ok)[0]:
-                        images[j] = self.load_image(int(idx[j]))
+                        images[j] = self._load_image_pil(int(idx[j]))
             else:
                 images = np.stack([self.load_image(int(i)) for i in idx])
             tokens = np.asarray(

@@ -25,9 +25,19 @@ def load_frames(path: str, num_frames: int) -> np.ndarray:
     from PIL import Image
 
     if os.path.isdir(path):
+        # natural-number sort: unpadded frame numbers (frame_2 vs frame_10,
+        # common ffmpeg %d output) scramble temporal order under plain
+        # lexicographic sorting
+        import re
+
+        def frame_key(name: str):
+            return [int(t) if t.isdigit() else t
+                    for t in re.split(r"(\d+)", name)]
+
         files = sorted(
-            f for f in os.listdir(path)
-            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+            (f for f in os.listdir(path)
+             if f.lower().endswith((".jpg", ".jpeg", ".png"))),
+            key=frame_key,
         )
         if not files:
             raise FileNotFoundError(f"no frames in {path}")
@@ -62,7 +72,7 @@ class VideoDataset(IATDataset):
         iat_type: Optional[str] = None,
         csv_name: str = "labels.csv",
         num_frames: int = 4,
-        _n_samples: Union[int, None] = None,
+        _n_samples: Union[int, float, None] = None,
         transforms: Optional[Callable] = None,
         equal_split: bool = False,
     ):
@@ -72,16 +82,10 @@ class VideoDataset(IATDataset):
         self.labels = pd.read_csv(os.path.join(self.data_path, csv_name),
                                   keep_default_na=False)
         self.labels.sort_values("file", inplace=True)
-        if _n_samples is not None:
-            self.labels = self.labels.iloc[:_n_samples]
-        if equal_split and "gender" in self.labels.columns:
-            males = self.labels.loc[self.labels["gender"] == "Male"]
-            females = self.labels.loc[self.labels["gender"] == "Female"]
-            k = min(len(males), len(females))
-            self.labels = pd.concat(
-                [males.sample(n=k, random_state=1),
-                 females.sample(n=k, random_state=1)],
-                ignore_index=True)
+        # shared seeded subsample/balance (float fractions included);
+        # balancing only applies when the CSV carries a gender column
+        self._subsample_and_balance(
+            _n_samples, equal_split and "gender" in self.labels.columns)
         self._paths = [os.path.join(self.data_path, f)
                        for f in self.labels["file"]]
         self.iat_type = iat_type

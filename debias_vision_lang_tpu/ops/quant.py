@@ -64,12 +64,6 @@ def int8_matmul(x: jax.Array, wq: Dict[str, jax.Array],
     return out.astype(x.dtype)
 
 
-def _int8_matmul_stacked(x: jax.Array, q: jax.Array, scale: jax.Array,
-                         bias: jax.Array) -> jax.Array:
-    """Per-scan-step variant where q/scale are one layer's slices."""
-    return int8_matmul(x, {"q": q, "scale": scale}, bias)
-
-
 # ---------------------------------------------------------------------------
 # Quantized transformer tower
 # ---------------------------------------------------------------------------

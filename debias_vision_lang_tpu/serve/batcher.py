@@ -135,8 +135,7 @@ class MicroBatcher:
                 self.n_batches += 1
                 self.n_items += len(items)
             except Exception as e:  # noqa: BLE001 - propagate to callers
-                for fut in futures:
-                    fut.set_exception(e)
+                _fail_all(futures, e)
                 continue
             if self._finalize is not None:
                 # hand off to the finalizer thread; the bounded queue gives
@@ -147,13 +146,16 @@ class MicroBatcher:
 
     def _distribute(self, futures, results) -> None:
         if len(results) != len(futures):
-            err = RuntimeError(f"run_batch returned {len(results)} results "
-                               f"for {len(futures)} items")
-            for fut in futures:
-                fut.set_exception(err)
+            _fail_all(futures, RuntimeError(
+                f"run_batch returned {len(results)} results "
+                f"for {len(futures)} items"))
             return
         for fut, res in zip(futures, results):
-            fut.set_result(res)
+            # a consumer may have cancel()ed while the batch was pending;
+            # set_result on a cancelled future raises InvalidStateError and
+            # would kill this thread, hanging every later request
+            if fut.set_running_or_notify_cancel():
+                fut.set_result(res)
 
     def _finalizer(self) -> None:
         while True:
@@ -164,7 +166,13 @@ class MicroBatcher:
             try:
                 results = self._finalize(handle, len(futures))
             except Exception as e:  # noqa: BLE001
-                for fut in futures:
-                    fut.set_exception(e)
+                _fail_all(futures, e)
                 continue
             self._distribute(futures, results)
+
+
+def _fail_all(futures, err: Exception) -> None:
+    """set_exception tolerant of consumer-side cancel() (see _distribute)."""
+    for fut in futures:
+        if fut.set_running_or_notify_cancel():
+            fut.set_exception(err)

@@ -17,6 +17,20 @@ import time
 from typing import Dict, Optional
 
 
+def _is_scalar_like(v) -> bool:
+    """numpy/jax 0-d scalar (shape () with an item())."""
+    return getattr(v, "shape", None) == () and hasattr(v, "item")
+
+
+def _to_jsonable(v):
+    if _is_scalar_like(v):
+        return v.item()
+    if hasattr(v, "tolist"):  # numpy/jax arrays
+        return v.tolist()
+    raise TypeError(f"metric value of type {type(v).__name__} "
+                    "is not JSON-serializable")
+
+
 class MetricsLogger:
     """Append-only JSONL metrics + optional TensorBoard scalars."""
 
@@ -37,11 +51,13 @@ class MetricsLogger:
         record = {"time": time.time(), **metrics}
         if step is not None:
             record["step"] = step
-        self._file.write(json.dumps(record) + "\n")
+        # numpy/jax scalars aren't JSON-serializable and must not kill a
+        # training run mid-flight; anything float()-able is coerced
+        self._file.write(json.dumps(record, default=_to_jsonable) + "\n")
         if self._tb is not None and step is not None:
             for k, v in metrics.items():
-                if isinstance(v, (int, float)):
-                    self._tb.add_scalar(k, v, step)
+                if isinstance(v, (int, float)) or _is_scalar_like(v):
+                    self._tb.add_scalar(k, float(v), step)
 
     def close(self) -> None:
         self._file.close()

@@ -54,12 +54,22 @@ class TestFrozenInTime:
         out = encode_video(params["visual"], videos, cfg.vision, use_pallas=False)
         assert out.shape == (1, 16)
 
-    def test_temporal_order_matters(self, tiny_fit):
+    def test_temporal_order_matters_after_training(self, tiny_fit):
+        """At INIT the temporal embedding is zero (the identity trick), so
+        frame order is deliberately indistinguishable; once it trains away
+        from zero, order must matter."""
         cfg, params = tiny_fit
         v = jax.random.normal(jax.random.key(4), (1, 4, 16, 16, 3))
-        fwd = encode_video(params["visual"], v, cfg.vision, use_pallas=False)
-        rev = encode_video(params["visual"], v[:, ::-1], cfg.vision,
-                           use_pallas=False)
+        vis = params["visual"]
+        fwd0 = encode_video(vis, v, cfg.vision, use_pallas=False)
+        rev0 = encode_video(vis, v[:, ::-1], cfg.vision, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(fwd0), np.asarray(rev0),
+                                   atol=1e-5)  # init: permutation-invariant
+        trained = dict(vis)
+        trained["temporal_embedding"] = 0.1 * jax.random.normal(
+            jax.random.key(7), vis["temporal_embedding"].shape)
+        fwd = encode_video(trained, v, cfg.vision, use_pallas=False)
+        rev = encode_video(trained, v[:, ::-1], cfg.vision, use_pallas=False)
         assert np.abs(np.asarray(fwd) - np.asarray(rev)).max() > 1e-6
 
     @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
@@ -305,6 +315,10 @@ class TestDividedSpaceTime:
         p["temporal_attn"]["attn"] = dict(p["temporal_attn"]["attn"])
         p["temporal_attn"]["attn"]["wo"] = 0.1 * jax.random.normal(
             jax.random.key(3), params["temporal_attn"]["attn"]["wo"].shape)
+        # a trained temporal embedding too: with the zero identity-init,
+        # temporal attention alone is frame-permutation-equivariant
+        p["temporal_embedding"] = 0.1 * jax.random.normal(
+            jax.random.key(6), p["temporal_embedding"].shape)
         v = jax.random.normal(jax.random.key(4), (1, 4, 16, 16, 3))
         fwd = encode_video_divided(p, v, vcfg, use_pallas=False)
         rev = encode_video_divided(p, v[:, ::-1], vcfg, use_pallas=False)
@@ -400,3 +414,23 @@ class TestZeroShotInt8:
             zero_shot_accuracy(model, tok, HostLoader(DS(4), batch_size=4,
                                                       num_workers=2),
                                ["cat"], dtype="fp16", **kw)
+
+
+class TestLoggerNumpyScalars:
+    def test_numpy_and_jax_scalars_serialize(self, tmp_path):
+        """Metric dicts containing numpy/jax scalars (the natural output of
+        a jitted step) must not kill the run with a JSON TypeError."""
+        import json
+
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.utils.observability import MetricsLogger
+
+        logger = MetricsLogger(str(tmp_path))
+        logger.log({"a": np.float32(0.5), "b": np.int64(3),
+                    "c": jnp.float32(1.25), "d": 2.0,
+                    "e": np.arange(2)}, step=1)
+        logger.close()
+        rec = json.loads(open(logger.path).read().splitlines()[-1])
+        assert rec["a"] == 0.5 and rec["b"] == 3 and rec["c"] == 1.25
+        assert rec["e"] == [0, 1]

@@ -664,3 +664,35 @@ class TestAuthTLS:
         with urllib.request.urlopen(auth_server + "/healthz",
                                     timeout=10) as resp:
             assert resp.status == 200
+
+
+class TestCancelledFuture:
+    def test_cancelled_future_does_not_kill_worker(self):
+        """A consumer cancel() on a pending future must not raise
+        InvalidStateError in the worker thread (which would hang every
+        subsequent request)."""
+        import threading
+        import time as _time
+
+        from debias_vision_lang_tpu.serve.batcher import MicroBatcher
+
+        gate = threading.Event()
+
+        def run_batch(items):
+            gate.wait(timeout=5)
+            return [x * 2 for x in items]
+
+        b = MicroBatcher(run_batch, max_batch=4, max_wait_ms=1.0)
+        try:
+            f1 = b.submit(1)  # opens the window; run_batch blocks on gate
+            _time.sleep(0.05)
+            f2 = b.submit(2)
+            assert f2.cancel()  # still queued → cancellable
+            gate.set()
+            assert f1.result(timeout=5) == 2
+            # worker must still be alive and serving
+            f3 = b.submit(3)
+            assert f3.result(timeout=5) == 6
+        finally:
+            gate.set()
+            b.close()

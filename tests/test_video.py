@@ -177,3 +177,30 @@ class TestDividedRemat:
 
         g = jax.grad(loss)(p)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+class TestFrameOrdering:
+    def test_unpadded_frame_numbers_sort_numerically(self, tmp_path):
+        """ffmpeg-style unpadded frame numbers (frame_2 vs frame_10) must be
+        sampled in temporal, not lexicographic, order."""
+        vdir = tmp_path / "vid"
+        vdir.mkdir()
+        for f in range(1, 13):  # frame_1.jpg .. frame_12.jpg
+            Image.fromarray(np.full((8, 8, 3), f * 20, np.uint8)).save(
+                vdir / f"frame_{f}.jpg")
+        frames = load_frames(str(vdir), 12)
+        values = frames[:, 0, 0, 0].astype(int)
+        assert list(values) == sorted(values), values
+        # uniform sampling respects temporal spacing too
+        four = load_frames(str(vdir), 4)[:, 0, 0, 0].astype(int)
+        assert list(four) == sorted(four)
+
+
+class TestVideoSubsample:
+    def test_float_n_samples_fraction(self, video_root):
+        """VideoDataset shares IATDataset's subsample helper: float
+        _n_samples means a fraction (was silently broken by the inline
+        int-only copy)."""
+        full = VideoDataset(video_root, iat_type="gender")
+        half = VideoDataset(video_root, iat_type="gender", _n_samples=0.5)
+        assert len(half) == len(full) // 2
