@@ -69,7 +69,12 @@ def _cmd_measure(args):
         model, preprocess = load(args.model[4:])
         from .text.tokenizer import load_tokenizer
 
-        tokenizer = load_tokenizer()
+        try:
+            tokenizer = load_tokenizer()
+        except FileNotFoundError:
+            # fall through to the friendly sys.exit below (the registry
+            # path signals the same condition with tokenizer=None)
+            tokenizer = None
     else:
         model, preprocess, tokenizer, _ = model_loader(
             args.model, pretrained=not args.random_weights)
@@ -182,10 +187,13 @@ def _cmd_zero_shot(args):
     from .eval.zero_shot import zero_shot_accuracy
     from .models.loader import model_loader
 
-    model, _, tokenizer, _ = model_loader(args.model,
-                                          pretrained=not args.random_weights)
+    model, preprocess, tokenizer, _ = model_loader(
+        args.model, pretrained=not args.random_weights)
     if tokenizer is None:
         sys.exit("No BPE vocab available: run `... cli download bpe` first")
+    # derive the input resolution from the model's preprocess (e.g. RN50x4
+    # is 288px — a hardcoded 224 would break its attention-pool pos-embed)
+    n_px = getattr(preprocess, "n_px", 224)
 
     class FolderDataset:
         def __init__(self, root):
@@ -213,14 +221,14 @@ def _cmd_zero_shot(args):
             return self.files
 
     ds = FolderDataset(args.data_path)
-    loader = HostLoader(ds, batch_size=args.batch_size, native_n_px=224)
+    loader = HostLoader(ds, batch_size=args.batch_size, native_n_px=n_px)
     kw = {}
     if args.imagenet_protocol:
         from .eval.zero_shot import imagenet_templates
 
         kw["templates"] = imagenet_templates()
     acc = zero_shot_accuracy(model, tokenizer, loader, ds.class_names,
-                             progress=True, dtype=args.dtype, **kw)
+                             n_px=n_px, progress=True, dtype=args.dtype, **kw)
     print(json.dumps(acc, indent=2))
 
 

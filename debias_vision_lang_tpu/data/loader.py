@@ -41,9 +41,20 @@ class HostLoader:
         shuffle: bool = False,
         seed: int = 0,
         native_n_px: int | None = None,
+        host_transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        # host_transform: user-supplied per-image preprocess callable
+        # (reference-style ``img_preproc``), applied on the decode threads so
+        # every image reaches np.stack at a fixed shape — raw variable-size
+        # images would crash the stack (same defect class the native_n_px
+        # fallback below guards against)
+        if host_transform is not None and native_n_px is not None:
+            raise ValueError(
+                "host_transform and native_n_px are mutually exclusive: a "
+                "custom host preprocess replaces the native resize path")
+        self.host_transform = host_transform
         # native_n_px: when set and the native ingest runtime is available,
         # whole batches are decoded + PIL-exact-resized + center-cropped to
         # [B, n_px, n_px, 3] uint8 by the C++ thread pool (native/ingest.cc)
@@ -99,7 +110,12 @@ class HostLoader:
         # only ever runs leaf decode tasks (no nested submission → no
         # thread-pool deadlock), while `prefetch` batches stay in flight.
         window = self.prefetch * self.batch_size
-        if self.native_n_px is not None:
+        if self.host_transform is not None:
+            ht = self.host_transform
+
+            def load_one(i: int):
+                return np.asarray(ht(self.dataset.load_image(i)))
+        elif self.native_n_px is not None:
             # native runtime unavailable but a target size was requested:
             # apply the bit-exact host resize/crop per image so the shape
             # contract ([B, n_px, n_px, 3]) holds — without it np.stack

@@ -128,19 +128,17 @@ def get_labels_img_embeddings(
     """
     from ..parallel.mesh import shard_batch_arrays
 
-    if dtype == "int8":
-        # int8 vision tower (ops/quant): dynamic-activation int8 matmuls,
-        # fused-block kernels on TPU — measured 5,380 vs 4,163 img/s bf16
-        # at rank-stable accuracy (tower cosine vs fp32 = 0.99990)
-        from ..ops.quant import quantize_for_inference
+    # int8 = quantized vision tower (ops/quant): dynamic-activation int8
+    # matmuls, fused-block kernels on TPU — measured faster than bf16 at
+    # rank-stable accuracy (tower cosine vs fp32 = 0.99990)
+    from ..ops.quant import resolve_compute
 
-        model, act_dtype = quantize_for_inference(model)
-        compute_dtype = jnp.dtype(act_dtype)
-    elif dtype in ("bfloat16", "float32"):
-        compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    else:
-        raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
-                         "'bfloat16', or 'int8'")
+    model, compute_dtype = resolve_compute(model, dtype)
+
+    # a loader that already applies a host transform on its decode threads
+    # delivers pre-transformed fixed-shape batches — don't re-apply here
+    loader_applied = getattr(loader, "host_transform", None) is not None
+    pre = host_transform is not None or loader_applied
 
     all_embs, all_labels = [], []
     iterator = loader
@@ -149,9 +147,9 @@ def get_labels_img_embeddings(
 
         iterator = tqdm.tqdm(loader, desc="Embedding images")
     for batch in iterator:
-        pre = host_transform is not None
         imgs = (np.stack([host_transform(im) for im in batch.images])
-                if pre else batch.images)
+                if host_transform is not None and not loader_applied
+                else batch.images)
         if mesh is not None:
             # ragged tail: pad to a multiple of the data-axis size and slice
             # the pad rows back off — NEVER silently fall back to one chip
@@ -232,24 +230,7 @@ def measure_bias(
     n_samples = extra.get("n_samples")
     equal_split = extra.get("equal_split", True)
     data_path = extra.get("data_path")
-
-    if dataset_name == "fairface":
-        from ..data.datasets import FairFace
-
-        ds = FairFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
-                      equal_split=equal_split, data_path=data_path)
-    elif dataset_name == "utkface":
-        from ..data.datasets import UTKFace
-
-        ds = UTKFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
-                     equal_split=equal_split, data_path=data_path)
-    elif dataset_name == "video":
-        from ..data.video import VideoDataset
-
-        ds = VideoDataset(data_path=data_path, iat_type=attribute,
-                          _n_samples=n_samples, equal_split=equal_split,
-                          num_frames=extra.get("num_frames", 4))
-    else:
+    if dataset_name not in ("fairface", "utkface", "video"):
         raise NotImplementedError(f"dataset={dataset_name!r}")
 
     # our Preprocess object → fused device path; any other callable → host path
@@ -259,13 +240,6 @@ def measure_bias(
         n_px, host_transform = 224, None
     else:
         n_px, host_transform = 224, img_preproc
-
-    # native C++ batch ingest (decode + PIL-bit-exact resize + crop on the
-    # host thread pool) when the standard device path is in play — makes the
-    # eval preprocess bit-exact vs the reference AND cheaper on H2D
-    loader = HostLoader(ds, batch_size=cfg.batch_size,
-                        num_workers=cfg.num_workers,
-                        native_n_px=n_px if host_transform is None else None)
 
     mesh = extra.get("mesh")
     if mesh == "auto":
@@ -303,12 +277,44 @@ def measure_bias(
                 "use a separate cache path per attribute/dataset config")
         labels, img_embs = data["labels"], jnp.asarray(data["embeddings"])
     else:
+        # dataset + loader are built only on a cache MISS: a hit must not
+        # require (or download) the underlying image files at all
+        if dataset_name == "fairface":
+            from ..data.datasets import FairFace
+
+            ds = FairFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
+                          equal_split=equal_split, data_path=data_path)
+        elif dataset_name == "utkface":
+            from ..data.datasets import UTKFace
+
+            ds = UTKFace(mode=mode, iat_type=attribute, _n_samples=n_samples,
+                         equal_split=equal_split, data_path=data_path)
+        else:
+            from ..data.video import VideoDataset
+
+            ds = VideoDataset(data_path=data_path, iat_type=attribute,
+                              _n_samples=n_samples, equal_split=equal_split,
+                              num_frames=extra.get("num_frames", 4))
+
+        # native C++ batch ingest (decode + PIL-bit-exact resize + crop on
+        # the host thread pool) when the standard device path is in play —
+        # makes the eval preprocess bit-exact vs the reference AND cheaper
+        # on H2D; a user-supplied callable instead runs on the decode
+        # threads so batches still stack at a fixed shape
+        loader = HostLoader(ds, batch_size=cfg.batch_size,
+                            num_workers=cfg.num_workers,
+                            native_n_px=n_px if host_transform is None else None,
+                            host_transform=host_transform)
         labels, img_embs = get_labels_img_embeddings(
             loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,
-            host_transform=host_transform, dtype=cfg.dtype)
+            dtype=cfg.dtype)
         if cache_path:
-            np.savez(cache_path, labels=labels,
-                     embeddings=np.asarray(img_embs), cache_key=cache_key)
+            # np.savez(path) appends ".npz" to extension-less paths, which
+            # would break the os.path.exists check above — write through a
+            # file object so the cache lands at the exact path given
+            with open(cache_path, "wb") as f:
+                np.savez(f, labels=labels,
+                         embeddings=np.asarray(img_embs), cache_key=cache_key)
 
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)

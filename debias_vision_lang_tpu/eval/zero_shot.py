@@ -108,16 +108,9 @@ def zero_shot_accuracy(
     # classifier from the UNquantized text tower, before any wrapping
     classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
 
-    if dtype == "int8":
-        from ..ops.quant import quantize_for_inference
+    from ..ops.quant import resolve_compute
 
-        model, act = quantize_for_inference(model)
-        compute_dtype = jnp.dtype(act)
-    elif dtype in ("bfloat16", "float32"):
-        compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    else:
-        raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
-                         "'bfloat16', or 'int8'")
+    model, compute_dtype = resolve_compute(model, dtype)
 
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
@@ -166,4 +159,8 @@ def zero_shot_accuracy(
         correct1 += int((preds[:, 0] == labels).sum())
         correct5 += int((preds == labels[:, None]).any(axis=1).sum())
         total += batch.num_valid
+    if total == 0:
+        raise ValueError(
+            "zero_shot_accuracy: the loader yielded no images — empty "
+            "dataset or data path with no image files?")
     return {"top1": correct1 / total, "top5": correct5 / total, "n": total}

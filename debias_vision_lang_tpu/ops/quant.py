@@ -323,3 +323,20 @@ def quantize_for_inference(model):
     if not isinstance(model, QuantizedCLIP):
         model = QuantizedCLIP(model)
     return model, "bfloat16"
+
+
+def resolve_compute(model, dtype: str):
+    """Resolve a user-facing precision string to ``(model, compute_dtype)``.
+
+    The one precision-ladder policy shared by eval/measure, eval/zero_shot
+    and serve/engine: "int8" wraps the bundle via ``quantize_for_inference``
+    (activations run bf16 between the int8 fused blocks); "bfloat16" /
+    "float32" leave the model untouched; anything else is rejected loudly.
+    """
+    if dtype == "int8":
+        model, act = quantize_for_inference(model)
+        return model, jnp.dtype(act)
+    if dtype in ("bfloat16", "float32"):
+        return model, jnp.dtype(dtype)
+    raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
+                     "'bfloat16', or 'int8'")

@@ -108,10 +108,11 @@ class InferenceEngine:
         data-axis size, which must be a power of two."""
         self.precision = str(compute_dtype) if compute_dtype else "auto"
         if compute_dtype == "int8":
-            # quantized vision tower (ops/quant + int8 fused kernels on TPU)
-            from ..ops.quant import quantize_for_inference
+            # quantized vision tower (ops/quant + int8 fused kernels on TPU);
+            # resolve_compute is the shared precision-ladder policy
+            from ..ops.quant import resolve_compute
 
-            model, compute_dtype = quantize_for_inference(model)
+            model, compute_dtype = resolve_compute(model, compute_dtype)
         self.model = model
         self.tokenizer = tokenizer
         # bundle flavors: DebiasCLIP (.clip_cfg), CLIP/QuantizedCLIP (.cfg)

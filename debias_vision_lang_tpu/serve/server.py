@@ -149,7 +149,15 @@ class ServeApp:
             off += 4
             if ln <= 0 or off + ln > len(body):
                 raise ValueError(f"bad record length {ln} at offset {off - 4}")
-            arrays.append(self.engine.prepare_image(body[off:off + ln]))
+            try:
+                arrays.append(self.engine.prepare_image(body[off:off + ln]))
+            except OSError as e:
+                # PIL raises UnidentifiedImageError/OSError on corrupt bytes;
+                # a bad client payload must 400, not 500 — same normalization
+                # as _decode_b64_images
+                raise ValueError(
+                    f"undecodable image record at offset {off - 4}: {e}"
+                ) from e
             off += ln
         if not arrays:
             raise ValueError("empty JPEG stream")

@@ -281,40 +281,50 @@ class TestLoaderShuffle:
                                       next(iter(loader)).images)
 
 
+def _tiny_debias_model():
+    """A 1-layer 32px DebiasCLIP bundle + toy tokenizer for eval-path tests."""
+    import jax
+
+    from debias_vision_lang_tpu.core.config import (
+        CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
+    from debias_vision_lang_tpu.models.clip import init_clip_params
+    from debias_vision_lang_tpu.models.debias import (
+        DebiasCLIP, init_debias_tokens)
+
+    cfg = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(kind="vit", image_size=32, patch_size=8,
+                            width=32, layers=1, heads=2, embed_dim=16),
+        text=TextConfig(vocab_size=512, context_length=77, width=32,
+                        layers=1, heads=2, embed_dim=16))
+    params = init_clip_params(jax.random.key(0), cfg)
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32)
+    model = DebiasCLIP(
+        clip_params=params,
+        debias_tokens=init_debias_tokens(jax.random.key(1), params, dcfg),
+        clip_cfg=cfg, debias_cfg=dcfg)
+
+    def tok(texts):
+        out = np.zeros((len(texts), 77), np.int32)
+        out[:, 0] = 510
+        for i, t in enumerate(texts):
+            out[i, 1] = abs(hash(t)) % 400 + 1
+            out[i, 2] = 511
+        return out
+
+    return model, tok
+
+
 class TestEmbeddingCache:
     def test_cache_roundtrip(self, fake_fairface, tmp_path):
         """Second measure_bias with cache_embeddings skips the tower and
         returns identical metrics."""
         import jax
 
-        from debias_vision_lang_tpu.core.config import (
-            CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
         from debias_vision_lang_tpu.eval.measure import measure_bias
-        from debias_vision_lang_tpu.models.clip import init_clip_params
-        from debias_vision_lang_tpu.models.debias import (
-            DebiasCLIP, init_debias_tokens)
         from debias_vision_lang_tpu.vision.preprocess import Preprocess
 
-        cfg = CLIPConfig(
-            name="tiny",
-            vision=VisionConfig(kind="vit", image_size=32, patch_size=8,
-                                width=32, layers=1, heads=2, embed_dim=16),
-            text=TextConfig(vocab_size=512, context_length=77, width=32,
-                            layers=1, heads=2, embed_dim=16))
-        params = init_clip_params(jax.random.key(0), cfg)
-        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32)
-        model = DebiasCLIP(
-            clip_params=params,
-            debias_tokens=init_debias_tokens(jax.random.key(1), params, dcfg),
-            clip_cfg=cfg, debias_cfg=dcfg)
-
-        def tok(texts):
-            out = np.zeros((len(texts), 77), np.int32)
-            out[:, 0] = 510
-            for i, t in enumerate(texts):
-                out[i, 1] = abs(hash(t)) % 400 + 1
-                out[i, 2] = 511
-            return out
+        model, tok = _tiny_debias_model()
 
         cache = str(tmp_path / "embs.npz")
         opts = {"batch_size": 8, "topn": 6, "data_path": fake_fairface,
@@ -340,6 +350,96 @@ class TestEmbeddingCache:
 
         with _pytest.raises(ValueError, match="cache"):
             measure_bias(model, Preprocess(32), tok, "race", opts=opts)
+
+
+class TestCacheHitNeedsNoDataset:
+    def test_extensionless_path_hits_and_skips_dataset(self, fake_fairface,
+                                                       tmp_path):
+        """(a) an extension-less cache path is honored exactly (np.savez
+        appends '.npz' when given a PATH — we write through a file object so
+        the exists() check matches); (b) a cache HIT must not construct —
+        or require on disk — the underlying dataset at all."""
+        import shutil
+
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        model, tok = _tiny_debias_model()
+        data_root = str(tmp_path / "ff")
+        shutil.copytree(fake_fairface, data_root)
+        cache = str(tmp_path / "embcache")  # deliberately no .npz suffix
+        opts = {"batch_size": 8, "topn": 6, "data_path": data_root,
+                "cache_embeddings": cache}
+        r1 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
+        assert os.path.exists(cache), "cache must land at the exact path"
+        assert not os.path.exists(cache + ".npz")
+
+        # delete the image data: a hit must still work (same cache key)
+        shutil.rmtree(data_root)
+        r2 = measure_bias(model, Preprocess(32), tok, "gender", opts=opts)
+        assert r1 == r2
+
+
+class TestHostTransformPath:
+    @pytest.fixture()
+    def varied_fairface(self, tmp_path):
+        """FairFace layout with HETEROGENEOUS image sizes — the case a
+        reference-style host preprocess callable must handle."""
+        root = tmp_path / "ffvar"
+        img_dir = root / "imgs" / "train_val" / "val"
+        img_dir.mkdir(parents=True)
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(6):
+            side = 40 + 8 * i  # 40..80 px: np.stack of raw arrays would fail
+            arr = rng.integers(0, 256, (side, side + 4, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(img_dir / f"{i}.jpg", quality=90)
+            rows.append({"file": f"val/{i}.jpg", "age": "20-29",
+                         "gender": "Male" if i % 2 == 0 else "Female",
+                         "race": "White", "service_test": True})
+        for mode in ("train", "val"):
+            label_dir = root / "labels" / mode
+            label_dir.mkdir(parents=True)
+            pd.DataFrame(rows).to_csv(label_dir / f"{mode}_labels.csv",
+                                      index=False)
+        return str(root)
+
+    def test_custom_preproc_variable_sizes(self, varied_fairface):
+        """A user-supplied img_preproc callable (reference-style) runs on
+        variable-size images without crashing the batch stack, and is
+        applied exactly ONCE per image (loader-side, not re-applied in
+        get_labels_img_embeddings)."""
+        import threading
+
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+
+        model, tok = _tiny_debias_model()
+        calls = []
+        lock = threading.Lock()
+
+        def preproc(img):
+            with lock:
+                calls.append(1)
+            im = Image.fromarray(np.asarray(img)).resize(
+                (32, 32), Image.BILINEAR)
+            return np.asarray(im, np.float32) / 255.0
+
+        result = measure_bias(model, preproc, tok, "gender",
+                              opts={"batch_size": 4, "topn": 4,
+                                    "data_path": varied_fairface,
+                                    "equal_split": False})
+        for metrics in result.values():
+            for v in metrics.values():
+                assert np.isfinite(v)
+        assert len(calls) == 6, "transform must run exactly once per image"
+
+    def test_host_transform_and_native_exclusive(self, fake_fairface):
+        from debias_vision_lang_tpu.data.loader import HostLoader
+
+        ds = FairFace(mode="val", iat_type="gender",
+                      data_path=fake_fairface, download=False)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            HostLoader(ds, native_n_px=32, host_transform=lambda x: x)
 
 
 class TestUnknownOptsRejected:

@@ -313,6 +313,20 @@ class TestHTTP:
              "X-Image-Format": "jpeg"})
         assert code == 400
 
+    def test_raw_corrupt_jpeg_record_400(self, server):
+        """A well-framed but undecodable JPEG record is a CLIENT error:
+        PIL's UnidentifiedImageError/OSError must normalize to 400 like the
+        base64 path, not surface as a 500."""
+        bad = b"\xff\xd8notactuallyajpeg" * 3  # JPEG magic, garbage body
+        stream = len(bad).to_bytes(4, "big") + bad
+        code, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", stream,
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "jpeg"})
+        assert code == 400 and b"undecodable" in body
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
+            assert resp.status == 200
+
     def test_raw_bad_content_length_400(self, server):
         """A malformed Content-Length header must get a 400, not abort the
         connection with an unhandled ValueError."""
