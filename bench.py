@@ -42,7 +42,33 @@ import numpy as np
 A100_TORCH_BASELINE_IMG_S = 1000.0
 
 
+def _watchdog(seconds: float):
+    """Guarantee the ONE-JSON-line contract even if device init stalls (the
+    axon TPU tunnel can hang indefinitely when the chip is unreachable —
+    observed 25+ min with no progress): after ``seconds``, emit an error
+    record and hard-exit.  BENCH_TIMEOUT_S overrides; a normal run finishes
+    in ~2-3 min including compile."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "clip_vit_b16_embed_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench timed out after {seconds:.0f}s "
+                     "(device tunnel hung?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "1800")))
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +134,7 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch * steps / dt
+    watchdog.cancel()
     print(json.dumps({
         "metric": "clip_vit_b16_embed_throughput",
         "value": round(ips, 1),

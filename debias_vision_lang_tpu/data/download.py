@@ -143,27 +143,56 @@ def _looks_like_html(path: str) -> bool:
     return start.startswith(b"<!doctype html") or start.startswith(b"<html")
 
 
-def fetch_gdrive(file_url: str, dest: str) -> str:
-    """Google Drive download handling the large-file confirm interstitial."""
+def fetch_gdrive(file_url: str, dest: str, retries: int = 3) -> str:
+    """Google Drive download handling the large-file confirm interstitial.
+
+    The directly-served branch gets the same guarantees as ``fetch()``:
+    existing-dest short-circuit, retry with backoff, and the pinned
+    ``KNOWN_SHA256`` digest check — a dropped stream or corrupt payload
+    must never be committed to ``dest``."""
     m = re.search(r"id=([\w-]+)", file_url)
     if not m:
         raise ValueError(f"not a drive uc url: {file_url}")
     file_id = m.group(1)
-    url = f"https://drive.google.com/uc?export=download&id={file_id}"
-    req = urllib.request.Request(url, headers={"User-Agent": "debias-vlt/1.0"})
-    with urllib.request.urlopen(req, timeout=60) as resp:
-        head = resp.read(1 << 20)
-        ctype = resp.headers.get("Content-Type", "")
-        if "text/html" not in ctype:
-            # directly-served asset: stream the already-open response
-            # instead of discarding the first MB and re-requesting
-            os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-            tmp = dest + ".part"
-            with open(tmp, "wb") as out:
-                out.write(head)
-                shutil.copyfileobj(resp, out)
-            os.replace(tmp, dest)
+    dest = str(dest)
+    sha256 = KNOWN_SHA256.get(os.path.basename(dest))
+    if os.path.exists(dest):
+        if sha256 is None or _sha256(dest) == sha256:
             return dest
+        os.remove(dest)  # corrupt partial — refetch
+    url = f"https://drive.google.com/uc?export=download&id={file_id}"
+    head = None
+    last_err = None
+    for attempt in range(retries):
+        try:
+            req = urllib.request.Request(url,
+                                         headers={"User-Agent": "debias-vlt/1.0"})
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                head = resp.read(1 << 20)
+                ctype = resp.headers.get("Content-Type", "")
+                if "text/html" in ctype:
+                    break  # confirm interstitial: handled below via fetch()
+                # directly-served asset: stream the already-open response
+                # instead of discarding the first MB and re-requesting
+                os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+                tmp = dest + ".part"
+                with open(tmp, "wb") as out:
+                    out.write(head)
+                    shutil.copyfileobj(resp, out)
+                if sha256 is not None and _sha256(tmp) != sha256:
+                    os.remove(tmp)
+                    raise IOError(
+                        f"checksum mismatch for drive id={file_id}")
+                os.replace(tmp, dest)
+                return dest
+        except Exception as e:  # noqa: BLE001 — retried, then re-raised
+            last_err = e
+            time.sleep(2 ** attempt)
+    else:
+        raise RuntimeError(
+            f"Could not download drive id={file_id} after {retries} attempts "
+            f"(offline environment? fetch the asset manually to {dest}): "
+            f"{last_err}")
     # interstitial virus-scan/confirm page: collect the hidden form fields
     # (modern markup carries confirm + uuid as <input name=.. value=..>)
     fields = dict(re.findall(rb'name="([\w-]+)"[^>]*value="([^"]*)"', head))

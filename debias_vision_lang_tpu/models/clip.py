@@ -336,7 +336,9 @@ def encode_text(
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+    """``eps`` floors the norm (NaN guard for zero vectors); the default 0.0
+    is bit-identical to the reference's bare ``x / x.norm()``."""
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 def forward(
@@ -350,7 +352,10 @@ def forward(
     (reference: debias_clip/model/model.py:276-289, same normalized-cosine
     logits with exp(logit_scale))."""
     img = encode_image(params, images, cfg, **kw).astype(jnp.float32)
-    txt = encode_text(params, text, cfg, **kw).astype(jnp.float32)
+    # 'fused' selects the fused-block VISION kernels; the text tower doesn't
+    # take it, so route only the shared kwargs there
+    txt_kw = {k: v for k, v in kw.items() if k != "fused"}
+    txt = encode_text(params, text, cfg, **txt_kw).astype(jnp.float32)
     img = l2_normalize(img)
     txt = l2_normalize(txt)
     scale = jnp.exp(params["logit_scale"])

@@ -172,7 +172,11 @@ def forward(
     **kw,
 ) -> Tuple[jax.Array, jax.Array]:
     """(logits_per_image, logits_per_text), reference: model/model.py:276-289."""
-    txt = encode_text(clip_params, debias_tokens, text, clip_cfg, debias_cfg, **kw)
+    # 'fused' selects the fused-block VISION kernels; the text path doesn't
+    # take it, so route only the shared kwargs there
+    txt_kw = {k: v for k, v in kw.items() if k != "fused"}
+    txt = encode_text(clip_params, debias_tokens, text, clip_cfg, debias_cfg,
+                      **txt_kw)
     img = encode_image(clip_params, images, clip_cfg, **kw).astype(jnp.float32)
     txt = txt.astype(jnp.float32)
     img = clip_model.l2_normalize(img)
@@ -198,6 +202,13 @@ def classify_params(clip_params: Params) -> Tuple[Dict[str, int], List[Dict[str,
     resblock entries are the stacked leaves with ``index`` = -1 (a stacked
     leaf covers all layers; the per-layer counts live in metadata, and
     slice-level freezing uses trainable_mask).
+
+    ResNet towers: the attention-pool head, stem and stages all classify as
+    "other" (always frozen) — reference-faithful: the reference's prefix
+    policy (model/model.py:49-66) puts only ViT's ``visual.proj`` /
+    ``visual.ln_post`` in the proj group and only
+    ``visual.transformer.resblocks.*`` in the image group, so
+    ``visual.attnpool.*`` / ``visual.layer*`` never train there either.
     """
     metadata = {k: 0 for k in ("text", "image", "proj", "tokens", "other")}
     classed: List[Dict[str, Any]] = []

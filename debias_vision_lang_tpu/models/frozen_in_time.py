@@ -9,9 +9,12 @@ Design (TPU-first, documented divergences from the upstream torch repo):
   * video tower = ViT over space-time patch tokens: per-frame patch embeds
     share the spatial positional embedding, a learned temporal embedding is
     added per frame, and one JOINT attention runs over [CLS] + T·N tokens.
-    (Upstream uses divided space-time attention; joint attention is one big
-    fused attention — better MXU shape at T≤8, no per-block temporal loop.
-    Frames are zero-padded/subsampled to the configured max.)
+    (Joint attention is one big fused attention — better MXU shape at T≤8,
+    no per-block temporal loop.  Frames are zero-padded/subsampled to the
+    configured max.)  Upstream's divided space-time attention is also
+    implemented (``encode_video_divided``); the loader selects it
+    automatically for converted FiT checkpoints, whose trained
+    ``temporal_attn`` weights the joint path would ignore.
   * text tower = the CLIP text transformer (upstream uses DistilBERT; keeping
     the CLIP tower preserves tokenizer + prompt-injection compatibility,
     which is what the debias pipeline needs).
@@ -51,17 +54,29 @@ def _project(x: jax.Array, proj, dtype) -> jax.Array:
 
 def init_video_vit_params(rng, cfg: VisionConfig,
                           num_frames: int = DEFAULT_NUM_FRAMES,
-                          divided: bool = False) -> Params:
+                          divided: bool = True) -> Params:
+    """Random-init video tower with the SAME tree structure as
+    ``convert.from_fit_state_dict`` output (timm-style conv bias, Linear
+    proj with bias, per-block temporal attention) — a structure mismatch
+    breaks optimizer-state templates and checkpoint restores, the same
+    invariant ``init_vit_params`` enforces for slip_vit.
+
+    ``divided`` is kept for back-compat and ignored: the temporal-attention
+    subtree is always present (zero-init → exact identity, free for the
+    joint path which simply doesn't read it)."""
+    del divided
     p = clip_model.init_vit_params(rng, cfg)
+    p["conv1"]["bias"] = jnp.zeros((cfg.width,), jnp.float32)
+    p["proj"] = {"kernel": p["proj"],
+                 "bias": jnp.zeros((cfg.embed_dim,), jnp.float32)}
     # ZERO-initialized (upstream FiT's identity trick, same reason as the
     # temporal attention's zero output proj below): a freshly-added temporal
     # axis must not perturb image-pretrained weights — with zeros, a 1-frame
     # video embeds exactly like the underlying image ViT; training grows the
     # temporal signal from zero
     p["temporal_embedding"] = jnp.zeros((num_frames, cfg.width), jnp.float32)
-    if divided:
-        p["temporal_attn"] = init_temporal_attn_params(
-            jax.random.fold_in(rng, 19), cfg)
+    p["temporal_attn"] = init_temporal_attn_params(
+        jax.random.fold_in(rng, 19), cfg)
     return p
 
 
@@ -88,6 +103,30 @@ def init_temporal_attn_params(rng, cfg: VisionConfig) -> Params:
     }
 
 
+def _video_tokens(params: Params, videos: jax.Array, cfg: VisionConfig, dtype):
+    """Shared prologue of both video paths: [B, T, H, W, 3] (4-D promoted to
+    1 frame) → per-frame patch tokens [B, T, N, width] with spatial
+    positions (class slot skipped, shared across frames) and the temporal
+    embedding added; frames uniformly subsampled to the embedding capacity.
+    Returns (tokens, b, t, n)."""
+    p = params
+    if videos.ndim == 4:
+        videos = videos[:, None]
+    b, t, h, w, c = videos.shape
+    max_t = p["temporal_embedding"].shape[0]
+    if t > max_t:
+        idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
+        videos = videos[:, idx]
+        t = max_t
+    x = clip_model.patch_embed(
+        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
+    n = x.shape[1]
+    x = x.reshape(b, t, n, cfg.width)
+    x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]
+    x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
+    return x, b, t, n
+
+
 def encode_video(
     params: Params,
     videos: jax.Array,
@@ -99,23 +138,7 @@ def encode_video(
 ) -> jax.Array:
     """[B, T, H, W, 3] (or [B, H, W, 3] single frame) → [B, embed_dim]."""
     p = params
-    if videos.ndim == 4:
-        videos = videos[:, None]
-    b, t, h, w, c = videos.shape
-    max_t = p["temporal_embedding"].shape[0]
-    if t > max_t:
-        # uniform temporal subsample to the embedding capacity
-        idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
-        videos = videos[:, idx]
-        t = max_t
-
-    x = clip_model.patch_embed(
-        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
-    n = x.shape[1]
-    x = x.reshape(b, t, n, cfg.width)
-    # spatial positions (skip the class slot) shared across frames
-    x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]
-    x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
+    x, b, t, n = _video_tokens(p, videos, cfg, dtype)
     x = x.reshape(b, t * n, cfg.width)
 
     cls = p["class_embedding"].astype(dtype) + p["positional_embedding"].astype(dtype)[0]
@@ -141,30 +164,19 @@ def encode_video_divided(
     location (zero-initialized output → starts as identity), then spatial
     attention within each frame, then the MLP.  Mean-pooled embedding.
 
-    [B, T, H, W, 3] → [B, embed_dim].  Requires params built with
-    ``init_video_vit_params(..., divided=True)``.
+    [B, T, H, W, 3] → [B, embed_dim].  Requires params carrying
+    ``temporal_attn`` (``init_video_vit_params`` emits it; so does
+    ``convert.from_fit_state_dict``).
     """
     from .layers import layer_norm as ln
     from .layers import linear, multi_head_attention
 
     p = params
     if "temporal_attn" not in p:
-        raise ValueError("divided mode needs init_video_vit_params(divided=True)")
-    if videos.ndim == 4:
-        videos = videos[:, None]
-    b, t, h, w, c = videos.shape
-    max_t = p["temporal_embedding"].shape[0]
-    if t > max_t:
-        idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
-        videos = videos[:, idx]
-        t = max_t
-
-    x = clip_model.patch_embed(
-        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
-    n = x.shape[1]
-    x = x.reshape(b, t, n, cfg.width)
-    x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]
-    x = x + p["temporal_embedding"].astype(dtype)[:t][None, :, None, :]
+        raise ValueError(
+            "divided mode needs params carrying 'temporal_attn' "
+            "(init_video_vit_params or a converted FiT checkpoint)")
+    x, b, t, n = _video_tokens(p, videos, cfg, dtype)
     x = ln(p["ln_pre"], x)
 
     def block(x, sp, tp):
@@ -213,12 +225,25 @@ def init_fit_params(rng, cfg: CLIPConfig,
 
 @dataclasses.dataclass
 class FrozenInTime:
-    """ClipLike bundle for the video family."""
+    """ClipLike bundle for the video family.
+
+    ``attention`` selects the video-tower formulation:
+      * "joint" (default) — one fused attention over [CLS] + T·N tokens,
+        the TPU-first design (module docstring);
+      * "divided" — upstream-faithful divided space-time attention; the
+        loader selects this automatically for converted FiT checkpoints,
+        whose trained ``temporal_attn`` weights the joint path would ignore.
+    """
 
     params: Params
     cfg: CLIPConfig
+    attention: str = "joint"
 
     def __post_init__(self):
+        if self.attention not in ("joint", "divided"):
+            raise ValueError(
+                f"attention must be 'joint' or 'divided', got "
+                f"{self.attention!r}")
         # loader may hand us plain image-ViT params; add the temporal axis
         # (zeros — the identity-preserving init, see init_video_vit_params)
         if "temporal_embedding" not in self.params["visual"]:
@@ -227,8 +252,10 @@ class FrozenInTime:
 
     def encode_image(self, images, **kw):
         """Images are 1-frame videos; [B,T,H,W,3] videos also accepted."""
-        return encode_video(self.params["visual"], jnp.asarray(images),
-                            self.cfg.vision, **kw)
+        fn = (encode_video_divided if self.attention == "divided"
+              else encode_video)
+        return fn(self.params["visual"], jnp.asarray(images),
+                  self.cfg.vision, **kw)
 
     encode_video = encode_image
 
@@ -253,6 +280,6 @@ class FrozenInTime:
 
 jax.tree_util.register_pytree_node(
     FrozenInTime,
-    lambda m: ((m.params,), (m.cfg,)),
-    lambda aux, ch: FrozenInTime(params=ch[0], cfg=aux[0]),
+    lambda m: ((m.params,), (m.cfg, m.attention)),
+    lambda aux, ch: FrozenInTime(params=ch[0], cfg=aux[0], attention=aux[1]),
 )

@@ -118,18 +118,20 @@ def _load_weights_file(path: str, cfg: CLIPConfig) -> Params:
     return _dispatch_state_dict(obj, cfg)
 
 
-def _resolve_pretrained(arch: str, cfg: CLIPConfig, weights: Optional[str]) -> Optional[Params]:
+def _resolve_pretrained(model_name: str, cfg: CLIPConfig) -> Optional[Params]:
+    """Weights-dir lookup (all families, keyed by alias) then the HF hub
+    (OpenAI CLIP archs only)."""
     from . import convert
 
-    if weights is not None:
-        return _load_weights_file(weights, cfg)
     wdir = os.environ.get("DEBIAS_VLT_WEIGHTS_DIR")
     if wdir:
-        alias = alias_name(f"openai/CLIP/{arch}")
+        alias = alias_name(model_name)
         for ext in (".npz", ".pt", ".bin", ".safetensors"):
             cand = os.path.join(wdir, alias + ext)
             if os.path.exists(cand):
                 return _load_weights_file(cand, cfg)
+    arch = (model_name.split("/", 2)[-1]
+            if model_name.startswith("openai/CLIP/") else None)
     if arch in _HF_NAMES:
         try:
             from transformers import CLIPModel
@@ -175,11 +177,12 @@ def model_loader(
     alias = alias_name(model_name)
 
     params = None
-    if pretrained:
-        arch = model_name.split("/", 2)[-1] if model_name.startswith("openai/CLIP/") else None
-        params = _resolve_pretrained(arch, cfg, weights) if arch else None
-        if params is None and weights is not None:
-            params = _load_weights_file(weights, cfg)
+    if weights is not None:
+        # an explicit checkpoint path is honored regardless of the
+        # pretrained flag — silently discarding it would be a trap
+        params = _load_weights_file(weights, cfg)
+    elif pretrained:
+        params = _resolve_pretrained(model_name, cfg)
         if params is None:
             import warnings
 
@@ -190,6 +193,7 @@ def model_loader(
                 f"pretrained=False to silence, or weights=<path>.",
                 stacklevel=2,
             )
+    loaded = params is not None
     if params is None:
         params = clip_model.init_clip_params(jax.random.key(seed), cfg)
     elif "text" not in params:
@@ -204,13 +208,20 @@ def model_loader(
             "Frozen-in-Time uses DistilBERT; this framework keeps the CLIP "
             "text transformer) — text weights are RANDOM-initialized.",
             stacklevel=2)
-        params["text"] = clip_model.init_clip_params(
-            jax.random.key(seed), cfg)["text"]
+        params["text"] = clip_model.init_text_params(
+            jax.random.key(seed), cfg.text)
 
     if cfg.vision.kind == "video_vit":
         from .frozen_in_time import FrozenInTime
 
-        model: ClipLike = FrozenInTime(params=params, cfg=cfg)
+        # a LOADED FiT checkpoint carries trained divided space-time
+        # attention (temporal_attn) — run the faithful divided path for it;
+        # fresh models default to the TPU-first joint attention
+        attention = ("divided" if loaded
+                     and "temporal_attn" in params.get("visual", {})
+                     else "joint")
+        model: ClipLike = FrozenInTime(params=params, cfg=cfg,
+                                       attention=attention)
     else:
         model = CLIP(params=params, cfg=cfg)
 

@@ -38,6 +38,79 @@ class TestModelLoader:
         assert model.encode_image(img, use_pallas=False).shape == (1, 512)
 
 
+class TestWeightResolution:
+    def test_weights_dir_covers_all_families(self, tmp_path, monkeypatch):
+        """$DEBIAS_VLT_WEIGHTS_DIR lookup must fire for SLIP/FiT names too,
+        not only openai/CLIP/* — an alias-named file silently ignored means
+        bias numbers computed on RANDOM weights."""
+        from debias_vision_lang_tpu.models import loader as loader_mod
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+
+        name = "facebookresearch/SLIP/ViT-B/16"
+        cand = tmp_path / "fb-slip-vit-b-16.npz"
+        cand.write_bytes(b"placeholder")
+        seen = {}
+
+        def fake_load(path, cfg):
+            import jax
+
+            seen["path"] = path
+            return init_clip_params(jax.random.key(0), cfg)
+
+        monkeypatch.setattr(loader_mod, "_load_weights_file", fake_load)
+        monkeypatch.setenv("DEBIAS_VLT_WEIGHTS_DIR", str(tmp_path))
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no RANDOM-fallback warning
+            model_loader(name, pretrained=True)
+        assert seen["path"] == str(cand)
+
+    def test_explicit_weights_honored_without_pretrained(self, monkeypatch):
+        """weights=<path> must load even with pretrained=False — silently
+        discarding an explicit checkpoint argument is a trap."""
+        from debias_vision_lang_tpu.models import loader as loader_mod
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+
+        seen = {}
+
+        def fake_load(path, cfg):
+            import jax
+
+            seen["path"] = path
+            return init_clip_params(jax.random.key(0), cfg)
+
+        monkeypatch.setattr(loader_mod, "_load_weights_file", fake_load)
+        model_loader("openai/CLIP/ViT-B/16", pretrained=False,
+                     weights="/some/ckpt.npz")
+        assert seen["path"] == "/some/ckpt.npz"
+
+    def test_fit_checkpoint_selects_divided_attention(self, monkeypatch):
+        """A loaded FiT checkpoint carries trained divided space-time
+        attention — the loader must build the bundle on the divided path
+        (the joint path would ignore the converted temporal_attn weights);
+        random init stays on the TPU-first joint formulation."""
+        import jax
+
+        from debias_vision_lang_tpu.models import loader as loader_mod
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            init_fit_params)
+
+        name = "m-bain/frozen-in-time/base"
+        from debias_vision_lang_tpu.core.registry import resolve_arch
+
+        cfg = resolve_arch(name)
+
+        monkeypatch.setattr(
+            loader_mod, "_load_weights_file",
+            lambda path, c: init_fit_params(jax.random.key(0), c))
+        loaded, *_ = model_loader(name, weights="fit.pt")
+        assert loaded.attention == "divided"
+
+        fresh, *_ = model_loader(name, pretrained=False)
+        assert fresh.attention == "joint"
+
+
 class TestAdversary:
     def test_from_cfg_reference_keys(self):
         adv = Adversary.from_cfg({

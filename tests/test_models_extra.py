@@ -325,14 +325,68 @@ class TestDividedSpaceTime:
         assert np.abs(np.asarray(fwd) - np.asarray(rev)).max() > 1e-6
 
     def test_requires_divided_params(self):
+        """Params without the temporal_attn subtree (e.g. a hand-built or
+        legacy tree) get a clear error from the divided path."""
         from debias_vision_lang_tpu.models.frozen_in_time import (
             encode_video_divided, init_video_vit_params)
 
         vcfg = VisionConfig(kind="video_vit", image_size=16, patch_size=8,
                             width=32, layers=1, heads=2, embed_dim=16)
-        params = init_video_vit_params(jax.random.key(0), vcfg)  # no divided
+        params = dict(init_video_vit_params(jax.random.key(0), vcfg))
+        del params["temporal_attn"]
         with pytest.raises(ValueError, match="divided"):
             encode_video_divided(params, jnp.zeros((1, 2, 16, 16, 3)), vcfg)
+
+    def test_init_matches_converter_structure(self):
+        """Random init and from_fit_state_dict must yield the SAME pytree
+        structure — optimizer-state templates and checkpoint restores break
+        on any mismatch (same invariant as init_vit_params for slip_vit)."""
+        import numpy as _np
+
+        from debias_vision_lang_tpu.models import convert
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            init_video_vit_params)
+
+        vcfg = VisionConfig(kind="video_vit", image_size=16, patch_size=8,
+                            width=32, layers=2, heads=2, embed_dim=16)
+        rand = init_video_vit_params(jax.random.key(0), vcfg, num_frames=4)
+
+        rng = _np.random.default_rng(0)
+        sd = {"video_model.cls_token": rng.normal(size=(1, 1, 32)),
+              "video_model.pos_embed": rng.normal(size=(1, 5, 32)),
+              "video_model.temporal_embed": rng.normal(size=(1, 4, 32)),
+              "video_model.patch_embed.proj.weight":
+                  rng.normal(size=(32, 3, 8, 8)),
+              "video_model.patch_embed.proj.bias": rng.normal(size=(32,)),
+              "video_model.norm.weight": rng.normal(size=(32,)),
+              "video_model.norm.bias": rng.normal(size=(32,)),
+              "vid_proj.0.weight": rng.normal(size=(16, 32)),
+              "vid_proj.0.bias": rng.normal(size=(16,))}
+        for i in range(2):
+            b = f"video_model.blocks.{i}"
+            sd.update({
+                f"{b}.norm1.weight": rng.normal(size=(32,)),
+                f"{b}.norm1.bias": rng.normal(size=(32,)),
+                f"{b}.attn.qkv.weight": rng.normal(size=(96, 32)),
+                f"{b}.attn.qkv.bias": rng.normal(size=(96,)),
+                f"{b}.attn.proj.weight": rng.normal(size=(32, 32)),
+                f"{b}.attn.proj.bias": rng.normal(size=(32,)),
+                f"{b}.norm2.weight": rng.normal(size=(32,)),
+                f"{b}.norm2.bias": rng.normal(size=(32,)),
+                f"{b}.mlp.fc1.weight": rng.normal(size=(128, 32)),
+                f"{b}.mlp.fc1.bias": rng.normal(size=(128,)),
+                f"{b}.mlp.fc2.weight": rng.normal(size=(32, 128)),
+                f"{b}.mlp.fc2.bias": rng.normal(size=(32,)),
+                f"{b}.norm3.weight": rng.normal(size=(32,)),
+                f"{b}.norm3.bias": rng.normal(size=(32,)),
+                f"{b}.timeattn.qkv.weight": rng.normal(size=(96, 32)),
+                f"{b}.timeattn.qkv.bias": rng.normal(size=(96,)),
+                f"{b}.timeattn.proj.weight": _np.zeros((32, 32)),
+                f"{b}.timeattn.proj.bias": _np.zeros((32,)),
+            })
+        converted = convert.from_fit_state_dict(sd)["visual"]
+        assert (jax.tree_util.tree_structure(rand)
+                == jax.tree_util.tree_structure(converted))
 
 
 class TestPairsHeterogeneousSizes:
