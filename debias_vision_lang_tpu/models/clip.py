@@ -147,7 +147,7 @@ def _use_fused_blocks(cfg: VisionConfig, dtype, use_pallas, fused) -> bool:
         return False
     from ..ops.fused_block import fused_blocks_fit_vmem
 
-    return fused_blocks_fit_vmem(cfg.width, 4 * cfg.width, dtype)
+    return fused_blocks_fit_vmem(cfg.width, dtype)
 
 
 def _vit_trunk(p: Params, x: jax.Array, cfg: VisionConfig, dtype,
@@ -281,7 +281,7 @@ def _use_fused_text(cfg: TextConfig, dtype, use_pallas) -> bool:
         return False
     from ..ops.fused_block import fused_blocks_fit_vmem
 
-    return fused_blocks_fit_vmem(cfg.width, 4 * cfg.width, dtype)
+    return fused_blocks_fit_vmem(cfg.width, dtype)
 
 
 def run_text_transformer(

@@ -45,7 +45,11 @@ def attention_reference(
             s = s + mask.astype(s.dtype)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp((s - m).astype(jnp.bfloat16))
-        probs = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        # denominator accumulated in f32 (one bf16 rounding at the end):
+        # a bf16-accumulated sum of up to S exp terms loses mantissa bits
+        denom = jnp.sum(e, axis=-1, keepdims=True,
+                        dtype=jnp.float32).astype(jnp.bfloat16)
+        probs = e / denom
         return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(jnp.bfloat16), v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -170,12 +174,30 @@ def _attention_pallas_fwd(q, k, v, mask):
     return attention_pallas(q, k, v, mask), (q, k, v, mask)
 
 
+def _attention_kernel_math(q, k, v, mask):
+    """The Pallas kernel's exact math as differentiable XLA: input-dtype
+    dots with f32 accumulation, f32 softmax (``_attn_kernel`` body).  The
+    custom VJP differentiates THIS — not ``attention_reference``, whose
+    bf16 branch runs a bf16 softmax the kernel never computes."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s * scale + mask.astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def _attention_pallas_bwd(res, g):
     # Backward via XLA recompute: only the frozen-tower prompt-tuning path
     # differentiates through attention, so a fused backward kernel is not the
-    # bottleneck; recompute keeps it exactly consistent with the math.
+    # bottleneck; recompute keeps it exactly consistent with the forward's
+    # f32-softmax math (bf16 inputs included).
     q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, mask), q, k, v)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _attention_kernel_math(q, k, v, mask), q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
@@ -206,7 +228,10 @@ def attention_bshd(
             s = s + mask.astype(s.dtype)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        # f32-accumulated denominator, one bf16 rounding (see attention_reference)
+        denom = jnp.sum(e, axis=-1, keepdims=True,
+                        dtype=jnp.float32).astype(jnp.bfloat16)
+        p = e / denom
         return jnp.einsum("bhqk,bkhd->bqhd", p, v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)

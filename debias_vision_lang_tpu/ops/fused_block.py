@@ -218,7 +218,7 @@ def attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, *,
     head-major batch-chain width (chains=2 when B is even, the activation
     dtype's chain live set fits VMEM — bit-identical, measured -8.6% on
     the bf16 ViT-B/16 tower), falling back to the batched single-chain
-    kernel at bb=4.  An EXPLICIT ``bb`` selects the batched kernel with
+    kernel.  An EXPLICIT ``bb`` selects the batched kernel with
     that grid tile (no chain auto-pick — benchmark baselines depend on
     this); chains>1 runs ``chains`` interleaved single-item dataflow
     chains per grid step, ignoring bb.  The no-chain fallback is bb=1
@@ -418,11 +418,11 @@ def _fused_bwd(heads, act_kind, causal, interpret, res, g):
 _fused_resblock_diff.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_blocks_fit_vmem(width: int, mlp_dim: int, dtype=jnp.bfloat16) -> bool:
+def fused_blocks_fit_vmem(width: int, dtype=jnp.bfloat16) -> bool:
     """Conservative VMEM check.  The MLP kernel F-splits itself, so only the
     attention kernel's resident weights (Wqkv + Wo) gate the policy (16
-    MB/core budget, ~12 MB usable after activations and double buffering).
-    ViT-B (768) and ViT-L (1024) both pass."""
+    MB/core budget, ~12 MB usable after activations and double buffering) —
+    the MLP dim plays no part.  ViT-B (768) and ViT-L (1024) both pass."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     attn_weights = (3 * width + width) * width * itemsize
     return attn_weights <= 12 * 1024 * 1024

@@ -31,12 +31,23 @@ def create_mesh(
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Build a (data, model) mesh.  Default: all devices on the data axis."""
-    devices = list(devices if devices is not None else jax.devices())
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     if shape is None:
         shape = (len(devices), 1)
     d, m = shape
     if d * m != len(devices):
         raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    if not explicit:
+        # topology-aware assignment: on multi-chip slices the naive
+        # enumeration order can put mesh neighbors on non-adjacent chips,
+        # sending collectives across slow ICI hops
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh((d, m)), axis_names)
+        except Exception:
+            pass  # fall back below (e.g. exotic device sets)
     arr = np.asarray(devices).reshape(d, m)
     return Mesh(arr, axis_names)
 
@@ -82,8 +93,11 @@ def dp_shard_map(mesh: Mesh, fn):
 def shard_batch_arrays(mesh: Mesh, *arrays):
     """device_put each array with its batch dim sharded over ``data``.
 
-    Pads the batch to a multiple of the data-axis size if needed (padding is
-    the caller's responsibility to mask; loaders already emit fixed shapes).
+    The batch dim MUST already be a multiple of the data-axis size — this
+    helper does NOT pad (device_put raises on indivisible shardings).
+    Ragged tails are padded and sliced off by the callers that can mask
+    them (eval/measure, eval/zero_shot, serve/engine); loaders emit fixed
+    shapes.
     """
     out = []
     for a in arrays:

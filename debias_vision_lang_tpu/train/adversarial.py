@@ -200,8 +200,12 @@ def build_train_steps(
     if embed_dtype_s == "int8":
         # int8 frozen image tower: exact for training dynamics up to the
         # embedding rounding (the pass takes no gradient).  Weights quantize
-        # ONCE inside jit from the cp argument — cp remains the single source
-        # of truth, so with-layers configs stay consistent.
+        # from the cp argument INSIDE the jitted step, i.e. on every call —
+        # deliberate: cp stays the single source of truth, so with-layers
+        # configs (which mutate cp["visual"]) never serve stale quantized
+        # weights.  Cost: ~430 MB of extra HBM traffic per call (f32 read +
+        # int8 write), ≈1 ms at v5e bandwidth vs a ~318 ms step — hoisting
+        # to host would save <1% and break the with-layers contract.
         from ..ops.quant import encode_image_vit_q, quantize_vit_visual
 
         if clip_cfg.vision.kind not in ("vit", "slip_vit"):
@@ -543,11 +547,19 @@ class AdversarialTrainer:
         labels = self._shard(np.asarray(attr_labels, np.float32))
 
         adv_loss = None
-        scores = self.fns.eval_scores(cp, self.model.debias_tokens, image_embs)
-        for _ in range(self.train_cfg.adversary_steps_per_prompt_step):
-            self.adversary_params, self.adv_opt_state, adv_loss = (
-                self.fns.adversary_step(
-                    self.adversary_params, self.adv_opt_state, scores, labels))
+        cadence = self.train_cfg.adversary_steps_per_prompt_step
+        if cadence < 0:
+            raise ValueError(
+                f"adversary_steps_per_prompt_step must be >= 0 (0 freezes "
+                f"the adversary), got {cadence}")
+        if cadence > 0:
+            scores = self.fns.eval_scores(cp, self.model.debias_tokens,
+                                          image_embs)
+            for _ in range(cadence):
+                self.adversary_params, self.adv_opt_state, adv_loss = (
+                    self.fns.adversary_step(
+                        self.adversary_params, self.adv_opt_state, scores,
+                        labels))
 
         cap_tok = self._shard(np.asarray(caption_tokens, np.int32))
         if self.grad_mask is not None and not self.trains_image:
@@ -583,7 +595,9 @@ class AdversarialTrainer:
                     cap_embs, cap_tok))
         self.step_count += 1
         metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["adversary_bce"] = float(adv_loss)
+        # cadence 0 = frozen adversary: no BCE measured this step
+        metrics["adversary_bce"] = (float(adv_loss) if adv_loss is not None
+                                    else float("nan"))
         metrics["step"] = self.step_count
         return metrics
 

@@ -39,7 +39,10 @@ def _caption_batches(pairs_path, tokenizer, batch_size, fairface, preprocess_px,
     if pairs_path is not None:
         from ..data.pairs import ImageCaptionPairs
 
-        ds = ImageCaptionPairs(pairs_path)
+        # host-resize caption images to the MODEL's resolution — a 288/336px
+        # arch fed 224px captions would upscale on device and degrade the
+        # contrastive batch relative to the native-n_px attribute batch
+        ds = ImageCaptionPairs(pairs_path, image_size=preprocess_px)
         while True:
             yield from ds.batches(tokenizer, batch_size, rng=rng)
     else:

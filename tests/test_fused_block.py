@@ -164,9 +164,9 @@ class TestGradients:
 
 class TestPolicy:
     def test_vmem_fit(self):
-        assert fused_blocks_fit_vmem(768, 3072)    # ViT-B
-        assert fused_blocks_fit_vmem(1024, 4096)   # ViT-L (MLP F-splits)
-        assert not fused_blocks_fit_vmem(2048, 8192)  # attention weights too big
+        assert fused_blocks_fit_vmem(768)    # ViT-B
+        assert fused_blocks_fit_vmem(1024)   # ViT-L (MLP F-splits)
+        assert not fused_blocks_fit_vmem(2048)  # attention weights too big
 
     def test_fblock_split_equivalence(self, stacked, x):
         """Forcing an F-split (fb < F) must not change the MLP result."""

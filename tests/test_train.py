@@ -151,6 +151,35 @@ class TestTrainerDynamics:
         m = trainer.step(*_batch(rng))
         assert m["step"] == 1 and np.isfinite(m["adversary_bce"])
 
+    def test_adversary_cadence_zero_freezes(self, setup):
+        """cadence 0 = frozen adversary: the step must complete (prompt
+        still updates), adversary params stay bit-identical, and the BCE
+        metric reports NaN rather than crashing on float(None)."""
+        model, adv, sens = setup
+        cfg = TrainConfig(adversary_steps_per_prompt_step=0)
+        trainer = AdversarialTrainer.create(model, adv, cfg, sens,
+                                            use_pallas=False)
+        adv_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                                  trainer.adversary_params)
+        tok_before = np.asarray(trainer.model.debias_tokens).copy()
+        rng = np.random.default_rng(13)
+        m = trainer.step(*_batch(rng))
+        assert m["step"] == 1 and np.isnan(m["adversary_bce"])
+        for a, b in zip(jax.tree.leaves(adv_before),
+                        jax.tree.leaves(trainer.adversary_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(trainer.model.debias_tokens)
+                      - tok_before).max() > 0
+
+    def test_adversary_cadence_negative_rejected(self, setup):
+        model, adv, sens = setup
+        cfg = TrainConfig(adversary_steps_per_prompt_step=-1)
+        trainer = AdversarialTrainer.create(model, adv, cfg, sens,
+                                            use_pallas=False)
+        rng = np.random.default_rng(14)
+        with pytest.raises(ValueError, match=">= 0"):
+            trainer.step(*_batch(rng))
+
     def test_schedule_and_clip_step(self, setup):
         """warmup_cosine + grad clipping through the full trainer: the first
         step's prompt update is exactly zero (lr starts at 0), the second
