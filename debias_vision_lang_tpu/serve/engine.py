@@ -107,12 +107,16 @@ class InferenceEngine:
         as eval/measure.py's DP embed).  Bucket sizes then start at the
         data-axis size, which must be a power of two."""
         self.precision = str(compute_dtype) if compute_dtype else "auto"
-        if compute_dtype == "int8":
-            # quantized vision tower (ops/quant + int8 fused kernels on TPU);
-            # resolve_compute is the shared precision-ladder policy
-            from ..ops.quant import resolve_compute
+        if compute_dtype is None:
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
+        # shared precision-ladder policy (ops/quant): "int8" wraps the
+        # vision tower in the quantized bundle, bf16/f32 pass through, and
+        # an unknown dtype string is rejected with the same error every
+        # surface gives
+        from ..ops.quant import resolve_compute
 
-            model, compute_dtype = resolve_compute(model, compute_dtype)
+        model, compute_dtype = resolve_compute(model, str(compute_dtype))
         self.model = model
         self.tokenizer = tokenizer
         # bundle flavors: DebiasCLIP (.clip_cfg), CLIP/QuantizedCLIP (.cfg)
@@ -124,9 +128,6 @@ class InferenceEngine:
         # normalize to a power of two so the warmup bucket set and the
         # runtime bucket cap are the same closed set
         self.max_batch = _pow2_ceil(int(max_batch))
-        if compute_dtype is None:
-            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
-                             else "float32")
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.mesh = mesh
         self.min_bucket = 1
