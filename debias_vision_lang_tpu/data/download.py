@@ -130,11 +130,20 @@ def fetch(
             return dest
         except Exception as e:  # noqa: BLE001 — retried, then re-raised
             last_err = e
-            time.sleep(2 ** attempt)
+            if attempt + 1 < retries:  # no pointless backoff after the last try
+                time.sleep(2 ** attempt)
     raise RuntimeError(
         f"Could not download {url} after {retries} attempts "
-        f"(offline environment? fetch the asset manually to {dest}): {last_err}"
+        f"({_failure_hint(last_err, dest)}): {last_err}"
     )
+
+
+def _failure_hint(err, dest: str) -> str:
+    """Point the user at the actual failure class: integrity errors are not
+    connectivity errors."""
+    if "checksum" in str(err):
+        return "checksum mismatch — corrupt source or stale KNOWN_SHA256 pin"
+    return f"offline environment? fetch the asset manually to {dest}"
 
 
 def _looks_like_html(path: str) -> bool:
@@ -187,12 +196,12 @@ def fetch_gdrive(file_url: str, dest: str, retries: int = 3) -> str:
                 return dest
         except Exception as e:  # noqa: BLE001 — retried, then re-raised
             last_err = e
-            time.sleep(2 ** attempt)
+            if attempt + 1 < retries:  # no pointless backoff after the last try
+                time.sleep(2 ** attempt)
     else:
         raise RuntimeError(
             f"Could not download drive id={file_id} after {retries} attempts "
-            f"(offline environment? fetch the asset manually to {dest}): "
-            f"{last_err}")
+            f"({_failure_hint(last_err, dest)}): {last_err}")
     # interstitial virus-scan/confirm page: collect the hidden form fields
     # (modern markup carries confirm + uuid as <input name=.. value=..>)
     fields = dict(re.findall(rb'name="([\w-]+)"[^>]*value="([^"]*)"', head))

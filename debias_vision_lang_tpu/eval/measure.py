@@ -311,10 +311,14 @@ def measure_bias(
         if cache_path:
             # np.savez(path) appends ".npz" to extension-less paths, which
             # would break the os.path.exists check above — write through a
-            # file object so the cache lands at the exact path given
-            with open(cache_path, "wb") as f:
+            # file object so the cache lands at the exact path given; stage
+            # to .part + os.replace so an interrupted run can't leave a
+            # truncated file that the exists() check would then trust
+            tmp = cache_path + ".part"
+            with open(tmp, "wb") as f:
                 np.savez(f, labels=labels,
                          embeddings=np.asarray(img_embs), cache_key=cache_key)
+            os.replace(tmp, cache_path)
 
     prompts = gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)

@@ -153,6 +153,21 @@ def _resolve_pretrained(model_name: str, cfg: CLIPConfig) -> Optional[Params]:
     return None
 
 
+def _temporal_attn_trained(params) -> bool:
+    """True iff the video tower's temporal-attention OUTPUT projection is
+    nonzero — i.e. the divided space-time path was actually trained.
+    Upstream FiT zero-inits ``timeattn.proj`` (identity trick), and our
+    joint-attention models never touch the subtree, so zero ⇒ the weights
+    carry no temporal signal and the formulation choice is free."""
+    ta = params.get("visual", {}).get("temporal_attn")
+    if ta is None:
+        return False
+    attn = ta.get("attn", {})
+    return any(
+        bool(np.any(np.asarray(attn[k]) != 0))
+        for k in ("wo", "bo") if k in attn)
+
+
 def model_loader(
     model_name: str,
     device=None,  # accepted for signature parity; placement is mesh-driven
@@ -214,11 +229,15 @@ def model_loader(
     if cfg.vision.kind == "video_vit":
         from .frozen_in_time import FrozenInTime
 
-        # a LOADED FiT checkpoint carries trained divided space-time
-        # attention (temporal_attn) — run the faithful divided path for it;
-        # fresh models default to the TPU-first joint attention
-        attention = ("divided" if loaded
-                     and "temporal_attn" in params.get("visual", {})
+        # a loaded checkpoint with TRAINED divided space-time attention
+        # (nonzero temporal output projection — upstream zero-inits it, so
+        # nonzero means it was actually trained) runs the faithful divided
+        # path; everything else — fresh init, or checkpoints whose
+        # temporal path was never trained (our joint models keep the
+        # subtree at its zero identity-init) — keeps the TPU-first joint
+        # formulation.  Mere PRESENCE of temporal_attn is not a signal:
+        # every video tree carries it for structure parity.
+        attention = ("divided" if loaded and _temporal_attn_trained(params)
                      else "joint")
         model: ClipLike = FrozenInTime(params=params, cfg=cfg,
                                        attention=attention)

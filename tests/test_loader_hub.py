@@ -86,26 +86,38 @@ class TestWeightResolution:
         assert seen["path"] == "/some/ckpt.npz"
 
     def test_fit_checkpoint_selects_divided_attention(self, monkeypatch):
-        """A loaded FiT checkpoint carries trained divided space-time
-        attention — the loader must build the bundle on the divided path
-        (the joint path would ignore the converted temporal_attn weights);
-        random init stays on the TPU-first joint formulation."""
+        """A loaded checkpoint with TRAINED temporal attention (nonzero
+        output projection, as every real upstream FiT checkpoint has) must
+        run the divided path — the joint path would ignore those weights.
+        A zero temporal projection (fresh init, or a joint-trained model
+        whose temporal subtree only exists for structure parity) stays on
+        the TPU-first joint formulation."""
         import jax
+        import jax.numpy as jnp
 
         from debias_vision_lang_tpu.models import loader as loader_mod
         from debias_vision_lang_tpu.models.frozen_in_time import (
             init_fit_params)
 
         name = "m-bain/frozen-in-time/base"
-        from debias_vision_lang_tpu.core.registry import resolve_arch
 
-        cfg = resolve_arch(name)
+        def trained_ckpt(path, c):
+            p = init_fit_params(jax.random.key(0), c)
+            wo = p["visual"]["temporal_attn"]["attn"]["wo"]
+            p["visual"]["temporal_attn"]["attn"]["wo"] = (
+                0.01 * jax.random.normal(jax.random.key(5), wo.shape))
+            return p
 
+        monkeypatch.setattr(loader_mod, "_load_weights_file", trained_ckpt)
+        loaded, *_ = model_loader(name, weights="fit.pt")
+        assert loaded.attention == "divided"
+
+        # zero temporal projection (identity-init) → joint, even when loaded
         monkeypatch.setattr(
             loader_mod, "_load_weights_file",
             lambda path, c: init_fit_params(jax.random.key(0), c))
-        loaded, *_ = model_loader(name, weights="fit.pt")
-        assert loaded.attention == "divided"
+        zero, *_ = model_loader(name, weights="fit.pt")
+        assert zero.attention == "joint"
 
         fresh, *_ = model_loader(name, pretrained=False)
         assert fresh.attention == "joint"
