@@ -355,6 +355,39 @@ class TestTopNExceedsDataset:
                                        nd["ndkl_eq_opp"], atol=1e-4)
 
     @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
+    def test_sharded_large_n_tie_heavy_matches_oracle(self, rng):
+        """The SHARDED engine gets the same rigor as the single-device
+        engines (TestAccumulationAccuracy): ragged N over the 8-device
+        mesh, thousands of exact score ties engineered through the real
+        embedding→score pipeline, compared to the numpy oracle."""
+        from debias_vision_lang_tpu.metrics import oracle as metrics_oracle
+        from debias_vision_lang_tpu.metrics.distributed import (
+            sharded_eval_ranking)
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+
+        n = 10243  # deliberately NOT divisible by the 8-device data axis
+        img = np.zeros((n, 8), np.float32)
+        # coarse quantization → exact ties in the dot-product scores
+        img[:, 0] = np.round(rng.normal(size=n).astype(np.float32) * 16) / 16
+        img[:, 1] = np.round(rng.normal(size=n).astype(np.float32) * 8) / 8
+        prm = np.zeros((3, 8), np.float32)
+        prm[0, 0] = 1.0                    # three different tie patterns
+        prm[1, 1] = 1.0
+        prm[2, 0] = prm[2, 1] = 1.0
+        labels = (np.arange(n) % 3).astype(np.int32)
+        mesh = create_mesh()
+        for evaluation in ("ndkl", "maxskew"):
+            for topn in (64, 1.0):
+                a = sharded_eval_ranking(labels, img, prm, evaluation, topn,
+                                         mesh)
+                b = metrics_oracle.eval_ranking_oracle(labels, img, prm,
+                                                       evaluation, topn)
+                for k in b:
+                    np.testing.assert_allclose(
+                        a[k], b[k], atol=1e-5,
+                        err_msg=f"{evaluation}.{k} topn={topn}")
+
+    @pytest.mark.slow  # >8s on the 1-core gate host; full suite: -m ''
     def test_sharded_matches_too(self, rng):
         from debias_vision_lang_tpu.metrics.distributed import sharded_eval_ranking
         from debias_vision_lang_tpu.metrics.ranking import eval_ranking
