@@ -57,9 +57,22 @@ def _add_measure(sub):
                         "bfloat16/int8 = TPU speed paths (rank-stable)")
     p.add_argument("--random-weights", action="store_true",
                    help="skip pretrained weight resolution")
+    p.add_argument("--mesh", default=None, choices=[None, "auto"],
+                   help="'auto' = shard the embed pass over all visible "
+                        "chips (data-parallel)")
+    p.add_argument("--sharded-metrics", action="store_true",
+                   help="keep embeddings sharded end-to-end: per-shard "
+                        "top-k + exact ICI merge (requires --mesh auto)")
+    p.add_argument("--cache-embeddings", default=None,
+                   help="path: cache image embeddings so prompt/topn "
+                        "re-runs skip the tower pass")
+    p.add_argument("--n-samples", default=None, type=int,
+                   help="subsample the dataset (reference _n_samples)")
 
 
 def _cmd_measure(args):
+    if args.sharded_metrics and args.mesh is None:
+        sys.exit("--sharded-metrics requires --mesh auto")
     from .eval.measure import measure_bias
     from .models.loader import model_loader
 
@@ -80,11 +93,20 @@ def _cmd_measure(args):
             args.model, pretrained=not args.random_weights)
     if tokenizer is None:
         sys.exit("No BPE vocab available: run `... cli download bpe` first")
-    result = measure_bias(
-        model, preprocess, tokenizer, attribute=args.attribute,
-        opts={"topn": args.topn, "batch_size": args.batch_size, "engine": args.engine,
-              "dataset": args.dataset, "data_path": args.data_path,
-              "dtype": args.dtype, "progress": True})
+    opts = {"topn": args.topn, "batch_size": args.batch_size,
+            "engine": args.engine, "dataset": args.dataset,
+            "data_path": args.data_path, "dtype": args.dtype,
+            "progress": True}
+    if args.mesh:
+        opts["mesh"] = args.mesh
+    if args.sharded_metrics:
+        opts["sharded_metrics"] = True
+    if args.cache_embeddings:
+        opts["cache_embeddings"] = args.cache_embeddings
+    if args.n_samples is not None:
+        opts["n_samples"] = args.n_samples
+    result = measure_bias(model, preprocess, tokenizer,
+                          attribute=args.attribute, opts=opts)
     print(json.dumps(result, indent=2))
 
 

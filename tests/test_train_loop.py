@@ -236,6 +236,35 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert set(out) == {"maxskew", "ndkl"}
 
+    def test_measure_bias_mesh_cache_flags(self, ff_root, capsys,
+                                           monkeypatch, tmp_path):
+        """--mesh auto / --sharded-metrics / --cache-embeddings /
+        --n-samples plumb through to measure_bias opts end-to-end."""
+        import debias_vision_lang_tpu.cli as cli
+
+        def fake_loader(name, pretrained=True, **kw):
+            from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+            return tiny_model(), Preprocess(PX), tok, "tiny"
+
+        monkeypatch.setattr(
+            "debias_vision_lang_tpu.models.loader.model_loader", fake_loader)
+        cache = str(tmp_path / "cli_cache")
+        cli.main(["measure-bias", "--model", "openai/CLIP/ViT-B/16",
+                  "--attribute", "gender", "--data-path", ff_root,
+                  "--topn", "5", "--batch-size", "8", "--random-weights",
+                  "--mesh", "auto", "--sharded-metrics",
+                  "--cache-embeddings", cache, "--n-samples", "16"])
+        out = json.loads(capsys.readouterr().out)
+        assert set(out) == {"maxskew", "ndkl"}
+        assert os.path.exists(cache)
+
+    def test_sharded_metrics_requires_mesh(self):
+        import debias_vision_lang_tpu.cli as cli
+
+        with pytest.raises(SystemExit, match="requires --mesh"):
+            cli.main(["measure-bias", "--sharded-metrics"])
+
 
 class TestResume:
     def test_resume_restores_latest(self, ff_root, tmp_path):
