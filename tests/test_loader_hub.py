@@ -39,6 +39,7 @@ class TestModelLoader:
 
 
 class TestWeightResolution:
+    @pytest.mark.slow  # full-size SLIP build, ~17s on the 1-core gate host
     def test_weights_dir_covers_all_families(self, tmp_path, monkeypatch):
         """$DEBIAS_VLT_WEIGHTS_DIR lookup must fire for SLIP/FiT names too,
         not only openai/CLIP/* — an alias-named file silently ignored means
@@ -85,6 +86,7 @@ class TestWeightResolution:
                      weights="/some/ckpt.npz")
         assert seen["path"] == "/some/ckpt.npz"
 
+    @pytest.mark.slow  # three full-size FiT builds, ~35s on the gate host
     def test_fit_checkpoint_selects_divided_attention(self, monkeypatch):
         """A loaded checkpoint with TRAINED temporal attention (nonzero
         output projection, as every real upstream FiT checkpoint has) must

@@ -154,6 +154,7 @@ class TestTemporalIdentity:
 
 
 class TestDividedRemat:
+    @pytest.mark.slow  # >40s on the 1-core gate host; full suite: -m ''
     def test_remat_matches_plain(self):
         """encode_video_divided(remat=True) must apply jax.checkpoint, not
         silently drop the flag — outputs are identical either way."""
