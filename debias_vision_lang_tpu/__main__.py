@@ -1,0 +1,9 @@
+"""``python -m debias_vision_lang_tpu`` → the CLI (cli.py).
+
+The reference package has no entry point at all (SURVEY.md §1); the longer
+``python -m debias_vision_lang_tpu.cli`` form keeps working.
+"""
+
+from .cli import main
+
+main()
