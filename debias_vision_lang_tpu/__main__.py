@@ -6,4 +6,5 @@ The reference package has no entry point at all (SURVEY.md §1); the longer
 
 from .cli import main
 
-main()
+if __name__ == "__main__":  # don't run argparse on a mere import
+    main()

@@ -8,7 +8,9 @@ other ClipLike.  The corpus layout is
     <root>/labels.csv                             (file,gender,race,age)
 
 with the FairFace label vocabulary.  Offline, --synthetic builds a tiny
-random corpus so the plumbing runs end to end.
+random corpus AND substitutes a toy tokenizer when the BPE vocab asset is
+absent, so the whole flow (ingest → video tower → metrics) runs end to end
+with no network.
 
     python examples/video_bias.py --data-path CORPUS [--synthetic]
 """
@@ -50,7 +52,11 @@ def main():
     ap.add_argument("--data-path", default="video_corpus")
     ap.add_argument("--attribute", default="gender")
     ap.add_argument("--num-frames", default=4, type=int)
-    ap.add_argument("--topn", default=1.0, type=float)
+    # int literal = absolute top-k, float literal = dataset fraction —
+    # a bare float() would silently turn "--topn 64" into fraction 64.0
+    from debias_vision_lang_tpu.cli import _parse_topn
+
+    ap.add_argument("--topn", default=1.0, type=_parse_topn)
     ap.add_argument("--synthetic", action="store_true",
                     help="build a tiny random corpus at --data-path first")
     args = ap.parse_args()
@@ -63,9 +69,21 @@ def main():
     model, preprocess, tokenizer, alias = debias_clip.model_loader(
         "m-bain/frozen-in-time/base", pretrained=not args.synthetic)
     if tokenizer is None:
-        sys.exit("No BPE vocab: run `python -m debias_vision_lang_tpu "
-                 "download bpe` first (offline smoke: pass a toy tokenizer "
-                 "through the library API instead)")
+        if not args.synthetic:
+            sys.exit("No BPE vocab: run `python -m debias_vision_lang_tpu "
+                     "download bpe` first")
+        # offline smoke: a toy hash tokenizer keeps the flow end-to-end
+        # (token ids are arbitrary — fine for random weights)
+        ctx = model.cfg.text.context_length
+        vocab = model.cfg.text.vocab_size
+
+        def tokenizer(texts):
+            out = np.zeros((len(texts), ctx), np.int32)
+            out[:, 0] = vocab - 2
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % (vocab - 3) + 1
+                out[i, 2] = vocab - 1
+            return out
 
     results = debias_clip.measure_bias(
         model, preprocess, tokenizer, attribute=args.attribute,
