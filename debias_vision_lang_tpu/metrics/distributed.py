@@ -103,9 +103,8 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
         else:
             overflow = jnp.asarray(False)
 
-        metrics = metrics_from_top_labels(top_labels, desired, kt,
-                                          n_classes, norm_top_n=top_n,
-                                          kept_mask=kept)
+        metrics = metrics_from_top_labels(top_labels, desired, n_classes,
+                                          norm_top_n=top_n, kept_mask=kept)
         # identical on every shard: outputs are replicated
         return {k_: v for k_, v in metrics.items()}, overflow
 

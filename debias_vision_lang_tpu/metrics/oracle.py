@@ -115,10 +115,17 @@ def maxskew(scores: np.ndarray, labels: np.ndarray, top_n: int) -> Dict[str, flo
 
 def resolve_topn(topn: Union[int, float], n_items: int) -> int:
     """float = fraction of the dataset (ceil), int = absolute
-    (reference: measuring_bias.py:109-110)."""
-    if isinstance(topn, float):
-        return math.ceil(n_items * topn)
-    return int(topn)
+    (reference: measuring_bias.py:109-110).
+
+    A non-positive request is rejected loudly: the oracle would divide by
+    zero and the jitted engines would silently return Inf/NaN metrics
+    (Z = an empty discount sum)."""
+    resolved = math.ceil(n_items * topn) if isinstance(topn, float) else int(topn)
+    if resolved <= 0:
+        raise ValueError(
+            f"topn must resolve to a positive rank count, got {topn!r} "
+            f"(resolved {resolved}) for {n_items} items")
+    return resolved
 
 
 def eval_ranking_oracle(

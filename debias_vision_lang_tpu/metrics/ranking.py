@@ -89,10 +89,10 @@ def desired_distributions(labels: jax.Array, n_classes: int) -> Dict[str, jax.Ar
 def metrics_from_top_labels(
     top_labels: jax.Array,
     desired: Dict[str, jax.Array],
-    top_n: int,
     n_classes: int,
-    norm_top_n: int = None,
+    norm_top_n,
     kept_mask: jax.Array = None,
+    z=None,
 ) -> Dict[str, jax.Array]:
     """Metric core over already-ranked label lists.
 
@@ -110,9 +110,15 @@ def metrics_from_top_labels(
     per prompt).  Implements ``nlargest(keep="all")``: ranks past the
     boundary-tie extension contribute to neither the NDKL sum nor the
     MaxSkew counts.  None = all kept.
+
+    ``norm_top_n`` may be a static int or a traced scalar; ``z`` (the NDKL
+    normalizer Σ_{i=1..norm_top_n} 1/log2(i+1)) must then be supplied —
+    with a static norm_top_n it is computed here on the host in f64 (a fp32
+    accumulation of 10k+ reciprocal-log terms carries the same drift the
+    series sum did).  This is THE metric core: the static, bucketed and
+    sharded engines all call it, so a numerics change lands everywhere.
     """
     k = top_labels.shape[1]
-    norm_top_n = norm_top_n if norm_top_n is not None else top_n
     onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)  # [P, k, C]
     if kept_mask is not None:
         keep_f = kept_mask.astype(jnp.float32)  # [P, k]
@@ -129,10 +135,9 @@ def metrics_from_top_labels(
         discounts = discounts[None, :] * keep_f  # [P, k]
     else:
         discounts = jnp.broadcast_to(discounts[None, :], (top_labels.shape[0], k))
-    # Z on the host in f64: norm_top_n is static, and a fp32 accumulation of
-    # 10k+ reciprocal-log terms carries the same drift the series sum did.
-    z = float(np.sum(1.0 / np.log2(
-        np.arange(1, norm_top_n + 1, dtype=np.float64) + 1.0)))
+    if z is None:
+        z = float(np.sum(1.0 / np.log2(
+            np.arange(1, int(norm_top_n) + 1, dtype=np.float64) + 1.0)))
     out: Dict[str, jax.Array] = {}
     for name, q in desired.items():
         kl_terms = jnp.where(
@@ -142,8 +147,9 @@ def metrics_from_top_labels(
         out[f"ndkl_{name}"] = _pairwise_sum_last(kl_per_rank * discounts) / z
 
     # MaxSkew at the full kept prefix, normalized by the requested top-n
-    p_top = prefix_counts[:, -1, :] / norm_top_n  # [P, C]
-    p_top = jnp.where(p_top == 0, 1.0 / norm_top_n, p_top)  # zero clamp
+    tnf = jnp.asarray(norm_top_n, jnp.float32)
+    p_top = prefix_counts[:, -1, :] / tnf  # [P, C]
+    p_top = jnp.where(p_top == 0, 1.0 / tnf, p_top)  # zero clamp
     for name, q in desired.items():
         skew = jnp.log(p_top) - jnp.log(q)[None, :]  # [P, C]
         # reference max starts from 0 → never negative
@@ -176,7 +182,7 @@ def _ranking_metrics_ext(
     threshold = vals[:, kt - 1]  # [P]
     kept = vals >= threshold[:, None]  # prefix mask, ≥ kt wide
     overflow = jnp.any((vals[:, -1] >= threshold)) if k < n else jnp.asarray(False)
-    metrics = metrics_from_top_labels(top_labels, desired, kt, n_classes,
+    metrics = metrics_from_top_labels(top_labels, desired, n_classes,
                                       norm_top_n=top_n, kept_mask=kept)
     return metrics, overflow
 
@@ -262,32 +268,10 @@ def _ranking_metrics_padded(
     threshold = jnp.take_along_axis(
         vals, jnp.broadcast_to((kt - 1)[None, None], (p, 1)), axis=1)  # [P,1]
     kept = (vals >= threshold) & top_valid  # tie-extended prefix, pads out
-    keep_f = kept.astype(jnp.float32)
 
-    onehot = jax.nn.one_hot(top_labels, n_classes, dtype=jnp.float32)
-    onehot = onehot * keep_f[:, :, None]
-    prefix_counts = jnp.cumsum(onehot, axis=1)  # [P, Nb, C]
-
-    ranks = jnp.arange(1, nb + 1, dtype=jnp.float32)
-    prefix_p = prefix_counts / ranks[None, :, None]
-    log_p = _safe_log(prefix_p)
-    discounts = (1.0 / jnp.log2(ranks + 1.0))[None, :] * keep_f  # [P, Nb]
-
-    tnf = top_n.astype(jnp.float32)
-    out: Dict[str, jax.Array] = {}
-    for name, q in desired.items():
-        kl_terms = jnp.where(
-            prefix_p > 0, prefix_p * (log_p - _safe_log(q)[None, None, :]), 0.0)
-        kl_per_rank = jnp.sum(kl_terms, axis=-1)
-        # pairwise tree (Nb is a power of two) — see _pairwise_sum_last
-        out[f"ndkl_{name}"] = _pairwise_sum_last(kl_per_rank * discounts) / z
-
-    p_top = prefix_counts[:, -1, :] / tnf  # total kept counts / request
-    p_top = jnp.where(p_top == 0, 1.0 / tnf, p_top)
-    for name, q in desired.items():
-        skew = jnp.log(p_top) - jnp.log(q)[None, :]
-        out[f"maxskew_{name}"] = jnp.maximum(jnp.max(skew, axis=-1), 0.0)
-    return out
+    # the shared metric core does the rest (traced norm_top_n + host-f64 z)
+    return metrics_from_top_labels(top_labels, desired, n_classes,
+                                   norm_top_n=top_n, kept_mask=kept, z=z)
 
 
 def ranking_metrics_bucketed(

@@ -74,7 +74,11 @@ def _attn_q_kernel(x_ref, lns_ref, lnb_ref, wqkvq_ref, sqkv_ref, bqkv_ref,
         neg = _causal_neg(s)
 
     # per-head attention identical to the bf16 kernel (fp compute — the
-    # [S, 64] dots are ~11% of layer FLOPs and int8 would cost accuracy)
+    # [S, 64] dots are ~11% of layer FLOPs and int8 would cost accuracy).
+    # KEEP IN SYNC with fused_block._chain_head_loop (the chain kernels'
+    # shared loop): deliberately not delegated — the measured-optimal
+    # kernels are frozen (PERF.md), and a call indirection here could not
+    # be re-benchmarked during the device outage.
     outs = []
     for h in range(heads):
         q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
@@ -311,10 +315,11 @@ def mlp_block_q(x, ln_scale, ln_bias, w1_q, w1_scale, b1, w2_q, w2_scale,
 
     ``bb=None`` (default) auto-picks the batch-chain pipeline width: the
     largest of 4/2/1 that divides B and fits VMEM — bb>1 runs bb items as
-    independent interleaved chains per grid step (bit-identical, measured
-    59.0 → 53.3 ms on the ViT-B/16 B=512 12-layer tower; see the
-    batch-chain section above).  Pass bb=1 to force the single-chain
-    kernel.
+    independent interleaved chains per grid step (within 1 ulp of bb=1 —
+    the modulo-2 pipeline reorders one accumulation; the ATTENTION chain
+    kernel is the bit-identical one — measured 59.0 → 53.3 ms on the
+    ViT-B/16 B=512 12-layer tower; see the batch-chain section above).
+    Pass bb=1 to force the single-chain kernel.
 
     NB: with ``fb < F`` the hidden activation quantizes per F-tile — each
     tile gets its own per-row scale, a (slightly finer-grained) relaxation

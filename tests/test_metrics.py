@@ -336,6 +336,27 @@ class TestNDKLAccumulationTight:
                         float(b[k][p]), nd[k], atol=1e-5, err_msg=f"static {k}")
 
 
+class TestNonPositiveTopN:
+    def test_rejected_loudly(self, rng):
+        """topn <= 0 must raise on every engine: the oracle divided by zero
+        and the jitted engines silently returned Inf/NaN (Z = an empty
+        discount sum)."""
+        from debias_vision_lang_tpu.metrics.oracle import resolve_topn
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
+
+        with pytest.raises(ValueError, match="positive"):
+            resolve_topn(0, 100)
+        with pytest.raises(ValueError, match="positive"):
+            resolve_topn(-5, 100)
+        with pytest.raises(ValueError, match="positive"):
+            resolve_topn(0.0, 100)
+        img = rng.normal(size=(8, 4)).astype(np.float32)
+        prm = rng.normal(size=(2, 4)).astype(np.float32)
+        labels = np.array([0, 1] * 4, np.int32)
+        with pytest.raises(ValueError, match="positive"):
+            eval_ranking(labels, img, prm, "ndkl", 0)
+
+
 class TestTopNExceedsDataset:
     def test_jitted_matches_oracle_when_topn_gt_n(self, rng):
         """topn > N: rank all N rows but normalize by the REQUEST (reference
