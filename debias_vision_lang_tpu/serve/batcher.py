@@ -53,7 +53,12 @@ class MicroBatcher:
         self._submit_lock = threading.Lock()
         self.n_batches = 0
         self.n_items = 0
+        # dispatch time (worker thread) and finalize time (finalizer
+        # thread) are separate counters — each touched by exactly one
+        # thread — and summed in stats.  In two-stage mode jax dispatch is
+        # ~free; the device+fetch time all lands in finalize_seconds.
         self.run_seconds = 0.0
+        self.finalize_seconds = 0.0
         self._thread = threading.Thread(target=self._worker, name=name,
                                         daemon=True)
         self._thread.start()
@@ -83,7 +88,7 @@ class MicroBatcher:
             "batches": self.n_batches,
             "items": self.n_items,
             "mean_batch": round(self.n_items / max(1, self.n_batches), 2),
-            "run_seconds": round(self.run_seconds, 3),
+            "run_seconds": round(self.run_seconds + self.finalize_seconds, 3),
         }
 
     def close(self, timeout: float = 5.0) -> None:
@@ -164,7 +169,9 @@ class MicroBatcher:
                 return
             handle, futures = entry
             try:
+                t0 = time.monotonic()
                 results = self._finalize(handle, len(futures))
+                self.finalize_seconds += time.monotonic() - t0
             except Exception as e:  # noqa: BLE001
                 _fail_all(futures, e)
                 continue

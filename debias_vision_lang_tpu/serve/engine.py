@@ -73,11 +73,33 @@ def _sharded_embed(mesh, inner, compute_dtype):
     return dp_shard_map(mesh, local)
 
 
+# per-image pixel ceiling (≈ 0.2 GB decoded RGB).  PIL's decompression-bomb
+# guard does not cover the native libjpeg path, whose output buffer is sized
+# from attacker-controlled header dimensions — a ~300 KB crafted 65500²
+# JPEG would otherwise allocate ~12.8 GB from one record.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Image bytes (JPEG/PNG/...) → uint8 [H, W, 3] RGB.
 
     Native libjpeg decode when built (bit-exact vs PIL, ~50× faster on small
-    hosts); PIL handles everything else."""
+    hosts); PIL handles everything else.  Dimensions are checked against
+    ``MAX_DECODE_PIXELS`` from the header BEFORE any pixel decode
+    (``Image.open`` parses headers lazily without decoding)."""
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size
+    except Image.DecompressionBombError as e:
+        # PIL's own guard (a plain Exception, not OSError) fires during the
+        # header parse for extreme sizes — same client-error class as ours
+        raise ValueError(str(e)) from e
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
+            "decode limit")
     from .. import native
 
     if native.available() and data[:2] == b"\xff\xd8":  # JPEG magic
@@ -85,8 +107,6 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
             return native.decode_jpeg(data)
         except ValueError:
             pass  # fall through to PIL for exotic variants
-    from PIL import Image
-
     return to_rgb_array(Image.open(io.BytesIO(data)))
 
 

@@ -82,7 +82,11 @@ class ServeApp:
     def _decode_b64_images(self, images_b64: List[str]) -> List[np.ndarray]:
         # undecodable image payloads are CLIENT errors (→ 400), but PIL
         # raises UnidentifiedImageError/OSError, which the handler would
-        # report as 500 — normalize at the payload boundary
+        # report as 500 — normalize at the payload boundary.  Same for
+        # non-string elements (b64decode raises TypeError on them).
+        _check_item_count(len(images_b64), "images")
+        if not all(isinstance(b, str) for b in images_b64):
+            raise ValueError("images_b64 elements must be base64 strings")
         try:
             return [self.engine.prepare_image(base64.b64decode(b))
                     for b in images_b64]
@@ -92,6 +96,9 @@ class ServeApp:
     def _tokenize(self, texts: List[str]) -> np.ndarray:
         # over-long text is a client error (→ 400); a missing tokenizer is a
         # server configuration fault and stays a RuntimeError (→ 500)
+        _check_item_count(len(texts), "texts")
+        if not all(isinstance(t, str) for t in texts):
+            raise ValueError("texts elements must be strings")
         try:
             return self.engine.tokenize(texts)
         except RuntimeError as e:
@@ -133,6 +140,7 @@ class ServeApp:
                 f"u8 body must be a multiple of {frame} bytes "
                 f"({n_px}x{n_px}x3 frames); got {len(body)}")
         arr = np.frombuffer(body, np.uint8).reshape(-1, n_px, n_px, 3)
+        _check_item_count(arr.shape[0], "frames")
         if arr.shape[0] == 1:
             return self._images.submit(arr[0]).result()[None]
         return self.engine.embed_image_arrays(list(arr))
@@ -143,6 +151,7 @@ class ServeApp:
         arrays = []
         off = 0
         while off < len(body):
+            _check_item_count(len(arrays) + 1, "JPEG records")
             if off + 4 > len(body):
                 raise ValueError("truncated length header in JPEG stream")
             ln = int.from_bytes(body[off:off + 4], "big")
@@ -170,29 +179,68 @@ class ServeApp:
 # A Content-Length beyond this is rejected up front (413) — rfile.read of an
 # attacker-controlled length would otherwise buffer it all in RAM.
 MAX_BODY_BYTES = 256 * 1024 * 1024
+# per-request item ceiling: the body cap alone does not bound DECODED
+# memory (a 256 MB stream of ~130-byte 1x1-pixel JPEG records would
+# otherwise expand to ~2M resized frames ≈ 300 GB of host arrays); 1024
+# items × n_px²·3 ≈ 150 MB decoded worst case.  Per-image pixel dimensions
+# are capped separately at decode (engine.MAX_DECODE_PIXELS).
+MAX_ITEMS_PER_REQUEST = 1024
+
+
+def _check_item_count(n: int, what: str) -> None:
+    if n > MAX_ITEMS_PER_REQUEST:
+        raise ValueError(
+            f"{n} {what} in one request exceeds the per-request limit of "
+            f"{MAX_ITEMS_PER_REQUEST}; split into multiple requests")
 
 
 class _Handler(BaseHTTPRequestHandler):
     app: ServeApp  # set by make_server
     auth_token: Optional[str] = None  # set by make_server; None = open
+    # keep-alive: without it every request pays a fresh TCP (and TLS)
+    # handshake, dominating single-image latency; safe because every
+    # response path here sets Content-Length explicitly
+    protocol_version = "HTTP/1.1"
 
     # -- plumbing ------------------------------------------------------------
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _authorized(self) -> bool:
-        """Bearer-token check on data endpoints (constant-time compare).
-        /healthz stays open for load-balancer probes."""
-        if self.auth_token is None:
-            return True
+    def _bearer_ok(self) -> bool:
+        """Constant-time bearer comparison (no response side effects)."""
         header = self.headers.get("Authorization", "")
         supplied = header[7:] if header.startswith("Bearer ") else ""
         # compare bytes: compare_digest raises TypeError on non-ASCII str
         # operands (a hostile header must 401, not kill the connection)
-        if hmac.compare_digest(supplied.encode("utf-8", "surrogateescape"),
-                               self.auth_token.encode("utf-8")):
+        return hmac.compare_digest(
+            supplied.encode("utf-8", "surrogateescape"),
+            self.auth_token.encode("utf-8"))
+
+    def _drain_body(self, cap: int = 1 << 20) -> None:
+        """Discard an unread request body (bounded) before an error
+        response: closing with unread data triggers a TCP RST and the
+        client may never see the error JSON.  Bodies beyond ``cap`` still
+        force a connection close after the response."""
+        try:
+            length = int(self.headers.get("Content-Length", 0) or 0)
+        except ValueError:
+            length = 0
+        remaining = min(length, cap)
+        while remaining > 0:
+            chunk = self.rfile.read(min(remaining, 1 << 16))
+            if not chunk:
+                break
+            remaining -= len(chunk)
+        if length > cap:
+            self.close_connection = True
+
+    def _authorized(self) -> bool:
+        """Bearer-token check on data endpoints.
+        /healthz stays open for load-balancer probes."""
+        if self.auth_token is None or self._bearer_ok():
             return True
+        self._drain_body()
         self._json(401, {"error": "missing or invalid bearer token"})
         return False
 
@@ -205,18 +253,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _read_json(self) -> Optional[dict]:
+        body = self._read_raw()
+        if body is None:
+            return None
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            if length < 0 or length > MAX_BODY_BYTES:
-                self._json(413, {"error": f"body of {length} bytes exceeds "
-                                          f"the {MAX_BODY_BYTES}-byte limit"})
-                return None
-            data = self.rfile.read(length)
-            payload = json.loads(data or b"{}")
+            payload = json.loads(body or b"{}")
             if not isinstance(payload, dict):
                 raise ValueError("payload must be a JSON object")
             return payload
-        except (ValueError, json.JSONDecodeError) as e:
+        except ValueError as e:  # json.JSONDecodeError subclasses ValueError
             self._json(400, {"error": f"bad request body: {e}"})
             return None
 
@@ -224,6 +269,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
+            if self.auth_token is not None and not self._bearer_ok():
+                # liveness only for unauthenticated probes: model name,
+                # mesh topology, HBM usage and traffic stats stay behind
+                # the bearer token on a protected instance
+                self._json(200, {"status": "ok"})
+                return
             self._json(200, {"status": "ok", **self.app.engine.info(),
                              "image_batches": self.app._images.stats,
                              "text_batches": self.app._texts.stats})
@@ -234,9 +285,16 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
+            # unknown body length → the stream position is unrecoverable
+            # for keep-alive; respond then close
+            self.close_connection = True
             self._json(400, {"error": "bad Content-Length header"})
             return None
         if length < 0 or length > MAX_BODY_BYTES:
+            # never read a body this size just to discard it (and the
+            # declared length may never arrive — draining would stall the
+            # handler): respond, then close the keep-alive stream
+            self.close_connection = True
             self._json(413, {"error": f"body of {length} bytes exceeds "
                                       f"the {MAX_BODY_BYTES}-byte limit"})
             return None
@@ -366,9 +424,8 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
     if warmup:
         engine.warmup(log=lambda m: print(m, flush=True))
     app = ServeApp(engine, max_wait_ms=max_wait_ms)
-    if auth_token is None:
-        auth_token = os.environ.get("DVL_SERVE_TOKEN") or None
-    httpd = make_server(app, host, port, auth_token=auth_token or "",
+    # token defaulting ($DVL_SERVE_TOKEN, ""-force-open) is make_server's job
+    httpd = make_server(app, host, port, auth_token=auth_token,
                         tls_cert=tls_cert, tls_key=tls_key)
     scheme = "https" if tls_cert else "http"
     # the handler's resolved token is the single source of truth for the

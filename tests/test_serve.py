@@ -313,6 +313,76 @@ class TestHTTP:
              "X-Image-Format": "jpeg"})
         assert code == 400
 
+    def test_non_string_elements_400(self, server):
+        """Non-string payload elements are CLIENT errors — TypeError from
+        b64decode/tokenizer used to surface as 500."""
+        code, out = self._post(server + "/v1/embed/image",
+                               {"images_b64": [42]})
+        assert code == 400 and "strings" in out["error"]
+        code, out = self._post(server + "/v1/embed/text", {"texts": [42]})
+        assert code == 400 and "strings" in out["error"]
+
+    def test_item_count_cap_400(self, server, rng):
+        """MAX_BODY_BYTES caps the wire body but not decoded memory: a sea
+        of tiny records must hit the per-request item cap, not expand to
+        item_count x n_px^2 x 3 host arrays."""
+        from debias_vision_lang_tpu.serve.server import MAX_ITEMS_PER_REQUEST
+
+        n = MAX_ITEMS_PER_REQUEST + 1
+        b64 = base64.b64encode(_jpeg_bytes(rng)).decode()
+        code, out = self._post(server + "/v1/embed/image",
+                               {"images_b64": [b64] * n})
+        assert code == 400 and "limit" in out["error"]
+        # length-prefixed JPEG stream path too
+        jb = _jpeg_bytes(rng)
+        stream = (len(jb).to_bytes(4, "big") + jb) * n
+        code2, _, body = self._post_raw(
+            server + "/v1/embed/image-raw", stream,
+            {"Content-Type": "application/octet-stream",
+             "X-Image-Format": "jpeg"})
+        assert code2 == 400 and b"limit" in body
+
+    def test_oversized_dimensions_400(self, server, rng):
+        """A crafted JPEG whose header declares enormous dimensions must be
+        rejected from the HEADER (before any pixel decode allocates
+        h*w*3) — the native decode path has no PIL bomb guard."""
+        jb = bytearray(_jpeg_bytes(rng))
+        i = jb.find(b"\xff\xc0")  # SOF0: [marker][len][prec][H:2][W:2]
+        assert i > 0
+        jb[i + 5:i + 7] = (65500).to_bytes(2, "big")
+        jb[i + 7:i + 9] = (65500).to_bytes(2, "big")
+        b64 = base64.b64encode(bytes(jb)).decode()
+        code, out = self._post(server + "/v1/embed/image",
+                               {"images_b64": [b64]})
+        assert code == 400
+        assert "pixel" in out["error"] or "exceeds" in out["error"]
+
+    def test_keepalive_two_requests_one_connection(self, server):
+        """HTTP/1.1 keep-alive: consecutive requests ride one TCP
+        connection (every response carries Content-Length)."""
+        import http.client
+
+        host, port = server.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            for _ in range(2):
+                conn.request("GET", "/healthz")
+                resp = conn.getresponse()
+                assert resp.status == 200
+                json.loads(resp.read())
+        finally:
+            conn.close()
+
+    def test_stats_time_device_work(self, server, rng):
+        """run_seconds must cover the blocking fetch, not just the ~free
+        async dispatch (two-stage batching)."""
+        b64 = base64.b64encode(_jpeg_bytes(rng)).decode()
+        code, _ = self._post(server + "/v1/embed/image", {"images_b64": [b64]})
+        assert code == 200
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as resp:
+            stats = json.loads(resp.read())["image_batches"]
+        assert stats["batches"] >= 1 and stats["run_seconds"] > 0
+
     def test_raw_corrupt_jpeg_record_400(self, server):
         """A well-framed but undecodable JPEG record is a CLIENT error:
         PIL's UnidentifiedImageError/OSError must normalize to 400 like the
@@ -606,6 +676,20 @@ class TestAuthTLS:
         with urllib.request.urlopen(auth_server + "/healthz",
                                     timeout=10) as resp:
             assert resp.status == 200
+
+    def test_healthz_minimal_without_token(self, auth_server):
+        """Unauthenticated probes get liveness ONLY: model name, mesh
+        topology, HBM usage and traffic stats stay behind the token."""
+        with urllib.request.urlopen(auth_server + "/healthz",
+                                    timeout=10) as resp:
+            info = json.loads(resp.read())
+        assert info == {"status": "ok"}
+        req = urllib.request.Request(
+            auth_server + "/healthz",
+            headers={"Authorization": "Bearer sekrit-42"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            full = json.loads(resp.read())
+        assert "model" in full and "image_batches" in full
 
     def test_env_token_default(self, engine, monkeypatch):
         monkeypatch.setenv("DVL_SERVE_TOKEN", "env-tok")
