@@ -19,16 +19,20 @@ Env knobs: BENCH_BATCH (default 512 — measured sweet spot on v5e: 256 →
 BENCH_STEPS (default 20), BENCH_DTYPE (bfloat16|float32, default bfloat16),
 BENCH_PALLAS (1|0), BENCH_QUANT (1|0, default 1).
 
-The headline config is the production serving path: int8 fused-block
+The headline config is the production eval path: int8 fused-block
 kernels with batch-chain interleaving (ops/fused_block_q.py — bb=4
 independent dataflow chains per grid step so one chain's quant/softmax VPU
-work overlaps another's MXU dots) plus the relayout-free dot_general
-patch embedding (ops/quant.py::patch_embed_q) — measured 6,016 img/s
-(round 3; was 5,906 before the stem fix, 5,380 single-chain, 4,163 bf16)
-— with tower-level cosine vs fp32 = 0.99989 and rank-stable MaxSkew/NDKL
+work overlaps another's MXU dots) plus the EXACT int8 stem from
+patch-contiguous uint8 staging (ops/quant.py::patch_embed_q_p8 — the
+layout the native loader emits at decode time for measure_bias
+dtype="int8"; same H2D bytes as the HWC canvas, zero device relayout,
+integer-exact activations) — measured 6,179 img/s (round 3; 6,063 with
+the dynamic-quant f32 stem, 5,380 single-chain, 4,163 bf16) — with
+tower-level cosine vs fp32 = 0.99989 and rank-stable MaxSkew/NDKL
 (tested, ops/quant contract).
 BENCH_QUANT=0 measures the numeric-faithful bf16 fused path;
-BENCH_DTYPE=float32 the reference-parity mode.
+BENCH_DTYPE=float32 the reference-parity mode; BENCH_STEM=f32 forces the
+pre-staging dynamic-quant stem (preprocess_batch + patch_embed_q).
 """
 
 from __future__ import annotations
@@ -96,7 +100,19 @@ def main():
     cfg = resolve_arch("openai/CLIP/ViT-B/16")
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
-    if quant:
+    stem = os.environ.get("BENCH_STEM", "p8" if quant else "f32")
+
+    if quant and stem == "p8":
+        from debias_vision_lang_tpu.ops.quant import (encode_image_vit_q_p8,
+                                                      quantize_vit_visual)
+
+        params = quantize_vit_visual(params["visual"])
+
+        @jax.jit
+        def embed(p, patches_u8):
+            return encode_image_vit_q_p8(
+                p, patches_u8, cfg.vision, dtype=dtype).astype(jnp.float32)
+    elif quant:
         from debias_vision_lang_tpu.ops.quant import quantize_vit_visual, encode_image_vit_q
 
         params = quantize_vit_visual(params["visual"])
@@ -115,9 +131,16 @@ def main():
     rng = np.random.default_rng(0)
     params = jax.device_put(params)
     # two alternating buffers: defeats any buffer-identity caching in the
-    # remote-execution path
+    # remote-execution path.  The p8 stem consumes the patch-contiguous
+    # staging the native loader writes at decode time — same byte count.
+    if quant and stem == "p8":
+        patch = cfg.vision.patch_size
+        g = cfg.vision.image_size // patch
+        shape = (batch, g * g, patch * patch * 3)
+    else:
+        shape = (batch, 224, 224, 3)
     imgs = [
-        jax.device_put(rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        jax.device_put(rng.integers(0, 256, shape, dtype=np.uint8))
         for _ in range(2)
     ]
 

@@ -21,7 +21,9 @@ import numpy as np
 
 
 class Batch(NamedTuple):
-    images: np.ndarray  # uint8 [B, H, W, 3]
+    # uint8 [B, H, W, 3]; [B, T, H, W, 3] for video; or patch-contiguous
+    # [B, P, patch²·3] when native_patch staging is on
+    images: np.ndarray
     labels: np.ndarray  # int32 [B]
     num_valid: int  # <= B; rest is padding
 
@@ -41,6 +43,7 @@ class HostLoader:
         shuffle: bool = False,
         seed: int = 0,
         native_n_px: int | None = None,
+        native_patch: int | None = None,
         host_transform=None,
     ):
         self.dataset = dataset
@@ -62,6 +65,20 @@ class HostLoader:
         # instead of raw-size images.  The device preprocess then only
         # normalizes (resize of an already-n_px image is the identity).
         self.native_n_px = native_n_px
+        # native_patch: stage batches PATCH-CONTIGUOUSLY as uint8
+        # [B, (n_px/patch)², patch²·3] instead of [B, n_px, n_px, 3] — the
+        # layout the exact int8 ViT stem consumes with zero device relayout
+        # (ops/quant.py::patch_embed_q_p8).  Same byte count; the native
+        # runtime writes it for free at decode time, the Python fallback
+        # rearranges per image (vision/preprocess.py::patchify_u8).
+        if native_patch is not None:
+            if native_n_px is None:
+                raise ValueError("native_patch requires native_n_px")
+            if native_n_px % native_patch != 0:
+                raise ValueError(
+                    f"native_n_px={native_n_px} not divisible by "
+                    f"native_patch={native_patch}")
+        self.native_patch = native_patch
         # Cap decode threads at 2× the core count: oversubscribed decode
         # threads starve the device-runtime client threads (measured 40×
         # slowdown at 12 workers on a 1-core host — PERF.md).  The reference's
@@ -120,19 +137,25 @@ class HostLoader:
             # apply the bit-exact host resize/crop per image so the shape
             # contract ([B, n_px, n_px, 3]) holds — without it np.stack
             # crashes on variable-size datasets (e.g. ImageNet)
-            from ..vision.preprocess import resize_crop_u8, to_rgb_array
+            from ..vision.preprocess import (patchify_u8, resize_crop_u8,
+                                             to_rgb_array)
 
             n_px = self.native_n_px
+            patch = self.native_patch
 
             def load_one(i: int):
                 arr = to_rgb_array(self.dataset.load_image(i))
                 if arr.ndim == 4:  # video: [T, H, W, 3] → per-frame
+                    if patch is not None:
+                        raise ValueError(
+                            "native_patch staging does not support video "
+                            "batches")
                     if arr.shape[1] == n_px and arr.shape[2] == n_px:
                         return arr
                     return np.stack([resize_crop_u8(f, n_px) for f in arr])
-                if arr.shape[0] == n_px and arr.shape[1] == n_px:
-                    return arr  # already target-sized: resize is identity
-                return resize_crop_u8(arr, n_px)
+                if not (arr.shape[0] == n_px and arr.shape[1] == n_px):
+                    arr = resize_crop_u8(arr, n_px)
+                return arr if patch is None else patchify_u8(arr, patch)
         else:
             def load_one(i: int):
                 return self.dataset.load_image(i)
@@ -179,15 +202,23 @@ class HostLoader:
         def make(s: int, e: int) -> Batch:
             idx = [int(order[i]) for i in range(s, e)]
             paths = [self.dataset._img_fnames[i] for i in idx]
-            imgs, ok = native.ingest_batch_files_u8(
-                paths, n_px, nthreads=self.num_workers)
+            if self.native_patch is not None:
+                imgs, ok = native.ingest_batch_files_u8p(
+                    paths, n_px, patch=self.native_patch,
+                    nthreads=self.num_workers)
+            else:
+                imgs, ok = native.ingest_batch_files_u8(
+                    paths, n_px, nthreads=self.num_workers)
             if not ok.all():
                 # unsupported format / corrupt file: per-image PIL fallback
-                from ..vision.preprocess import resize_crop_u8, to_rgb_array
+                from ..vision.preprocess import (patchify_u8, resize_crop_u8,
+                                                 to_rgb_array)
 
                 for j in np.nonzero(~ok)[0]:
                     arr = to_rgb_array(self.dataset.load_image(idx[j]))
-                    imgs[j] = resize_crop_u8(arr, n_px)
+                    arr = resize_crop_u8(arr, n_px)
+                    imgs[j] = (arr if self.native_patch is None
+                               else patchify_u8(arr, self.native_patch))
             labels = np.asarray([self.dataset.iat_labels[i] for i in idx],
                                 np.int32)
             num_valid = e - s

@@ -54,6 +54,18 @@ def gen_prompts(prompt_path=None) -> List[str]:
     return [t.format(c) for t in templates if t for c in concepts]
 
 
+def _vision_cfg_of(cliplike):
+    """VisionConfig of a bundle (CLIP / DebiasCLIP / QuantizedCLIP), or
+    None for models whose tower config isn't discoverable (custom
+    ClipLike objects still work — they just skip layout specializations)."""
+    from ..ops.quant import _bundle_cfg
+
+    try:
+        return _bundle_cfg(cliplike).vision
+    except AttributeError:
+        return None
+
+
 def _resolve_opts(opts) -> EvalConfig:
     if opts is None:
         return EvalConfig()
@@ -82,6 +94,12 @@ def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
 # compile-time constants (required by the remote-compile path).
 @functools.partial(jax.jit, static_argnames=("n_px", "compute_dtype"))
 def _embed_step(model, images_u8, n_px, compute_dtype):
+    if images_u8.ndim == 3:
+        # patch-contiguous uint8 staging [B, P, patch²·3] (int8 path):
+        # the exact int8 stem consumes it directly — normalize is folded
+        # into the weights, no device preprocess (ops/quant.py)
+        return model.encode_image(images_u8,
+                                  dtype=compute_dtype).astype(jnp.float32)
     if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
         b, t = images_u8.shape[:2]
         x = preprocess_batch(images_u8.reshape((b * t,) + images_u8.shape[2:]),
@@ -301,9 +319,22 @@ def measure_bias(
         # makes the eval preprocess bit-exact vs the reference AND cheaper
         # on H2D; a user-supplied callable instead runs on the decode
         # threads so batches still stack at a fixed shape
+        # int8 + plain ViT at its native resolution: stage batches in the
+        # patch-contiguous uint8 layout so the quantized stem runs as one
+        # relayout-free exact int8 matmul (ops/quant.py::patch_embed_q_p8;
+        # same bytes, free on the ingest side — measured +1.4–2% e2e)
+        patch_staging = None
+        if (cfg.dtype == "int8" and host_transform is None
+                and dataset_name != "video"):
+            vis = _vision_cfg_of(cliplike)
+            if (vis is not None and vis.kind in ("vit", "slip_vit")
+                    and n_px == vis.image_size
+                    and n_px % vis.patch_size == 0):
+                patch_staging = vis.patch_size
         loader = HostLoader(ds, batch_size=cfg.batch_size,
                             num_workers=cfg.num_workers,
                             native_n_px=n_px if host_transform is None else None,
+                            native_patch=patch_staging,
                             host_transform=host_transform)
         labels, img_embs = get_labels_img_embeddings(
             loader, cliplike, n_px=n_px, mesh=mesh, progress=cfg.progress,

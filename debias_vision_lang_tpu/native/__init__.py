@@ -97,6 +97,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dvl_ingest_batch_files_u8.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             c_u8p, c_ip, ctypes.c_int]
+        lib.dvl_ingest_batch_files_u8p.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, c_u8p, c_ip, ctypes.c_int]
         _LIB = lib
         return _LIB
 
@@ -197,5 +200,30 @@ def ingest_batch_files_u8(paths: Sequence[str], n_px: int = 224,
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.dvl_ingest_batch_files_u8(
         arr, n, n_px, _u8p(out),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, ok.astype(bool)
+
+
+def ingest_batch_files_u8p(paths: Sequence[str], n_px: int = 224,
+                           patch: int = 16,
+                           nthreads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Read+decode+resize+crop JPEG files to PATCH-CONTIGUOUS uint8
+    [N, (n_px/patch)², patch²·3] — the staging layout the exact int8 stem
+    consumes directly (ops/quant.py::patch_embed_q_p8).  Same bytes as
+    ``ingest_batch_files_u8`` rearranged for free at write time."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    if patch <= 0 or n_px % patch != 0:
+        raise ValueError(f"n_px={n_px} not divisible by patch={patch}")
+    n = len(paths)
+    if nthreads <= 0:
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    g = n_px // patch
+    out = np.zeros((n, g * g, patch * patch * 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dvl_ingest_batch_files_u8p(
+        arr, n, n_px, patch, _u8p(out),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
     return out, ok.astype(bool)

@@ -506,6 +506,47 @@ int dvl_preprocess_batch_files(const char* const* paths, int n, int n_px,
   return failures.load();
 }
 
+// Shared flow for the uint8 staging variants: read + decode + PIL-exact
+// resize of the SHORT side to n_px + pad + center crop.  Writes the cropped
+// rows through `write_row(y, row_ptr)` so callers pick the output layout.
+static int ingest_one_u8(const char* path, int n_px,
+                         const std::function<void(int, const uint8_t*)>&
+                             write_row) {
+  auto data = read_file(path);
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (data.empty()
+      || decode_image_rgb(data.data(), data.size(), &rgb, &h, &w))
+    return 1;
+  int rh, rw;
+  resize_output_size(h, w, n_px, &rh, &rw);
+  std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
+  if (dvl_resize_bicubic_u8(rgb.data(), h, w, 3, resized.data(), rh, rw))
+    return 1;
+  // pad if smaller, then center crop (same conventions as preprocess_u8)
+  const uint8_t* cur = resized.data();
+  int ch = rh, cw = rw;
+  std::vector<uint8_t> padded;
+  if (ch < n_px || cw < n_px) {
+    const int ph = ch < n_px ? n_px - ch : 0;
+    const int pw = cw < n_px ? n_px - cw : 0;
+    const int nh = ch + ph, nw = cw + pw;
+    padded.assign(static_cast<size_t>(nh) * nw * 3, 0);
+    const int top = ph / 2, left = pw / 2;
+    for (int y = 0; y < ch; ++y)
+      std::memcpy(padded.data() + (static_cast<size_t>(y + top) * nw + left) * 3,
+                  cur + static_cast<size_t>(y) * cw * 3,
+                  static_cast<size_t>(cw) * 3);
+    cur = padded.data();
+    ch = nh; cw = nw;
+  }
+  const int top = center_crop_top(ch, n_px);
+  const int left = center_crop_top(cw, n_px);
+  for (int y = 0; y < n_px; ++y)
+    write_row(y, cur + (static_cast<size_t>(y + top) * cw + left) * 3);
+  return 0;
+}
+
 // Batch: decode JPEG files to a fixed-size uint8 canvas after PIL-exact
 // resize of the SHORT side to n_px + center crop — the uint8 staging variant
 // used when the normalize happens on-device (4x less H2D traffic than f32).
@@ -515,53 +556,56 @@ int dvl_ingest_batch_files_u8(const char* const* paths, int n, int n_px,
   const size_t per = static_cast<size_t>(n_px) * n_px * 3;
   parallel_for(n, nthreads, [&](int i) {
     uint8_t* dst = out + per * i;
-    auto data = read_file(paths[i]);
-    std::vector<uint8_t> rgb;
-    int h = 0, w = 0;
-    if (data.empty()
-        || decode_image_rgb(data.data(), data.size(), &rgb, &h, &w)) {
+    const size_t row_bytes = static_cast<size_t>(n_px) * 3;
+    if (ingest_one_u8(paths[i], n_px, [&](int y, const uint8_t* row) {
+          std::memcpy(dst + static_cast<size_t>(y) * row_bytes, row,
+                      row_bytes);
+        }) != 0) {
       std::memset(dst, 0, per);
       ok[i] = 0;
       failures.fetch_add(1);
-      return;
+    } else {
+      ok[i] = 1;
     }
-    int rh, rw;
-    resize_output_size(h, w, n_px, &rh, &rw);
-    std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
-    if (dvl_resize_bicubic_u8(rgb.data(), h, w, 3, resized.data(), rh, rw)) {
-      std::memset(dst, 0, per);
-      ok[i] = 0;
-      failures.fetch_add(1);
-      return;
-    }
-    // pad if smaller, then center crop (same conventions as preprocess_u8)
-    const uint8_t* cur = resized.data();
-    int ch = rh, cw = rw;
-    std::vector<uint8_t> padded;
-    if (ch < n_px || cw < n_px) {
-      const int ph = ch < n_px ? n_px - ch : 0;
-      const int pw = cw < n_px ? n_px - cw : 0;
-      const int nh = ch + ph, nw = cw + pw;
-      padded.assign(static_cast<size_t>(nh) * nw * 3, 0);
-      const int top = ph / 2, left = pw / 2;
-      for (int y = 0; y < ch; ++y)
-        std::memcpy(padded.data() + (static_cast<size_t>(y + top) * nw + left) * 3,
-                    cur + static_cast<size_t>(y) * cw * 3,
-                    static_cast<size_t>(cw) * 3);
-      cur = padded.data();
-      ch = nh; cw = nw;
-    }
-    const int top = center_crop_top(ch, n_px);
-    const int left = center_crop_top(cw, n_px);
-    for (int y = 0; y < n_px; ++y)
-      std::memcpy(dst + static_cast<size_t>(y) * n_px * 3,
-                  cur + (static_cast<size_t>(y + top) * cw + left) * 3,
-                  static_cast<size_t>(n_px) * 3);
-    ok[i] = 1;
   });
   return failures.load();
 }
 
-int dvl_version() { return 1; }
+// Batch: same ingest chain, but the crop is written PATCH-CONTIGUOUSLY:
+// out is [n, (n_px/patch)^2, patch*patch*3] uint8 — the exact bytes the ViT
+// patchify reads, so the device stem is one relayout-free int8 matmul
+// (ops/quant.py::patch_embed_q_p8).  Same byte count as the HWC canvas;
+// the rearrangement is free here (each output row scatters gw patch-row
+// segments instead of one memcpy).  n_px must be divisible by patch.
+int dvl_ingest_batch_files_u8p(const char* const* paths, int n, int n_px,
+                               int patch, uint8_t* out, int* ok,
+                               int nthreads) {
+  if (patch <= 0 || n_px % patch != 0) return -1;
+  std::atomic<int> failures{0};
+  const int gw = n_px / patch;
+  const size_t seg = static_cast<size_t>(patch) * 3;       // one patch-row
+  const size_t per_patch = static_cast<size_t>(patch) * seg;
+  const size_t per = static_cast<size_t>(gw) * gw * per_patch;
+  parallel_for(n, nthreads, [&](int i) {
+    uint8_t* dst = out + per * i;
+    if (ingest_one_u8(paths[i], n_px, [&](int y, const uint8_t* row) {
+          const int pr = y / patch, wr = y % patch;
+          uint8_t* base = dst + static_cast<size_t>(pr) * gw * per_patch
+                          + static_cast<size_t>(wr) * seg;
+          for (int gx = 0; gx < gw; ++gx)
+            std::memcpy(base + static_cast<size_t>(gx) * per_patch,
+                        row + static_cast<size_t>(gx) * seg, seg);
+        }) != 0) {
+      std::memset(dst, 0, per);
+      ok[i] = 0;
+      failures.fetch_add(1);
+    } else {
+      ok[i] = 1;
+    }
+  });
+  return failures.load();
+}
+
+int dvl_version() { return 2; }
 
 }  // extern "C"

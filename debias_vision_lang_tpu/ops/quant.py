@@ -226,6 +226,38 @@ def patch_embed_q(images: jax.Array, patch: int, wq: Dict[str, jax.Array],
     return out.reshape(b, gh * gw, width).astype(out_dtype)
 
 
+def patch_embed_q_p8(patches_u8: jax.Array, wq: Dict[str, jax.Array],
+                     bias: Optional[jax.Array] = None,
+                     out_dtype=jnp.bfloat16) -> jax.Array:
+    """Exact int8 patch embedding from HOST-PATCHIFIED uint8 staging.
+
+    patches_u8: [B, P, patch²·C] uint8 — the same bytes as
+    [B, n_px, n_px, 3] written patch-row-contiguously at decode time
+    (native/ingest.cc::dvl_ingest_batch_files_u8p — free on the host).
+    The stem is then ONE contiguous int8 MXU matmul with zero relayout:
+
+        xq  = u8 − 128                       (LOSSLESS int8 mapping)
+        acc = xq @ wq + 128·colsum(wq)       (== u8 @ wq exactly, int32)
+        out = acc · w_scale + bias
+
+    The +128·colsum term undoes the shift in integer arithmetic, so the
+    activation side is EXACT — the only quantization error is the weight
+    rounding, strictly tighter than the dynamic per-patch activation
+    quantization of ``patch_embed_q``.  No normalize pass, no f32 image
+    tensor, no strided fetch (measured +1.4–2% end-to-end on the headline
+    int8 path — benchmarks/stem_p8.py).  Use with the normalize-folded
+    weights (``conv1_folded`` / ``conv1_bias_folded``)."""
+    xq = (patches_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq["q"], (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    # int32-exact: 768·127·255 ≈ 2.5e7 per term set, far under 2^31
+    shift = 128 * jnp.sum(wq["q"].astype(jnp.int32), axis=0)
+    out = (acc + shift).astype(jnp.float32) * wq["scale"][0]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def _vit_q_trunk(p: Params, x: jax.Array, cfg,
                  fused: Optional[bool]) -> jax.Array:
     """cls/pos/pre-LN → int8 transformer → head, from patch embeddings."""
@@ -260,6 +292,19 @@ def encode_image_vit_q_u8(params_q: Params, images_u8: jax.Array, cfg,
     return _vit_q_trunk(p, x, cfg, fused)
 
 
+def encode_image_vit_q_p8(params_q: Params, patches_u8: jax.Array, cfg,
+                          dtype=jnp.bfloat16,
+                          fused: Optional[bool] = None) -> jax.Array:
+    """Int8 ViT forward from host-patchified uint8 staging
+    [B, P, patch²·3] (see ``patch_embed_q_p8``): the fastest headline
+    stem — exact integer activations, one relayout-free int8 matmul,
+    normalize folded into the weights."""
+    p = params_q
+    x = patch_embed_q_p8(patches_u8, p["conv1_folded"],
+                         p["conv1_bias_folded"], out_dtype=dtype)
+    return _vit_q_trunk(p, x, cfg, fused)
+
+
 def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
                        dtype=jnp.bfloat16,
                        fused: Optional[bool] = None) -> jax.Array:
@@ -287,7 +332,13 @@ class QuantizedCLIP:
 
     def encode_image(self, images, **kw):
         kw.pop("use_pallas", None)
-        return encode_image_vit_q(self.visual_q, jnp.asarray(images),
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            # host-patchified uint8 staging [B, P, patch²·3]: exact int8
+            # stem with the normalize folded into the weights
+            return encode_image_vit_q_p8(self.visual_q, images,
+                                         self.cfg.vision, **kw)
+        return encode_image_vit_q(self.visual_q, images,
                                   self.cfg.vision, **kw)
 
     def encode_text(self, text, **kw):

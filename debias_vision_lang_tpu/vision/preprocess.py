@@ -283,6 +283,27 @@ def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
     return out
 
 
+def patchify_u8(arr_u8: np.ndarray, patch: int) -> np.ndarray:
+    """Rearrange uint8 images into the patch-contiguous staging layout.
+
+    [B, H, W, 3] (or one [H, W, 3] image) → [B, gh·gw, patch²·3]: the same
+    bytes the ViT patchify reads, written patch-row-contiguously — the
+    layout the native ingest emits directly at decode time
+    (native/ingest.cc::dvl_ingest_batch_files_u8p) and the exact int8 stem
+    consumes (ops/quant.py::patch_embed_q_p8).  Host (numpy) fallback for
+    when the native runtime is unavailable."""
+    one = arr_u8.ndim == 3
+    if one:
+        arr_u8 = arr_u8[None]
+    b, h, w, c = arr_u8.shape
+    gh, gw = h // patch, w // patch
+    out = (arr_u8.reshape(b, gh, patch, gw, patch * c)
+           .transpose(0, 1, 3, 2, 4)
+           .reshape(b, gh * gw, patch * patch * c))
+    out = np.ascontiguousarray(out)
+    return out[0] if one else out
+
+
 def to_rgb_array(img) -> np.ndarray:
     """PIL image / array → uint8 [H, W, 3]."""
     if isinstance(img, np.ndarray):

@@ -204,3 +204,111 @@ def test_datasets_load_rgb_matches_pil(jpeg_dir):
     paths, arrays = jpeg_dir
     for p, ref in zip(paths, arrays):
         np.testing.assert_array_equal(_load_rgb(p), ref)
+
+
+def test_ingest_u8p_staging_matches_patchify(jpeg_dir):
+    """Patch-contiguous native staging == patchify of the HWC staging,
+    bit-exact (same decode, same resize, same bytes — different write
+    order)."""
+    from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+    paths, _ = jpeg_dir
+    hwc, ok1 = native.ingest_batch_files_u8(paths, 224, nthreads=2)
+    p8, ok2 = native.ingest_batch_files_u8p(paths, 224, patch=16, nthreads=2)
+    assert ok1.all() and ok2.all()
+    assert p8.shape == (len(paths), 14 * 14, 16 * 16 * 3)
+    np.testing.assert_array_equal(p8, patchify_u8(hwc, 16))
+
+
+def test_ingest_u8p_failure_flags(jpeg_dir, tmp_path):
+    paths, _ = jpeg_dir
+    garbled = str(tmp_path / "garbled.jpg")
+    with open(garbled, "wb") as f:
+        f.write(b"not an image")
+    outs, ok = native.ingest_batch_files_u8p([paths[0], garbled], 224, patch=16)
+    assert ok.tolist() == [True, False]
+    assert np.all(outs[1] == 0)
+
+
+def test_ingest_u8p_rejects_bad_patch(jpeg_dir):
+    paths, _ = jpeg_dir
+    with pytest.raises(ValueError):
+        native.ingest_batch_files_u8p(paths, 224, patch=15)
+
+
+def _patch_ds(paths, n=12):
+    class DS:
+        _img_fnames = (paths * ((n + len(paths) - 1) // len(paths)))[:n]
+        iat_labels = np.arange(n) % 2
+
+        def __len__(self):
+            return n
+
+        def load_image(self, i):
+            from PIL import Image
+
+            with Image.open(self._img_fnames[i]) as im:
+                return np.asarray(im.convert("RGB"))
+
+    return DS()
+
+
+def test_hostloader_native_patch_equivalence(jpeg_dir):
+    """HostLoader(native_patch=16) == patchify of the plain native batches,
+    on both the native and the pure-Python fallback path."""
+    from debias_vision_lang_tpu.data.loader import HostLoader
+    from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+    paths, _ = jpeg_dir
+    ds = _patch_ds(paths)
+    plain = list(HostLoader(ds, batch_size=8, num_workers=2, native_n_px=224))
+    staged = list(HostLoader(ds, batch_size=8, num_workers=2, native_n_px=224,
+                             native_patch=16))
+    assert [b.num_valid for b in staged] == [b.num_valid for b in plain]
+    for sb, pb in zip(staged, plain):
+        assert sb.images.shape == (8, 14 * 14, 16 * 16 * 3)
+        np.testing.assert_array_equal(sb.images, patchify_u8(pb.images, 16))
+        np.testing.assert_array_equal(sb.labels, pb.labels)
+
+    # pure-Python fallback (native runtime forced off) must stage identically
+    import debias_vision_lang_tpu.data.loader as loader_mod
+
+    fallback = HostLoader(ds, batch_size=8, num_workers=2, native_n_px=224,
+                          native_patch=16)
+    fallback._native_active = lambda: False
+    fb = list(fallback)
+    for sb, pb in zip(fb, staged):
+        np.testing.assert_array_equal(sb.images, pb.images)
+
+
+def test_hostloader_native_patch_unsupported_format_fallback(jpeg_dir, tmp_path):
+    """A file the native decoder can't handle (GIF) inside a staged batch
+    falls back per-image through PIL and still lands patch-contiguous."""
+    from debias_vision_lang_tpu.data.loader import HostLoader
+    from debias_vision_lang_tpu.vision.preprocess import patchify_u8, resize_crop_u8
+
+    paths, _ = jpeg_dir
+    from PIL import Image
+
+    odd = str(tmp_path / "odd.jpg")  # GIF bytes under a .jpg name
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(odd, format="GIF")
+
+    ds = _patch_ds([paths[0], odd], n=2)
+    batches = list(HostLoader(ds, batch_size=2, num_workers=1,
+                              native_n_px=224, native_patch=16))
+    assert len(batches) == 1
+    # ground truth through the same PIL decode the fallback uses (GIF is
+    # palettized — compare against its decode, not the pre-save array)
+    ref = patchify_u8(resize_crop_u8(ds.load_image(1), 224), 16)
+    np.testing.assert_array_equal(batches[0].images[1], ref)
+
+
+def test_hostloader_patch_requires_n_px():
+    from debias_vision_lang_tpu.data.loader import HostLoader
+
+    with pytest.raises(ValueError):
+        HostLoader(object(), native_patch=16)
+    with pytest.raises(ValueError):
+        HostLoader(object(), native_n_px=224, native_patch=15)

@@ -185,3 +185,45 @@ class TestPerImageWrapper:
         ref = (ref / 255.0 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
         ours = Preprocess(224)(img)
         assert np.abs(ours - ref).max() <= (1.0 / 255.0) / min(CLIP_STD) + 1e-4
+
+
+class TestPatchifyU8:
+    """Host patch-contiguous staging layout (the exact int8 stem's input —
+    ops/quant.py::patch_embed_q_p8; native writer in native/ingest.cc)."""
+
+    def test_matches_manual_patch_extraction(self, rng):
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        arr = rng.integers(0, 256, (2, 12, 12, 3), dtype=np.uint8)
+        out = patchify_u8(arr, 4)
+        assert out.shape == (2, 9, 4 * 4 * 3)
+        assert out.dtype == np.uint8
+        for b in range(2):
+            for gy in range(3):
+                for gx in range(3):
+                    patch = arr[b, gy * 4:(gy + 1) * 4, gx * 4:(gx + 1) * 4]
+                    np.testing.assert_array_equal(
+                        out[b, gy * 3 + gx], patch.reshape(-1))
+
+    def test_single_image_form(self, rng):
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        one = patchify_u8(arr, 8)
+        batched = patchify_u8(arr[None], 8)
+        assert one.shape == (4, 8 * 8 * 3)
+        np.testing.assert_array_equal(one, batched[0])
+
+    def test_matches_quant_patchify_ordering(self, rng):
+        """Same element ordering as the device-side _patchify the int8 stem
+        contracts over — the two layouts must agree or the staged stem would
+        silently permute patch pixels."""
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.ops.quant import _patchify
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        arr = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        dev = np.asarray(_patchify(jnp.asarray(arr, jnp.float32), 8))
+        host = patchify_u8(arr, 8).astype(np.float32)
+        np.testing.assert_array_equal(host, dev)

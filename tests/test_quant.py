@@ -304,3 +304,158 @@ class TestQuantizedSlip:
         cos = np.sum(e_fp * e_q, -1) / (
             np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
         assert cos.min() > 0.99
+
+
+class TestPatchStagingP8:
+    """Exact int8 stem from host-patchified uint8 staging
+    (ops/quant.py::patch_embed_q_p8 — the headline int8 eval stem)."""
+
+    def test_patch_embed_q_p8_is_integer_exact(self, rng):
+        """The −128 shift + colsum correction makes the activation side
+        EXACT: output == (u8 @ q) · scale + bias with the matmul in
+        integers (int64 numpy oracle)."""
+        from debias_vision_lang_tpu.ops.quant import patch_embed_q_p8
+
+        d, width = 4 * 4 * 3, 24
+        w = jnp.asarray(rng.normal(size=(d, width)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(width,)).astype(np.float32))
+        wq = quantize_weight(w)
+        patches = rng.integers(0, 256, (2, 9, d), dtype=np.uint8)
+        acc = patches.astype(np.int64) @ np.asarray(wq["q"], np.int64)
+        expected = (acc.astype(np.float32) * np.asarray(wq["scale"])[0]
+                    + np.asarray(b))
+        got = np.asarray(patch_embed_q_p8(jnp.asarray(patches), wq, b,
+                                          out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-5)
+
+    def test_p8_tower_matches_fp_and_u8(self, tiny_clip, rng):
+        """QuantizedCLIP dispatches ndim==3 uint8 input to the staged stem;
+        embeddings must agree with (a) the folded-u8 int8 path and (b) the
+        full-precision tower on the equivalently preprocessed images."""
+        from debias_vision_lang_tpu.ops.quant import encode_image_vit_q_u8
+        from debias_vision_lang_tpu.vision.preprocess import (patchify_u8,
+                                                              preprocess_batch)
+
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+
+        e_p8 = np.asarray(qmodel.encode_image(
+            jnp.asarray(patchify_u8(imgs, 8)), dtype=jnp.float32))
+        e_u8 = np.asarray(encode_image_vit_q_u8(
+            qmodel.visual_q, jnp.asarray(imgs), cfg.vision,
+            dtype=jnp.float32))
+        e_fp = np.asarray(base.encode_image(
+            preprocess_batch(jnp.asarray(imgs), 32), use_pallas=False,
+            dtype=jnp.float32))
+
+        def cos(a, b):
+            return np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                        * np.linalg.norm(b, axis=-1))
+
+        assert cos(e_p8, e_u8).min() > 0.99
+        assert cos(e_p8, e_fp).min() > 0.99
+
+    def test_staged_pipeline_matches_unstaged(self, tiny_clip, rng, tmp_path):
+        """get_labels_img_embeddings over a patch-staged loader ==
+        the plain-u8 loader within stem quantization tolerance, with
+        identical labels — the end-to-end wiring measure_bias turns on
+        for dtype='int8'."""
+        from PIL import Image
+
+        from debias_vision_lang_tpu.data.loader import HostLoader
+        from debias_vision_lang_tpu.eval.measure import get_labels_img_embeddings
+
+        paths = []
+        for i in range(10):
+            p = str(tmp_path / f"{i}.jpg")
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                            ).save(p, quality=95)
+            paths.append(p)
+
+        class DS:
+            _img_fnames = paths
+            iat_labels = np.arange(10) % 2
+
+            def __len__(self):
+                return 10
+
+            def load_image(self, i):
+                with Image.open(paths[i]) as im:
+                    return np.asarray(im.convert("RGB"))
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+        ds = DS()
+        lab_a, emb_a = get_labels_img_embeddings(
+            HostLoader(ds, batch_size=4, num_workers=1, native_n_px=32),
+            model, n_px=32, dtype="int8")
+        lab_b, emb_b = get_labels_img_embeddings(
+            HostLoader(ds, batch_size=4, num_workers=1, native_n_px=32,
+                       native_patch=8),
+            model, n_px=32, dtype="int8")
+        np.testing.assert_array_equal(lab_a, lab_b)
+        a, b = np.asarray(emb_a), np.asarray(emb_b)
+        cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                   * np.linalg.norm(b, axis=-1))
+        assert cos.min() > 0.99
+
+    def test_measure_bias_int8_picks_patch_staging(self, tiny_clip, monkeypatch,
+                                                   rng, tmp_path):
+        """measure_bias(dtype='int8') on a plain ViT at native resolution
+        must route batches through the patch-contiguous staging (and still
+        produce finite metrics)."""
+        import os
+
+        import pandas as pd
+        from PIL import Image
+
+        import debias_vision_lang_tpu.data.loader as loader_mod
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        root = tmp_path / "ff"
+        os.makedirs(root / "imgs" / "train_val" / "v")
+        races = ["White", "Southeast Asian", "Middle Eastern", "Black",
+                 "Indian", "Latino_Hispanic", "East Asian"]
+        ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59",
+                "60-69", "more than 70"]
+        rows = []
+        for i in range(12):
+            f = f"v/{i}.jpg"
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                            ).save(root / "imgs" / "train_val" / f)
+            rows.append({"file": f, "age": ages[i % 9],
+                         "gender": "Male" if i % 2 else "Female",
+                         "race": races[i % 7]})
+        for m in ("train", "val"):
+            os.makedirs(root / "labels" / m)
+            pd.DataFrame(rows).to_csv(root / "labels" / m / f"{m}_labels.csv",
+                                      index=False)
+
+        seen = {}
+        orig_init = loader_mod.HostLoader.__init__
+
+        def spy_init(self, *a, **kw):
+            seen["native_patch"] = kw.get("native_patch")
+            return orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(loader_mod.HostLoader, "__init__", spy_init)
+
+        cfg, params = tiny_clip
+
+        def tok(texts):
+            out = np.zeros((len(texts), 16), np.int32)
+            out[:, 0] = cfg.text.vocab_size - 2
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = cfg.text.vocab_size - 1
+            return out
+
+        res = measure_bias(CLIP(params=params, cfg=cfg), Preprocess(32), tok,
+                           "gender",
+                           opts={"batch_size": 8, "topn": 6, "dtype": "int8",
+                                 "data_path": str(root)})
+        assert seen["native_patch"] == cfg.vision.patch_size
+        assert np.isfinite(res["ndkl"]["eq_opp"])
