@@ -101,8 +101,9 @@ def main():
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
     stem = os.environ.get("BENCH_STEM", "p8" if quant else "f32")
+    use_p8 = stem == "p8" and (quant or dtype == jnp.bfloat16)
 
-    if quant and stem == "p8":
+    if quant and use_p8:
         from debias_vision_lang_tpu.ops.quant import (encode_image_vit_q_p8,
                                                       quantize_vit_visual)
 
@@ -121,6 +122,14 @@ def main():
         def embed(p, images_u8):
             x = preprocess_batch(images_u8, cfg.vision.image_size)
             return encode_image_vit_q(p, x, cfg.vision, dtype=dtype).astype(jnp.float32)
+    elif use_p8:
+        # bf16 faithful mode with the patch-contiguous staging: folded
+        # normalize, one relayout-free stem dot (u8 exact in bf16)
+        @jax.jit
+        def embed(p, patches_u8):
+            return clip_model.encode_image_vit_p8(
+                p["visual"], patches_u8, cfg.vision, dtype=dtype,
+                use_pallas=use_pallas).astype(jnp.float32)
     else:
         @jax.jit
         def embed(p, images_u8):
@@ -133,7 +142,7 @@ def main():
     # two alternating buffers: defeats any buffer-identity caching in the
     # remote-execution path.  The p8 stem consumes the patch-contiguous
     # staging the native loader writes at decode time — same byte count.
-    if quant and stem == "p8":
+    if use_p8:
         patch = cfg.vision.patch_size
         g = cfg.vision.image_size // patch
         shape = (batch, g * g, patch * patch * 3)

@@ -95,9 +95,11 @@ def get_prompt_embeddings(model, tokenizer, prompts: List[str]) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("n_px", "compute_dtype"))
 def _embed_step(model, images_u8, n_px, compute_dtype):
     if images_u8.ndim == 3:
-        # patch-contiguous uint8 staging [B, P, patch²·3] (int8 path):
-        # the exact int8 stem consumes it directly — normalize is folded
-        # into the weights, no device preprocess (ops/quant.py)
+        # patch-contiguous uint8 staging [B, P, patch²·3]: the stem runs as
+        # one relayout-free matmul with the normalize folded into the
+        # weights, no device preprocess — exact int8 on the quantized path
+        # (ops/quant.py::patch_embed_q_p8), folded bf16 on the float path
+        # (models/clip.py::encode_image_vit_p8)
         return model.encode_image(images_u8,
                                   dtype=compute_dtype).astype(jnp.float32)
     if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
@@ -319,12 +321,16 @@ def measure_bias(
         # makes the eval preprocess bit-exact vs the reference AND cheaper
         # on H2D; a user-supplied callable instead runs on the decode
         # threads so batches still stack at a fixed shape
-        # int8 + plain ViT at its native resolution: stage batches in the
-        # patch-contiguous uint8 layout so the quantized stem runs as one
-        # relayout-free exact int8 matmul (ops/quant.py::patch_embed_q_p8;
-        # same bytes, free on the ingest side — measured +1.4–2% e2e)
+        # int8/bf16 + plain ViT at its native resolution: stage batches in
+        # the patch-contiguous uint8 layout so the stem runs as one
+        # relayout-free matmul with the normalize folded into the weights —
+        # exact int8 on the quantized path (ops/quant.py::patch_embed_q_p8,
+        # measured +2.5% e2e), folded bf16 on the float path
+        # (models/clip.py::encode_image_vit_p8; u8 is exact in bf16, so
+        # accuracy is not worse than preprocess+conv at the same dtype).
+        # float32 keeps the preprocess+conv stem: reference-parity mode.
         patch_staging = None
-        if (cfg.dtype == "int8" and host_transform is None
+        if (cfg.dtype in ("int8", "bfloat16") and host_transform is None
                 and dataset_name != "video"):
             vis = _vision_cfg_of(cliplike)
             if (vis is not None and vis.kind in ("vit", "slip_vit")

@@ -244,8 +244,47 @@ def encode_image_vit_u8(
     return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
 
 
+def encode_image_vit_p8(
+    params: Params,
+    patches_u8: jax.Array,
+    cfg: VisionConfig,
+    *,
+    dtype=jnp.bfloat16,
+    use_pallas: Optional[bool] = None,
+    remat: bool = False,
+    fused: Optional[bool] = None,
+) -> jax.Array:
+    """ViT forward from PATCH-CONTIGUOUS uint8 staging [B, P, patch²·3]
+    (the layout the native loader writes at decode time —
+    native/ingest.cc::dvl_ingest_batch_files_u8p).  The preprocess
+    Normalize is folded into the patch weights (fold_preprocess_into_patch)
+    and the stem is ONE contiguous dot with zero relayout — uint8 values
+    are exact in bfloat16, so this is at least as accurate as
+    ``encode_image_vit(preprocess_batch(u8))`` at the same compute dtype.
+    Floating-point sibling of ops/quant.py::encode_image_vit_q_p8."""
+    p = params
+    w_f, b_f = fold_preprocess_into_patch(p["conv1"])
+    x = jax.lax.dot_general(patches_u8.astype(dtype), w_f.astype(dtype),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    x = x.astype(dtype) + b_f.astype(dtype)
+    return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
+
+
+def _is_patch_staging(images: jax.Array, cfg: VisionConfig) -> bool:
+    """True iff `images` is the patch-contiguous uint8 staging for this
+    tower: [B, (n/patch)², patch²·3].  The last-dim check keeps single
+    [H, W, 3] images (last dim 3) unambiguous."""
+    return (images.ndim == 3 and images.dtype == jnp.uint8
+            and images.shape[-1] == cfg.patch_size * cfg.patch_size * 3
+            and images.shape[-2] == (cfg.image_size // cfg.patch_size) ** 2)
+
+
 def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, **kw) -> jax.Array:
     if cfg.vision.kind in ("vit", "slip_vit"):
+        if _is_patch_staging(images, cfg.vision):
+            kw.setdefault("dtype", jnp.bfloat16)
+            return encode_image_vit_p8(params["visual"], images, cfg.vision, **kw)
         return encode_image_vit(params["visual"], images, cfg.vision, **kw)
     if cfg.vision.kind == "resnet":
         from .resnet import encode_image_resnet

@@ -189,3 +189,127 @@ class TestFoldedU8Path:
         cos = np.sum(ref * got, -1) / (
             np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1))
         assert cos.min() > 0.995
+
+
+class TestPatchStagingFloatPath:
+    """encode_image_vit_p8 + the encode_image staging dispatch: the
+    float-path sibling of the exact int8 staged stem (the bf16 eval mode's
+    stem — eval/measure.py enables the staging for dtype='bfloat16' too)."""
+
+    def test_fp32_equivalence(self, tiny_clip, rng):
+        from debias_vision_lang_tpu.models.clip import (
+            encode_image_vit, encode_image_vit_p8)
+        from debias_vision_lang_tpu.vision.preprocess import (patchify_u8,
+                                                              preprocess_batch)
+
+        cfg, params = tiny_clip
+        imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+        ref = encode_image_vit(params["visual"],
+                               preprocess_batch(jnp.asarray(imgs), 32),
+                               cfg.vision, dtype=jnp.float32, use_pallas=False)
+        got = encode_image_vit_p8(params["visual"],
+                                  jnp.asarray(patchify_u8(imgs, 8)),
+                                  cfg.vision, dtype=jnp.float32,
+                                  use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_bundle_dispatch_and_ambiguity_guard(self, tiny_clip, rng):
+        """CLIP.encode_image routes the staging layout to the folded stem;
+        shapes that merely LOOK 3-D (single HWC image, wrong patch count)
+        must NOT be misrouted."""
+        from debias_vision_lang_tpu.models.clip import _is_patch_staging
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.vision.preprocess import (patchify_u8,
+                                                              preprocess_batch)
+
+        cfg, params = tiny_clip
+        model = CLIP(params=params, cfg=cfg)
+        imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        staged = patchify_u8(imgs, 8)
+
+        assert _is_patch_staging(jnp.asarray(staged), cfg.vision)
+        # single HWC image: last dim 3, not patch²·3
+        assert not _is_patch_staging(
+            jnp.asarray(imgs[0]), cfg.vision)
+        # right feature dim, wrong patch count
+        assert not _is_patch_staging(
+            jnp.asarray(staged[:, :9]), cfg.vision)
+        # float staging (already-preprocessed something): not staging
+        assert not _is_patch_staging(
+            jnp.asarray(staged, jnp.float32), cfg.vision)
+
+        via_bundle = np.asarray(model.encode_image(staged, dtype=jnp.float32,
+                                                   use_pallas=False))
+        ref = np.asarray(model.encode_image(
+            preprocess_batch(jnp.asarray(imgs), 32), dtype=jnp.float32,
+            use_pallas=False))
+        np.testing.assert_allclose(via_bundle, ref, rtol=2e-4, atol=2e-5)
+
+    def test_measure_bias_bf16_picks_patch_staging(self, tiny_clip, rng,
+                                                   monkeypatch, tmp_path):
+        """measure_bias(dtype='bfloat16') on a plain ViT at native
+        resolution routes batches through the patch staging and produces
+        metrics close to the unstaged float path."""
+        import os
+
+        import pandas as pd
+        from PIL import Image
+
+        import debias_vision_lang_tpu.data.loader as loader_mod
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        root = tmp_path / "ff"
+        os.makedirs(root / "imgs" / "train_val" / "v")
+        races = ["White", "Southeast Asian", "Middle Eastern", "Black",
+                 "Indian", "Latino_Hispanic", "East Asian"]
+        ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59",
+                "60-69", "more than 70"]
+        rows = []
+        for i in range(12):
+            f = f"v/{i}.jpg"
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                            ).save(root / "imgs" / "train_val" / f)
+            rows.append({"file": f, "age": ages[i % 9],
+                         "gender": "Male" if i % 2 else "Female",
+                         "race": races[i % 7]})
+        for m in ("train", "val"):
+            os.makedirs(root / "labels" / m)
+            pd.DataFrame(rows).to_csv(root / "labels" / m / f"{m}_labels.csv",
+                                      index=False)
+
+        seen = {}
+        orig_init = loader_mod.HostLoader.__init__
+
+        def spy_init(self, *a, **kw):
+            seen["native_patch"] = kw.get("native_patch")
+            return orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(loader_mod.HostLoader, "__init__", spy_init)
+
+        cfg, params = tiny_clip
+
+        def tok(texts):
+            out = np.zeros((len(texts), 16), np.int32)
+            out[:, 0] = cfg.text.vocab_size - 2
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = cfg.text.vocab_size - 1
+            return out
+
+        model = CLIP(params=params, cfg=cfg)
+        res_bf16 = measure_bias(model, Preprocess(32), tok, "gender",
+                                opts={"batch_size": 8, "topn": 6,
+                                      "dtype": "bfloat16",
+                                      "data_path": str(root)})
+        assert seen["native_patch"] == 8
+        res_f32 = measure_bias(model, Preprocess(32), tok, "gender",
+                               opts={"batch_size": 8, "topn": 6,
+                                     "dtype": "float32",
+                                     "data_path": str(root)})
+        for key in ("maxskew", "ndkl"):
+            for sub, v in res_bf16[key].items():
+                assert np.isfinite(v)
+                assert abs(v - res_f32[key][sub]) < 0.2
