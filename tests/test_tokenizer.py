@@ -253,3 +253,85 @@ class TestHFCrossImplementationParity:
                 while o and o[-1] == 0:
                     o.pop()
                 assert o == h, f"{t!r}: ours {o} != hf {h}"
+
+
+class TestMergesFileFireDrill:
+    """Drill the REAL-file loading path (text/bpe.py::read_merges +
+    tokenizer.load_tokenizer) on fabricated files in the exact format of
+    ``bpe_simple_vocab_16e6.txt.gz`` (version-header first line, space-
+    separated merge pairs, trailing newline) — this code has otherwise
+    never run before the network-gated asset appears (VERDICT 2.21 risk).
+    OpenAI's loader slices ``lines[1 : 49152-256-2+1]``; ours must match.
+    """
+
+    MERGES = [("t", "h"), ("th", "e</w>"), ("c", "a"), ("ca", "t</w>")]
+
+    def _write(self, path, n_lines=None, gz=False, trailing="\n"):
+        import gzip
+
+        lines = ["#version: 0.2 - fabricated drill file"]
+        lines += [f"{a} {b}" for a, b in self.MERGES]
+        if n_lines is not None:  # pad with unique junk merges past limit
+            lines += [f"x{i} y{i}" for i in range(n_lines - len(self.MERGES))]
+        data = "\n".join(lines) + trailing
+        if gz:
+            with gzip.open(path, "wt", encoding="utf-8") as f:
+                f.write(data)
+        else:
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(data)
+
+    def test_gz_roundtrip_and_header_skip(self, tmp_path):
+        from debias_vision_lang_tpu.text.bpe import read_merges
+
+        p = str(tmp_path / "vocab.txt.gz")
+        self._write(p, gz=True)
+        merges = read_merges(p)
+        assert merges == self.MERGES  # header line skipped, pairs parsed
+
+    def test_plain_text_same_result(self, tmp_path):
+        from debias_vision_lang_tpu.text.bpe import read_merges
+
+        g, t = str(tmp_path / "v.txt.gz"), str(tmp_path / "v.txt")
+        self._write(g, gz=True)
+        self._write(t, gz=False)
+        assert read_merges(g) == read_merges(t)
+
+    def test_limit_slice_matches_openai(self, tmp_path):
+        """Files longer than the merge budget are cut at lines[1:limit+1] —
+        the real file has extra lines past 48,894 that clip.py discards."""
+        from debias_vision_lang_tpu.text.bpe import read_merges
+
+        p = str(tmp_path / "long.txt.gz")
+        self._write(p, n_lines=50, gz=True)
+        merges = read_merges(p, limit=10)
+        assert len(merges) == 10
+        assert merges[: len(self.MERGES)] == self.MERGES
+        # real-file invariant: the default budget yields the 49,408 vocab
+        from debias_vision_lang_tpu.text.bpe import build_vocab
+
+        assert len(build_vocab([("a", f"b{i}") for i in range(48894)])) == 49408
+
+    def test_load_tokenizer_end_to_end(self, tmp_path):
+        """load_tokenizer on a real-format gz → working ClipTokenizer with
+        the EOT-max-id invariant and functioning encode/decode."""
+        from debias_vision_lang_tpu.text.tokenizer import load_tokenizer
+
+        p = str(tmp_path / "drill.txt.gz")
+        self._write(p, gz=True)
+        tok = load_tokenizer(p, context_length=16)
+        assert tok.vocab_size == 512 + len(self.MERGES) + 2
+        assert tok.eot_token == tok.vocab_size - 1
+        ids = tok(["the cat"])[0]
+        assert ids[0] == tok.sot_token
+        assert ids[int(np.argmax(ids))] == tok.eot_token
+        assert tok.decode(tok.encode("the cat")).strip() == "the cat"
+
+    def test_no_trailing_newline(self, tmp_path):
+        """The reference prompt CSV famously lacks a trailing newline;
+        guard the merges parser against the same quirk."""
+        from debias_vision_lang_tpu.text.bpe import read_merges
+
+        p = str(tmp_path / "nonl.txt")
+        self._write(p, gz=False, trailing="")
+        assert read_merges(p) == self.MERGES
