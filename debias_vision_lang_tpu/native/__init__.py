@@ -67,41 +67,82 @@ def ensure_built(force: bool = False) -> str:
     return so
 
 
+# must match dvl_version() in ingest.cc; a cached .so from an older source
+# (possible when install tools reset mtimes) binds as stale and is rebuilt
+_EXPECTED_ABI = 2
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare argtypes for every export.  Raises AttributeError when the
+    library predates a symbol (stale cached build)."""
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    lib.dvl_version.argtypes = []
+    lib.dvl_version.restype = ctypes.c_int
+    lib.dvl_decode_jpeg.argtypes = [c_u8p, ctypes.c_size_t, c_u8p,
+                                    ctypes.c_size_t, c_ip, c_ip]
+    lib.dvl_jpeg_dims.argtypes = [c_u8p, ctypes.c_size_t, c_ip, c_ip]
+    lib.dvl_resize_bicubic_u8.argtypes = [
+        c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_u8p, ctypes.c_int, ctypes.c_int]
+    lib.dvl_preprocess_u8.argtypes = [c_u8p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, c_fp]
+    lib.dvl_preprocess_batch_u8.argtypes = [
+        ctypes.POINTER(c_u8p), c_ip, c_ip, ctypes.c_int, ctypes.c_int,
+        c_fp, ctypes.c_int]
+    lib.dvl_preprocess_batch_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        c_fp, c_ip, ctypes.c_int]
+    lib.dvl_ingest_batch_files_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        c_u8p, c_ip, ctypes.c_int]
+    lib.dvl_ingest_batch_files_u8p.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, c_u8p, c_ip, ctypes.c_int]
+    if lib.dvl_version() != _EXPECTED_ABI:
+        raise AttributeError(
+            f"native ABI {lib.dvl_version()} != expected {_EXPECTED_ABI}")
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _BUILD_ERR
     with _LOCK:
         if _LIB is not None or _BUILD_ERR is not None:
             return _LIB
-        try:
-            lib = ctypes.CDLL(ensure_built())
-        except (OSError, RuntimeError, subprocess.SubprocessError) as e:
-            _BUILD_ERR = str(e)
-            return None
-        c_u8p = ctypes.POINTER(ctypes.c_uint8)
-        c_ip = ctypes.POINTER(ctypes.c_int)
-        c_fp = ctypes.POINTER(ctypes.c_float)
-        lib.dvl_decode_jpeg.argtypes = [c_u8p, ctypes.c_size_t, c_u8p,
-                                        ctypes.c_size_t, c_ip, c_ip]
-        lib.dvl_jpeg_dims.argtypes = [c_u8p, ctypes.c_size_t, c_ip, c_ip]
-        lib.dvl_resize_bicubic_u8.argtypes = [
-            c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            c_u8p, ctypes.c_int, ctypes.c_int]
-        lib.dvl_preprocess_u8.argtypes = [c_u8p, ctypes.c_int, ctypes.c_int,
-                                          ctypes.c_int, c_fp]
-        lib.dvl_preprocess_batch_u8.argtypes = [
-            ctypes.POINTER(c_u8p), c_ip, c_ip, ctypes.c_int, ctypes.c_int,
-            c_fp, ctypes.c_int]
-        lib.dvl_preprocess_batch_files.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            c_fp, c_ip, ctypes.c_int]
-        lib.dvl_ingest_batch_files_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            c_u8p, c_ip, ctypes.c_int]
-        lib.dvl_ingest_batch_files_u8p.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, c_u8p, c_ip, ctypes.c_int]
-        _LIB = lib
-        return _LIB
+        for rebuild in (False, True):
+            lib = None
+            try:
+                lib = ctypes.CDLL(ensure_built(force=rebuild))
+                _bind(lib)
+            except (AttributeError, OSError) as e:
+                if lib is not None:
+                    # drop the stale mapping: dlopen caches by pathname,
+                    # so without dlclose the rebuilt file at the same path
+                    # would resolve to the old handle
+                    try:
+                        import _ctypes
+
+                        _ctypes.dlclose(lib._handle)
+                    except Exception:
+                        pass
+                # AttributeError: cached .so predates a newer export / ABI
+                # bump (the mtime comparison misses this when install tools
+                # reset mtimes).  OSError: corrupt/unloadable cached file.
+                # Rebuild from source once, then give up gracefully —
+                # callers fall back to the Python path.
+                if not rebuild:
+                    continue
+                _BUILD_ERR = f"unusable native library: {e}"
+                return None
+            except (RuntimeError, subprocess.SubprocessError) as e:
+                # compile itself failed — retrying the same compile is
+                # pointless
+                _BUILD_ERR = str(e)
+                return None
+            _LIB = lib
+            return _LIB
+        return None
 
 
 def available() -> bool:
@@ -118,8 +159,9 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes → uint8 [H, W, 3] RGB (libjpeg, PIL-equivalent defaults)."""
+def jpeg_dims(data: bytes) -> tuple:
+    """JPEG bytes → (height, width) from the header alone (no pixel
+    decode) — the cheap pre-allocation size check for decode caps."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
@@ -129,6 +171,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                            ctypes.byref(w))
     if rc != 0:
         raise ValueError(f"not a decodable JPEG (rc={rc})")
+    return h.value, w.value
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes → uint8 [H, W, 3] RGB (libjpeg, PIL-equivalent defaults)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    hv, wv = jpeg_dims(data)
+    h.value, w.value = hv, wv
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.dvl_decode_jpeg(_u8p(buf), buf.size, _u8p(out), out.size,
                              ctypes.byref(h), ctypes.byref(w))

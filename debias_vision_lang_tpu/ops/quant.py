@@ -331,13 +331,25 @@ class QuantizedCLIP:
         self.visual_q = quantize_vit_visual(_bundle_params(base)["visual"])
 
     def encode_image(self, images, **kw):
+        from ..models.clip import _is_patch_staging
+
         kw.pop("use_pallas", None)
         images = jnp.asarray(images)
-        if images.ndim == 3:
+        if _is_patch_staging(images, self.cfg.vision):
             # host-patchified uint8 staging [B, P, patch²·3]: exact int8
             # stem with the normalize folded into the weights
             return encode_image_vit_q_p8(self.visual_q, images,
                                          self.cfg.vision, **kw)
+        if images.ndim == 3:
+            # any other 3-D input is ambiguous (a single HWC image, a
+            # float tensor that merely looks like the staging): running
+            # it through either stem would produce silent garbage
+            raise ValueError(
+                "3-D image input must be the uint8 patch-contiguous "
+                f"staging [B, {(self.cfg.vision.image_size // self.cfg.vision.patch_size) ** 2}, "
+                f"{self.cfg.vision.patch_size ** 2 * 3}] for this tower "
+                f"(got {images.shape} {images.dtype}); batch single images "
+                "to [1, H, W, 3]")
         return encode_image_vit_q(self.visual_q, images,
                                   self.cfg.vision, **kw)
 

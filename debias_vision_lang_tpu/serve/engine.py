@@ -84,14 +84,33 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     """Image bytes (JPEG/PNG/...) → uint8 [H, W, 3] RGB.
 
     Native libjpeg decode when built (bit-exact vs PIL, ~50× faster on small
-    hosts); PIL handles everything else.  Dimensions are checked against
-    ``MAX_DECODE_PIXELS`` from the header BEFORE any pixel decode
-    (``Image.open`` parses headers lazily without decoding)."""
+    hosts) — that path never touches PIL, header to pixels; PIL handles
+    everything else, parsed once.  Dimensions are checked against
+    ``MAX_DECODE_PIXELS`` from the header BEFORE any pixel decode (both
+    libjpeg's header reader and ``Image.open`` size images without
+    decoding)."""
+    from .. import native
+
+    if data[:2] == b"\xff\xd8" and native.available():  # JPEG magic
+        try:
+            h, w = native.jpeg_dims(data)
+        except ValueError:
+            h = w = None  # exotic variant → PIL below
+        if h is not None:
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
+                    "decode limit")
+            try:
+                return native.decode_jpeg(data)
+            except ValueError:
+                pass  # fall through to PIL for exotic variants
+
     from PIL import Image
 
     try:
-        with Image.open(io.BytesIO(data)) as im:
-            w, h = im.size
+        im = Image.open(io.BytesIO(data))
+        w, h = im.size
     except Image.DecompressionBombError as e:
         # PIL's own guard (a plain Exception, not OSError) fires during the
         # header parse for extreme sizes — same client-error class as ours
@@ -100,14 +119,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         raise ValueError(
             f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
             "decode limit")
-    from .. import native
-
-    if native.available() and data[:2] == b"\xff\xd8":  # JPEG magic
-        try:
-            return native.decode_jpeg(data)
-        except ValueError:
-            pass  # fall through to PIL for exotic variants
-    return to_rgb_array(Image.open(io.BytesIO(data)))
+    return to_rgb_array(im)
 
 
 class InferenceEngine:

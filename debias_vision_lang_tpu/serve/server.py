@@ -268,6 +268,10 @@ class _Handler(BaseHTTPRequestHandler):
     # -- routes --------------------------------------------------------------
 
     def do_GET(self):
+        # a GET carrying a body (unusual but legal) must be drained before
+        # responding or the leftover bytes desynchronize the keep-alive
+        # connection (they'd parse as the next request line)
+        self._drain_body()
         if self.path == "/healthz":
             if self.auth_token is not None and not self._bearer_ok():
                 # liveness only for unauthenticated probes: model name,

@@ -312,3 +312,57 @@ def test_hostloader_patch_requires_n_px():
         HostLoader(object(), native_patch=16)
     with pytest.raises(ValueError):
         HostLoader(object(), native_n_px=224, native_patch=15)
+
+
+def test_jpeg_dims_header_only(jpeg_dir):
+    from PIL import Image
+
+    paths, _ = jpeg_dir
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size
+        assert native.jpeg_dims(data) == (h, w)
+    with pytest.raises(ValueError):
+        native.jpeg_dims(b"\xff\xd8not a jpeg")
+
+
+def test_stale_cached_so_rebuilt(tmp_path, monkeypatch):
+    """A cached .so that predates a newer export (possible when install
+    tools reset source mtimes) must be rebuilt transparently, not crash
+    available() with an AttributeError (round-3 review fix)."""
+    import subprocess
+
+    src = tmp_path / "old.cc"
+    src.write_text('extern "C" int dvl_version() { return 1; }\n')
+    so = tmp_path / "libdvl_ingest.so"
+    subprocess.run(["g++", "-O0", "-shared", "-fPIC", str(src),
+                    "-o", str(so)], check=True)
+    # future mtime: ensure_built's staleness check keeps the bad file
+    t = os.path.getmtime(native._SRC) + 3600
+    os.utime(so, (t, t))
+    monkeypatch.setenv("DVL_NATIVE_CACHE", str(tmp_path))
+    saved = native._LIB, native._BUILD_ERR
+    native._LIB = native._BUILD_ERR = None
+    try:
+        assert native.available()  # rebuilt from the real source
+        assert native._LIB.dvl_version() == native._EXPECTED_ABI
+    finally:
+        native._LIB, native._BUILD_ERR = saved
+
+
+def test_corrupt_cached_so_rebuilt(tmp_path, monkeypatch):
+    """Garbage bytes at the cache path (truncated copy, disk corruption)
+    also trigger one rebuild instead of a hard unavailable."""
+    so = tmp_path / "libdvl_ingest.so"
+    so.write_bytes(b"not an elf file")
+    t = os.path.getmtime(native._SRC) + 3600
+    os.utime(so, (t, t))
+    monkeypatch.setenv("DVL_NATIVE_CACHE", str(tmp_path))
+    saved = native._LIB, native._BUILD_ERR
+    native._LIB = native._BUILD_ERR = None
+    try:
+        assert native.available()
+    finally:
+        native._LIB, native._BUILD_ERR = saved

@@ -459,3 +459,24 @@ class TestPatchStagingP8:
                                  "data_path": str(root)})
         assert seen["native_patch"] == cfg.vision.patch_size
         assert np.isfinite(res["ndkl"]["eq_opp"])
+
+    def test_ambiguous_3d_input_rejected(self, tiny_clip, rng):
+        """encode_image routes ONLY the genuine uint8 patch staging to the
+        p8 stem; any other 3-D input (a float tensor shaped like the
+        staging, a single HWC image) must raise, not return silent
+        garbage — mirrors the _is_patch_staging guard on the fp path."""
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg))
+        fake = jnp.asarray(rng.normal(size=(2, 16, 192)).astype(np.float32))
+        with pytest.raises(ValueError, match="patch-contiguous"):
+            qmodel.encode_image(fake)
+        single = jnp.asarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+        with pytest.raises(ValueError, match="batch single images"):
+            qmodel.encode_image(single)
+        imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        out = qmodel.encode_image(jnp.asarray(patchify_u8(imgs, 8)),
+                                  dtype=jnp.float32)
+        assert np.isfinite(np.asarray(out)).all()

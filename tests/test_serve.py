@@ -117,6 +117,47 @@ class TestMicroBatcher:
             mb.submit(9)
 
 
+class TestDecodeImageBytes:
+    def test_native_jpeg_path_needs_no_pil(self, rng, monkeypatch):
+        """The documented native-only decode contract: a decodable JPEG
+        never touches PIL when the native runtime is built (round-3
+        review fix — the header check used to Image.open every payload)."""
+        import sys
+
+        from debias_vision_lang_tpu import native
+        from debias_vision_lang_tpu.serve.engine import decode_image_bytes
+
+        if not native.available():
+            pytest.skip("native ingest unavailable")
+        data = _jpeg_bytes(rng)
+        monkeypatch.setitem(sys.modules, "PIL", None)  # import PIL → error
+        monkeypatch.setitem(sys.modules, "PIL.Image", None)
+        out = decode_image_bytes(data)
+        assert out.shape == (48, 40, 3) and out.dtype == np.uint8
+
+    def test_decode_cap_enforced_before_native_decode(self, rng, monkeypatch):
+        from debias_vision_lang_tpu import serve
+        from debias_vision_lang_tpu.serve import engine as engine_mod
+
+        monkeypatch.setattr(engine_mod, "MAX_DECODE_PIXELS", 100)
+        with pytest.raises(ValueError, match="decode limit"):
+            engine_mod.decode_image_bytes(_jpeg_bytes(rng))
+
+    def test_pil_fallback_single_parse(self, rng):
+        """Non-JPEG (PNG) still decodes through PIL, parsed once."""
+        import io as _io
+
+        from PIL import Image
+
+        from debias_vision_lang_tpu.serve.engine import decode_image_bytes
+
+        arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        out = decode_image_bytes(buf.getvalue())
+        np.testing.assert_array_equal(out, arr)
+
+
 class TestEngine:
     def test_bucket_padding_matches_direct(self, engine, rng):
         """Padded-bucket results must equal the unpadded forward."""
@@ -370,6 +411,28 @@ class TestHTTP:
                 resp = conn.getresponse()
                 assert resp.status == 200
                 json.loads(resp.read())
+        finally:
+            conn.close()
+
+    def test_get_with_body_keeps_connection_synchronized(self, server):
+        """A GET carrying a body (legal, if unusual) must be drained
+        before responding, or the leftover bytes parse as the next
+        request line and wreck the keep-alive connection (round-3 review
+        fix)."""
+        import http.client
+
+        host, port = server.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.request("GET", "/healthz", body=b"x" * 120)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+            # same connection must still speak clean HTTP
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            json.loads(resp.read())
         finally:
             conn.close()
 
