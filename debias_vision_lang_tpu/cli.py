@@ -283,6 +283,12 @@ def _add_serve(sub):
                         "(for production prefer a fronting LB/proxy)")
     p.add_argument("--tls-key", default=None,
                    help="PEM private key (defaults to --tls-cert file)")
+    p.add_argument("--reuse-port", action="store_true",
+                   help="bind with SO_REUSEPORT: run several serve "
+                        "processes on ONE port (one per chip-set, each "
+                        "with its own visible devices) and let the kernel "
+                        "balance connections — on-host scale-out without "
+                        "a fronting LB")
 
 
 def _cmd_serve(args):
@@ -310,7 +316,8 @@ def _cmd_serve(args):
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                   compute_dtype=args.dtype, warmup=not args.no_warmup,
                   mesh=args.mesh, auth_token=args.auth_token,
-                  tls_cert=args.tls_cert, tls_key=args.tls_key)
+                  tls_cert=args.tls_cert, tls_key=args.tls_key,
+                  reuse_port=args.reuse_port)
 
 
 _HEAVY_CMDS = {"measure-bias", "train", "zero-shot", "serve", "bench"}

@@ -32,9 +32,11 @@ Hardening / deployment:
     fronting load balancer / reverse proxy for TLS + auth + rate limits
   * scale-out: one server process per host/chip-set (the engine lock
     serializes one process's device launches by design; JAX owns its
-    chips exclusively, so processes must not share a chip) behind an LB;
-    within one host, ``--mesh auto`` shards batches over all visible
-    chips — scale-out across hosts is horizontal replicas.
+    chips exclusively, so processes must not share a chip).  On one host,
+    either ``--mesh auto`` (one process sharding batches over all visible
+    chips) or N processes on ONE port via ``--reuse-port`` (SO_REUSEPORT;
+    the kernel balances connections — each process restricted to its own
+    chip-set).  Across hosts: horizontal replicas behind an LB.
 
 Run:  python -m debias_vision_lang_tpu.cli serve --model ViT-B/16-gender
 """
@@ -372,10 +374,27 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
+class _ReusePortServer(ThreadingHTTPServer):
+    """SO_REUSEPORT listener: N independent server PROCESSES bind the same
+    port and the kernel load-balances connections across them — the
+    scale-out mechanism for multi-chip hosts (one process per chip-set,
+    e.g. via TPU_VISIBLE_CHIPS; JAX owns its chips exclusively, so workers
+    must be separate processes, not forks of a device-initialized one)."""
+
+    def server_bind(self):
+        import socket as _socket
+
+        if not hasattr(_socket, "SO_REUSEPORT"):  # non-Linux fallback
+            raise OSError("SO_REUSEPORT is not supported on this platform")
+        self.socket.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEPORT, 1)
+        super().server_bind()
+
+
 def make_server(app: ServeApp, host: str = "127.0.0.1",
                 port: int = 0, auth_token: Optional[str] = None,
                 tls_cert: Optional[str] = None,
-                tls_key: Optional[str] = None) -> ThreadingHTTPServer:
+                tls_key: Optional[str] = None,
+                reuse_port: bool = False) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port 0 = ephemeral.
 
     ``auth_token``: require ``Authorization: Bearer <token>`` on every data
@@ -386,7 +405,14 @@ def make_server(app: ServeApp, host: str = "127.0.0.1",
     ``tls_cert``/``tls_key``: PEM paths — wraps the listening socket in
     TLS (stdlib ssl, TLS1.2+).  For production deployments prefer a
     fronting load balancer / reverse proxy terminating TLS and doing
-    request auth; these built-ins cover the direct-exposure case."""
+    request auth; these built-ins cover the direct-exposure case.
+
+    ``reuse_port``: bind with SO_REUSEPORT so several server PROCESSES
+    share one port with kernel-level connection balancing (a fixed
+    ``port`` is then required — an ephemeral port would give each worker
+    a different one).  This is the sanctioned multi-worker mechanism:
+    launch the CLI once per chip-set with each process's visible devices
+    restricted, all on the same port — no fronting LB needed on-host."""
     if auth_token is None:
         auth_token = os.environ.get("DVL_SERVE_TOKEN") or None
     handler = type("BoundHandler", (_Handler,),
@@ -395,7 +421,11 @@ def make_server(app: ServeApp, host: str = "127.0.0.1",
                     # handshake below): a stalled client times out instead
                     # of holding a handler thread forever
                     "timeout": 60})
-    httpd = ThreadingHTTPServer((host, port), handler)
+    if reuse_port and port == 0:
+        raise ValueError("reuse_port requires an explicit port: ephemeral "
+                         "port 0 would bind each worker to a different one")
+    server_cls = _ReusePortServer if reuse_port else ThreadingHTTPServer
+    httpd = server_cls((host, port), handler)
     if tls_cert:
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.minimum_version = ssl.TLSVersion.TLSv1_2
@@ -417,7 +447,8 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
                   warmup: bool = True, mesh=None,
                   auth_token: Optional[str] = None,
                   tls_cert: Optional[str] = None,
-                  tls_key: Optional[str] = None):
+                  tls_key: Optional[str] = None,
+                  reuse_port: bool = False):
     """Blocking entry point used by the CLI."""
     if mesh == "auto":
         from ..parallel.mesh import default_mesh
@@ -430,7 +461,8 @@ def serve_forever(model, tokenizer=None, host: str = "127.0.0.1",
     app = ServeApp(engine, max_wait_ms=max_wait_ms)
     # token defaulting ($DVL_SERVE_TOKEN, ""-force-open) is make_server's job
     httpd = make_server(app, host, port, auth_token=auth_token,
-                        tls_cert=tls_cert, tls_key=tls_key)
+                        tls_cert=tls_cert, tls_key=tls_key,
+                        reuse_port=reuse_port)
     scheme = "https" if tls_cert else "http"
     # the handler's resolved token is the single source of truth for the
     # banner (auth_token="" force-opens even when $DVL_SERVE_TOKEN is set)

@@ -695,6 +695,89 @@ class TestInt8Serving:
         np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
 
 
+class TestReusePort:
+    """SO_REUSEPORT scale-out: N server processes share ONE port with
+    kernel connection balancing (the multi-worker mechanism — JAX owns
+    chips exclusively, so workers are independent processes, not forks)."""
+
+    def test_two_servers_one_port_both_serve(self, engine):
+        import http.client
+        import socket as _socket
+
+        if not hasattr(_socket, "SO_REUSEPORT"):
+            pytest.skip("platform lacks SO_REUSEPORT")
+        # in-process stand-ins for two worker processes: the kernel
+        # balances per-connection regardless of which process owns the
+        # listening socket, so two listeners in one process exercise the
+        # same kernel path
+        apps = [ServeApp(engine, max_wait_ms=1.0) for _ in range(2)]
+        # grab a free port first (SO_REUSEPORT needs an explicit one)
+        probe = _socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        servers = [make_server(a, port=port, reuse_port=True) for a in apps]
+        counts = [0, 0]
+
+        def _count(s, i):
+            orig = s.process_request
+
+            def counted(request, client_address):
+                counts[i] += 1
+                return orig(request, client_address)
+
+            s.process_request = counted
+
+        threads = []
+        try:
+            for i, s in enumerate(servers):
+                _count(s, i)
+                t = threading.Thread(target=s.serve_forever, daemon=True)
+                t.start()
+                threads.append(t)
+            for _ in range(40):  # fresh connection each → kernel rebalances
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=30)
+                try:
+                    conn.request("GET", "/healthz")
+                    resp = conn.getresponse()
+                    assert resp.status == 200
+                    resp.read()
+                finally:
+                    conn.close()
+            assert sum(counts) == 40
+            # 4-tuple hashing over 40 distinct source ports: P(one listener
+            # gets everything) ≈ 2^-39 — both must have served
+            assert counts[0] > 0 and counts[1] > 0, counts
+        finally:
+            for s in servers:
+                s.shutdown()
+                s.server_close()
+            for a in apps:
+                a.close()
+
+    def test_reuse_port_requires_explicit_port(self, engine):
+        app = ServeApp(engine, max_wait_ms=1.0)
+        try:
+            with pytest.raises(ValueError, match="explicit port"):
+                make_server(app, port=0, reuse_port=True)
+        finally:
+            app.close()
+
+    def test_plain_bind_still_exclusive(self, engine):
+        """Without reuse_port a second bind on the port must fail — the
+        flag is opt-in, not a global behavior change."""
+        app = ServeApp(engine, max_wait_ms=1.0)
+        try:
+            s1 = make_server(app, port=0)
+            port = s1.server_address[1]
+            with pytest.raises(OSError):
+                make_server(app, port=port)
+            s1.server_close()
+        finally:
+            app.close()
+
+
 class TestAuthTLS:
     """Serving hardening: bearer-token auth and direct-TLS termination."""
 
