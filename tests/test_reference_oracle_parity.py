@@ -147,3 +147,32 @@ class TestAgainstReferenceCode:
         ref_prompts = ref_mod.gen_prompts()
         assert len(ref_prompts) == 319
         assert gen_prompts() == ref_prompts
+
+    def test_eval_ranking_matches_reference(self, ref_mod):
+        """End-to-end eval_ranking vs the reference's own function (torch
+        tensors in, per-prompt metric averaging, float-topn ceil, the
+        evaluation-prefix key stripping) — both our oracle engine and the
+        jitted TPU engine."""
+        torch = pytest.importorskip("torch")
+
+        from debias_vision_lang_tpu.eval.measure import eval_ranking
+
+        rng = np.random.default_rng(3)
+        n, d, n_prompts, c = 60, 8, 5, 3
+        img = rng.normal(size=(n, d)).astype(np.float32)
+        prompts = rng.normal(size=(n_prompts, d)).astype(np.float32)
+        labels = np.concatenate(
+            [np.arange(c), rng.integers(0, c, n - c)]).astype(np.int64)
+        rng.shuffle(labels)
+        for evaluation in ("maxskew", "ndkl"):
+            for topn in (10, 0.25, 1.0):
+                ref = ref_mod.eval_ranking(
+                    labels, torch.from_numpy(img), torch.from_numpy(prompts),
+                    evaluation, topn)
+                for engine, atol in (("oracle", 1e-8), ("tpu", 2e-4)):
+                    got = eval_ranking(labels, img, prompts, evaluation,
+                                       topn, engine=engine)
+                    assert set(got) == set(ref) == {"eq_opp", "dem_par"}
+                    for k, v in ref.items():
+                        assert abs(got[k] - v) < atol, (
+                            evaluation, topn, engine, k, got[k], v)
