@@ -202,3 +202,52 @@ def test_wordlist_init_matches_reference(ref_model_mod):
     np.testing.assert_allclose(np.asarray(ours),
                                ref.debias_tokens.weight.detach().numpy(),
                                rtol=0, atol=0)
+
+
+def test_adversary_forward_matches_reference(ref_model_mod):
+    """Mirror the reference Adversary's torch weights into our params and
+    compare sigmoid(MLP(x)) outputs (model/model.py:337-361)."""
+    from debias_vision_lang_tpu.models.adversary import Adversary
+
+    ref = ref_model_mod.Adversary(n_input=10, n_output=3, hidden_size=8)
+    ours = Adversary.from_cfg({"ADV_N_INPUT": 10, "ADV_N_OUTPUT": 3,
+                               "ADV_HIDDEN_SIZE": 8})
+    linears = [m for m in ref.network if isinstance(m, nn.Linear)]
+    assert len(linears) == len(ours.params["layers"]) == 4
+    new_layers = [
+        {"kernel": lin.weight.detach().numpy().T.copy(),
+         "bias": lin.bias.detach().numpy().copy()}
+        for lin in linears]
+    ours = Adversary(params={"layers": new_layers}, cfg=ours.cfg)
+    x = np.random.default_rng(4).normal(size=(6, 10)).astype(np.float32)
+    out_ref = ref(torch.from_numpy(x)).detach().numpy()
+    out_ours = np.asarray(ours(x))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_model_loader_validation_matches_reference(ref_model_mod):
+    """Unknown arch name: same exception type, and every arch the
+    reference registers is accepted by our loader too.  Documented
+    cosmetic divergence: the reference raises a TWO-ARG
+    NotImplementedError with a typo ("should be on of..",
+    model/model.py:106-108); ours is a single fixed-wording string."""
+    from debias_vision_lang_tpu.models.loader import model_loader
+
+    with pytest.raises(NotImplementedError) as ref_err:
+        ref_model_mod.model_loader("nonsense")
+    with pytest.raises(NotImplementedError) as our_err:
+        model_loader("nonsense")
+    # reference: args = (message-with-typo, VALID_MODELS)
+    assert ref_err.value.args[0] == "nonsense not found, should be on of.."
+    ref_names = list(ref_err.value.args[1])
+    assert ref_names == list(ref_model_mod.VALID_MODELS)
+    our_msg = str(our_err.value)
+    assert our_msg.startswith("nonsense not found, should be one of..")
+    for name in ref_names:
+        assert name in our_msg  # our listing is a superset
+    # and the reference's whole registry builds here (SLIP/FiT included
+    # elsewhere; the 6 CLIP archs resolve)
+    from debias_vision_lang_tpu.core.registry import resolve_arch
+
+    for name in ref_names:
+        resolve_arch(name)
