@@ -41,9 +41,9 @@ def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
     n_px = cfg.vision.image_size
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
-    if quant:  # int8 fused path (ViT towers only)
+    if quant:  # int8 fused path (ViT towers only), production P8 stem
         from debias_vision_lang_tpu.ops.quant import (
-            encode_image_vit_q, quantize_vit_visual)
+            encode_image_vit_q_p8, quantize_vit_visual)
 
         if cfg.vision.kind not in ("vit", "slip_vit"):
             print(f"{arch:24s} int8: n/a (conv tower)")
@@ -51,9 +51,9 @@ def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
         params = quantize_vit_visual(params["visual"])
 
         @jax.jit
-        def embed(p, images_u8):
-            x = preprocess_batch(images_u8, n_px)
-            return encode_image_vit_q(p, x, cfg.vision).astype(jnp.float32)
+        def embed(p, patches_u8):
+            return encode_image_vit_q_p8(
+                p, patches_u8, cfg.vision).astype(jnp.float32)
     else:
         @jax.jit
         def embed(p, images_u8):
@@ -62,8 +62,13 @@ def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
                                            dtype=jnp.bfloat16).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
+    if quant:  # patch-contiguous uint8 staging (same byte count)
+        patch = cfg.vision.patch_size
+        shape = (batch, (n_px // patch) ** 2, patch * patch * 3)
+    else:
+        shape = (batch, n_px, n_px, 3)
     bufs = [jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (batch, n_px, n_px, 3), dtype=np.uint8)))
+        rng.integers(0, 256, shape, dtype=np.uint8)))
         for _ in range(2)]
 
     out = embed(params, bufs[0])

@@ -69,10 +69,13 @@ def load(
 
     prompt_emb = _load_prompt_embeddings(ckpt_path)
 
-    base, preprocess, _tokenizer, _alias = model_loader(
-        f"openai/CLIP/{entry['clip_arch']}", pretrained=pretrained_base,
-        weights=base_weights)
-    hidden_dim = int(base.params["text"]["token_embedding"].shape[1])
+    # fail fast: shape-validate against the ARCH config before paying the
+    # full base-model build (the reference builds the base first and reads
+    # hidden_dim off it, model/clip.py:78-80 — same errors, raised earlier)
+    from ..core.registry import resolve_arch
+
+    hidden_dim = int(
+        resolve_arch(f"openai/CLIP/{entry['clip_arch']}").text.width)
     if name in _MODELS:
         # registry entries pin their token count — a mismatch means a
         # corrupt/wrong download
@@ -92,6 +95,10 @@ def load(
                 f"with the {entry['clip_arch']} text width {hidden_dim}"
             )
         n_tokens = int(prompt_emb.shape[0])
+
+    base, preprocess, _tokenizer, _alias = model_loader(
+        f"openai/CLIP/{entry['clip_arch']}", pretrained=pretrained_base,
+        weights=base_weights)
 
     model = DebiasCLIP(
         clip_params=base.params,
