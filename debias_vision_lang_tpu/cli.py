@@ -52,7 +52,7 @@ def _add_measure(sub):
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "int8-text"],
                    help="embedding precision: float32 = reference parity, "
                         "bfloat16/int8 = TPU speed paths (rank-stable)")
     p.add_argument("--random-weights", action="store_true",
@@ -131,7 +131,7 @@ def _add_train(sub):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--embed-dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "int8-text"],
                    help="frozen image-tower precision: bfloat16/int8 engage "
                         "the fused TPU kernels for the no-gradient embed "
                         "pass (differentiable steps stay fp32)")
@@ -196,7 +196,7 @@ def _add_zero_shot(sub):
     p.add_argument("--imagenet-protocol", action="store_true",
                    help="use the full 80-template OpenAI ImageNet protocol")
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16", "int8", "int8-text"],
                    help="vision-tower precision (int8 = quantized, fastest)")
 
 
@@ -265,7 +265,7 @@ def _add_serve(sub):
     p.add_argument("--max-wait-ms", default=5.0, type=float,
                    help="micro-batch arrival window")
     p.add_argument("--dtype", default=None,
-                   choices=[None, "float32", "bfloat16", "int8"],
+                   choices=[None, "float32", "bfloat16", "int8", "int8-text"],
                    help="compute dtype (default: bfloat16 on TPU, else fp32; "
                         "int8 = quantized vision tower, fastest)")
     p.add_argument("--random-weights", action="store_true")

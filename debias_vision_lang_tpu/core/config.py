@@ -159,7 +159,8 @@ class EvalConfig:
     engine: str = "tpu"
     # embedding compute precision: "float32" (reference-parity) | "bfloat16"
     # (TPU speed path) | "int8" (fastest — quantized vision tower via the
-    # int8 fused kernels; rank metrics are stable under both, tested)
+    # int8 fused kernels; rank metrics are stable under both, tested) |
+    # "int8-text" (int8 text tower too; DebiasCLIP keeps fp prompt injection)
     dtype: str = "float32"
 
 

@@ -330,7 +330,8 @@ def measure_bias(
         # accuracy is not worse than preprocess+conv at the same dtype).
         # float32 keeps the preprocess+conv stem: reference-parity mode.
         patch_staging = None
-        if (cfg.dtype in ("int8", "bfloat16") and host_transform is None
+        if (cfg.dtype in ("int8", "int8-text", "bfloat16")
+                and host_transform is None
                 and dataset_name != "video"):
             vis = _vision_cfg_of(cliplike)
             if (vis is not None and vis.kind in ("vit", "slip_vit")

@@ -141,15 +141,23 @@ def _fused_act_kind(act) -> Optional[str]:
 
 def transformer_q(p: Params, x: jax.Array, heads: int,
                   mask: Optional[jax.Array] = None, act=quick_gelu,
-                  fused: Optional[bool] = None) -> jax.Array:
-    # fused path handles no-mask (vision) + recognized activations only;
-    # arbitrary masks/activations stay on the XLA path (which honors them)
+                  fused: Optional[bool] = None,
+                  causal: bool = False) -> jax.Array:
+    # fused path handles no-mask/causal + recognized activations only;
+    # arbitrary masks/activations stay on the XLA path (which honors them).
+    # causal=True generates the mask in-kernel on the fused path (same as
+    # the bf16 text kernels) and as an additive mask on the XLA path.
     act_kind = _fused_act_kind(act)
     if (mask is None and act_kind is not None
             and _use_fused_q(x.shape[-1], x.dtype, fused)):
         from .fused_block_q import fused_transformer_q
 
-        return fused_transformer_q(p, x, heads, act_kind=act_kind)
+        return fused_transformer_q(p, x, heads, act_kind=act_kind,
+                                   causal=causal)
+    if causal and mask is None:
+        from ..models.layers import causal_mask
+
+        mask = causal_mask(x.shape[1])
 
     def body(carry, layer_p):
         return resblock_q(layer_p, carry, heads, mask=mask, act=act), None
@@ -318,17 +326,79 @@ def encode_image_vit_q(params_q: Params, images: jax.Array, cfg,
     return _vit_q_trunk(p, x, cfg, fused)
 
 
-class QuantizedCLIP:
-    """Inference bundle with an int8 vision tower (text stays fp —
-    319 prompts encode once; images are the hot loop)."""
+# ---------------------------------------------------------------------------
+# Quantized CLIP text tower — optional (the bias pipeline encodes 319
+# prompts once, so eval keeps text fp; text-heavy SERVING gains from it)
+# ---------------------------------------------------------------------------
 
-    def __init__(self, base):
+
+def quantize_clip_text(text: Params) -> Params:
+    """Quantize the resblock matmul weights; embeddings/LN/projection fp."""
+    return {
+        "token_embedding": text["token_embedding"],
+        "positional_embedding": text["positional_embedding"],
+        "resblocks": quantize_resblocks(text["resblocks"]),
+        "ln_final": text["ln_final"],
+        "text_projection": text["text_projection"],
+    }
+
+
+def encode_text_q(text_q: Params, text: jax.Array, cfg,
+                  dtype=jnp.bfloat16,
+                  fused: Optional[bool] = None) -> jax.Array:
+    """Int8 text forward: [B, 77] ids → [B, embed_dim].
+
+    Same surround as the fp path (models/clip.py::encode_text — embed,
+    positions, causal tower, ln_final, EOT-argmax pool, projection); only
+    the resblock matmuls run int8.  ``cfg``: a TextConfig."""
+    from ..models.clip import add_positional, embed_tokens, project_eot
+    from ..models.layers import layer_norm
+
+    x = add_positional(text_q, embed_tokens(text_q, text, dtype=dtype))
+    x = transformer_q(text_q["resblocks"], x, cfg.heads, causal=True,
+                      fused=fused)
+    x = layer_norm(text_q["ln_final"], x)
+    return project_eot(text_q, x, text)
+
+
+def encode_text_q_debias(text_q: Params, debias_tokens: jax.Array,
+                         text: jax.Array, cfg, debias_cfg,
+                         dtype=jnp.bfloat16,
+                         fused: Optional[bool] = None) -> jax.Array:
+    """Debiased int8 text forward: prompt injection runs in fp at the
+    embedding level (models/debias.py semantics, reference
+    model/model.py:199-271 — injection happens BEFORE the tower, so the
+    int8 resblocks see the injected sequence), pooling at the shifted
+    clamped EOT."""
+    from ..models.clip import add_positional, embed_tokens
+    from ..models.debias import debias_eot_index, inject_prompts
+    from ..models.layers import layer_norm
+
+    x = add_positional(text_q, embed_tokens(text_q, text, dtype=dtype))
+    x = inject_prompts(x, debias_tokens, text, debias_cfg.debias_pos)
+    x = transformer_q(text_q["resblocks"], x, cfg.heads, causal=True,
+                      fused=fused)
+    x = layer_norm(text_q["ln_final"], x)
+    idx = debias_eot_index(text, debias_tokens.shape[0], x.shape[1])
+    pooled = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0, :]
+    return jnp.dot(pooled, text_q["text_projection"].astype(x.dtype))
+
+
+class QuantizedCLIP:
+    """Inference bundle with an int8 vision tower; ``quantize_text=True``
+    additionally runs the text resblocks int8 (default off: the bias
+    pipeline encodes 319 prompts once — images are the hot loop — and the
+    eval numerics contract keeps text fp)."""
+
+    def __init__(self, base, quantize_text: bool = False):
         cfg = _bundle_cfg(base)
         if cfg.vision.kind not in ("vit", "slip_vit"):
             raise NotImplementedError("int8 path currently supports ViT towers")
         self.base = base
         self.cfg = cfg
         self.visual_q = quantize_vit_visual(_bundle_params(base)["visual"])
+        self.text_q = (quantize_clip_text(_bundle_params(base)["text"])
+                       if quantize_text else None)
 
     def encode_image(self, images, **kw):
         from ..models.clip import _is_patch_staging
@@ -354,7 +424,16 @@ class QuantizedCLIP:
                                   self.cfg.vision, **kw)
 
     def encode_text(self, text, **kw):
-        return self.base.encode_text(text, **kw)
+        if self.text_q is None:
+            return self.base.encode_text(text, **kw)
+        kw.pop("use_pallas", None)
+        kw.pop("remat", None)
+        if hasattr(self.base, "debias_tokens"):  # DebiasCLIP bundle
+            return encode_text_q_debias(
+                self.text_q, self.base.debias_tokens, jnp.asarray(text),
+                self.cfg.text, self.base.debias_cfg, **kw)
+        return encode_text_q(self.text_q, jnp.asarray(text),
+                             self.cfg.text, **kw)
 
     @property
     def logit_scale(self):
@@ -363,28 +442,29 @@ class QuantizedCLIP:
 
 jax.tree_util.register_pytree_node(
     QuantizedCLIP,
-    lambda m: ((m.base, m.visual_q), ()),
+    lambda m: ((m.base, m.visual_q, m.text_q), ()),
     lambda aux, ch: _rebuild_quantized(ch),
 )
 
 
 def _rebuild_quantized(children):
-    base, visual_q = children
+    base, visual_q, text_q = children
     obj = QuantizedCLIP.__new__(QuantizedCLIP)
     obj.base = base
     obj.cfg = _bundle_cfg(base)
     obj.visual_q = visual_q
+    obj.text_q = text_q
     return obj
 
 
-def quantize_for_inference(model):
+def quantize_for_inference(model, quantize_text: bool = False):
     """The int8-inference wrap policy, shared by the eval pipeline and the
     serving engine: wrap the bundle in QuantizedCLIP (idempotent) and return
     the activation compute dtype to run between blocks.
 
     Returns ``(wrapped_model, "bfloat16")``."""
     if not isinstance(model, QuantizedCLIP):
-        model = QuantizedCLIP(model)
+        model = QuantizedCLIP(model, quantize_text=quantize_text)
     return model, "bfloat16"
 
 
@@ -396,10 +476,12 @@ def resolve_compute(model, dtype: str):
     (activations run bf16 between the int8 fused blocks); "bfloat16" /
     "float32" leave the model untouched; anything else is rejected loudly.
     """
-    if dtype == "int8":
-        model, act = quantize_for_inference(model)
+    if dtype in ("int8", "int8-text"):
+        model, act = quantize_for_inference(
+            model, quantize_text=(dtype == "int8-text"))
         return model, jnp.dtype(act)
     if dtype in ("bfloat16", "float32"):
         return model, jnp.dtype(dtype)
     raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
-                     "'bfloat16', or 'int8'")
+                     "'bfloat16', 'int8', or 'int8-text' (int8 text tower "
+                     "too — text-heavy serving)")

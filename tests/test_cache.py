@@ -53,6 +53,9 @@ def test_respects_existing_env_routing(monkeypatch):
 def test_dir_override_and_idempotence(tmp_path, monkeypatch):
     target = str(tmp_path / "jc")
     prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+    # conftest routes the suite's own cache dir; this test needs the
+    # helper's no-preexisting-config path, so clear it (restored below)
+    jax.config.update("jax_compilation_cache_dir", None)
     mod = _fresh(monkeypatch, DVL_JAX_CACHE="1", DVL_JAX_CACHE_DIR=target)
     try:
         assert mod.enable_compilation_cache() is True

@@ -480,3 +480,105 @@ class TestPatchStagingP8:
         out = qmodel.encode_image(jnp.asarray(patchify_u8(imgs, 8)),
                                   dtype=jnp.float32)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestQuantizedText:
+    """Optional int8 text tower (quantize_text=True / dtype='int8-text'):
+    same surround as the fp path, only the resblock matmuls int8."""
+
+    def _tokens(self, cfg, n=6):
+        v = cfg.text.vocab_size
+        rng = np.random.default_rng(5)
+        t = np.zeros((n, cfg.text.context_length), np.int32)
+        t[:, 0] = v - 2
+        for i in range(n):
+            ln = 2 + i % 5
+            t[i, 1:ln + 1] = rng.integers(1, 400, ln)
+            t[i, ln + 1] = v - 1  # EOT = max id
+        return jnp.asarray(t)
+
+    def test_text_cosine_parity_and_eot(self, tiny_clip):
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base, quantize_text=True)
+        toks = self._tokens(cfg)
+        e_fp = np.asarray(base.encode_text(toks, dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_text(toks, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        assert cos.min() > 0.99
+        # causal contract: future tokens cannot change earlier EOT pooling —
+        # append garbage AFTER EOT and the embedding must not move
+        toks2 = np.asarray(toks).copy()
+        row = toks2[0]
+        eot = int(np.argmax(row))
+        if eot + 2 < row.shape[0]:
+            toks2[0, eot + 1:] = 3  # ids below EOT keep argmax at EOT
+            e_q2 = np.asarray(qmodel.encode_text(jnp.asarray(toks2),
+                                                 dtype=jnp.float32))
+            np.testing.assert_allclose(e_q2[0], e_q[0], rtol=1e-5, atol=1e-5)
+
+    def test_default_keeps_text_fp(self, tiny_clip):
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        qmodel = QuantizedCLIP(base)
+        assert qmodel.text_q is None
+        toks = self._tokens(cfg, 2)
+        np.testing.assert_array_equal(
+            np.asarray(qmodel.encode_text(toks, dtype=jnp.float32)),
+            np.asarray(base.encode_text(toks, dtype=jnp.float32)))
+
+    def test_debias_bundle_injection_preserved(self, tiny_clip):
+        """DebiasCLIP + int8 text: the prompt array still injects (fp, at
+        the embedding level) and the output tracks the fp debiased path."""
+        from debias_vision_lang_tpu.core.config import DebiasConfig
+        from debias_vision_lang_tpu.models.debias import (DebiasCLIP,
+                                                          init_debias_tokens)
+
+        cfg, params = tiny_clip
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=cfg.text.width)
+        deb = init_debias_tokens(jax.random.key(0), params, dcfg) + 0.5
+        model = DebiasCLIP(clip_params=params, debias_tokens=deb,
+                           clip_cfg=cfg, debias_cfg=dcfg)
+        qmodel = QuantizedCLIP(model, quantize_text=True)
+        toks = self._tokens(cfg)
+        e_fp = np.asarray(model.encode_text(toks, dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_text(toks, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        assert cos.min() > 0.99
+        # the prompts actually matter: zeroing them must move the output
+        model0 = DebiasCLIP(clip_params=params,
+                            debias_tokens=jnp.zeros_like(deb),
+                            clip_cfg=cfg, debias_cfg=dcfg)
+        e_q0 = np.asarray(QuantizedCLIP(model0, quantize_text=True)
+                          .encode_text(toks, dtype=jnp.float32))
+        assert np.abs(e_q0 - e_q).max() > 1e-3
+
+    def test_resolve_compute_ladder(self, tiny_clip):
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        cfg, params = tiny_clip
+        base = CLIP(params=params, cfg=cfg)
+        m8, act = resolve_compute(base, "int8")
+        assert isinstance(m8, QuantizedCLIP) and m8.text_q is None
+        m8t, act_t = resolve_compute(base, "int8-text")
+        assert isinstance(m8t, QuantizedCLIP) and m8t.text_q is not None
+        assert act == act_t == jnp.bfloat16
+        with pytest.raises(ValueError, match="int8-text"):
+            resolve_compute(base, "int4")
+
+    def test_jit_as_pytree_with_text(self, tiny_clip):
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg),
+                               quantize_text=True)
+        toks = self._tokens(cfg, 2)
+
+        @jax.jit
+        def f(m, t):
+            return m.encode_text(t, dtype=jnp.float32)
+
+        out = np.asarray(f(qmodel, toks))
+        np.testing.assert_allclose(
+            out, np.asarray(qmodel.encode_text(toks, dtype=jnp.float32)),
+            rtol=1e-5, atol=1e-6)

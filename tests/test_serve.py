@@ -678,6 +678,22 @@ class TestInt8Serving:
         probs = e8.score(out8, txt)
         np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
 
+    def test_int8_text_engine(self, engine):
+        """compute_dtype='int8-text' additionally quantizes the text tower;
+        text embeddings stay close to fp and score normalizes."""
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        e8t = InferenceEngine(engine.model, engine.tokenizer, max_batch=8,
+                              compute_dtype="int8-text")
+        assert e8t.info()["precision"] == "int8-text"
+        assert e8t.model.text_q is not None
+        toks = list(e8t.tokenize(["the", "the the", "the the the"]))
+        out = e8t.embed_token_arrays(toks)
+        ref = engine.embed_token_arrays(toks)
+        cos = np.sum(out * ref, -1) / (
+            np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+        assert cos.min() > 0.98
+
     def test_int8_with_mesh(self, engine, rng):
         """int8 engine composes with DP mesh serving (QuantizedCLIP pytree
         replicates; batches shard)."""
