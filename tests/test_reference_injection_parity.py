@@ -251,3 +251,76 @@ def test_model_loader_validation_matches_reference(ref_model_mod):
 
     for name in ref_names:
         resolve_arch(name)
+
+
+@pytest.fixture(scope="module")
+def ref_hub_mod(ref_model_mod):
+    """Load the reference hub (model/clip.py) with `clip` stubbed and its
+    DebiasCLIP import routed to the already-loaded reference model module.
+    The module flips ssl's default HTTPS context at import (the documented
+    SSL-bypass bug) — saved and restored here."""
+    import ssl
+
+    saved_ssl = ssl._create_default_https_context
+    clip_stub = types.ModuleType("clip")
+    clip_stub.load = None  # set per-test
+    stubs = {
+        "clip": clip_stub,
+        "debias_clip": types.ModuleType("debias_clip"),
+        "debias_clip.model": types.ModuleType("debias_clip.model"),
+        "debias_clip.model.model": ref_model_mod,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_hub", os.path.join(REF_DIR, "model", "clip.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        ssl._create_default_https_context = saved_ssl  # undo the bypass
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_reference_loader_consumes_our_pt_export(ref_hub_mod, tmp_path,
+                                                 monkeypatch):
+    """Round-trip interop: a checkpoint written by OUR exporter
+    (models/convert.py::save_debias_prompt_pt) loads through the
+    REFERENCE'S OWN hub loader (model/clip.py::load — torch.load +
+    DebiasCLIP build + weight swap) with the prompt array intact."""
+    from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+    emb = np.random.default_rng(9).normal(size=(2, D)).astype(np.float32)
+    path = str(tmp_path / "ours.pt")
+    save_debias_prompt_pt(emb, path)
+
+    w_tok, w_pos, _ = _weights(3)
+    mock = _MockClip(w_tok, w_pos)
+    monkeypatch.setattr(ref_hub_mod.clip, "load",
+                        lambda arch, device=None: (mock, lambda x: x))
+    monkeypatch.setattr(ref_hub_mod, "_download",
+                        lambda url, root: path)  # registry branch, offline
+    model, _pre = ref_hub_mod.load("ViT-B/16-gender", device="cpu")
+    np.testing.assert_allclose(
+        model.debias_tokens.weight.detach().numpy(), emb, rtol=0, atol=0)
+
+
+def test_reference_local_path_branch_is_broken(ref_hub_mod, tmp_path,
+                                               monkeypatch):
+    """Documented reference bug our loader fixes: load(<local path>) hits
+    `_MODELS[name]` with the PATH as key (model/clip.py:78-80) → KeyError.
+    Pin it so the divergence note stays true; our hub.load handles local
+    paths (test_loader_hub.py::TestHub)."""
+    from debias_vision_lang_tpu.models.convert import save_debias_prompt_pt
+
+    path = str(tmp_path / "local.pt")
+    save_debias_prompt_pt(np.zeros((2, D), np.float32), path)
+    monkeypatch.setattr(ref_hub_mod.clip, "load",
+                        lambda arch, device=None: (None, None))
+    with pytest.raises(KeyError):
+        ref_hub_mod.load(path, device="cpu")
