@@ -131,7 +131,7 @@ def _add_train(sub):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --checkpoint-dir")
     p.add_argument("--embed-dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "int8-text"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="frozen image-tower precision: bfloat16/int8 engage "
                         "the fused TPU kernels for the no-gradient embed "
                         "pass (differentiable steps stay fp32)")

@@ -245,6 +245,15 @@ def measure_bias(
                 f"unknown measure_bias opts {sorted(unknown)}; known keys: "
                 f"{sorted(known)}")
 
+    # resolve the precision ladder ONCE so BOTH towers honor it:
+    # "int8"/"int8-text" wrap the bundle here (prompt embeddings then run
+    # through the wrapped model — int8 text only under "int8-text", since
+    # QuantizedCLIP delegates text to the fp base otherwise); bf16/f32 pass
+    # through unchanged.  get_labels_img_embeddings re-resolves idempotently.
+    from ..ops.quant import resolve_compute
+
+    cliplike, _ = resolve_compute(cliplike, cfg.dtype)
+
     dataset_name = extra.get("dataset", "fairface")
     mode = extra.get("mode", "val")
     n_samples = extra.get("n_samples")

@@ -102,15 +102,17 @@ def zero_shot_accuracy(
     """Top-1/top-5 zero-shot accuracy over a HostLoader of labeled images.
 
     ``dtype``: "float32" | "bfloat16" | "int8" (quantized vision tower —
-    the classifier itself always builds at full precision)."""
+    the classifier builds at full precision) | "int8-text" (the classifier
+    text encodes also run the int8 text tower)."""
     from ..vision.preprocess import preprocess_batch
-
-    # classifier from the UNquantized text tower, before any wrapping
-    classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
 
     from ..ops.quant import resolve_compute
 
+    # resolve the ladder FIRST so "int8-text" reaches the classifier build;
+    # for plain "int8" the wrapped bundle delegates text to the fp base, so
+    # the classifier still builds at full precision
     model, compute_dtype = resolve_compute(model, dtype)
+    classifier = build_zero_shot_classifier(model, tokenizer, class_names, templates)
 
     if mesh == "auto":
         from ..parallel.mesh import default_mesh

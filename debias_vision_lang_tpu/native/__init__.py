@@ -174,15 +174,17 @@ def jpeg_dims(data: bytes) -> tuple:
     return h.value, w.value
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes → uint8 [H, W, 3] RGB (libjpeg, PIL-equivalent defaults)."""
+def decode_jpeg(data: bytes, dims=None) -> np.ndarray:
+    """JPEG bytes → uint8 [H, W, 3] RGB (libjpeg, PIL-equivalent defaults).
+
+    ``dims``: optional pre-computed ``(h, w)`` from ``jpeg_dims`` — callers
+    that already header-checked (size caps) skip the re-parse."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
     buf = np.frombuffer(data, np.uint8)
-    h, w = ctypes.c_int(), ctypes.c_int()
-    hv, wv = jpeg_dims(data)
-    h.value, w.value = hv, wv
+    hv, wv = dims if dims is not None else jpeg_dims(data)
+    h, w = ctypes.c_int(hv), ctypes.c_int(wv)
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.dvl_decode_jpeg(_u8p(buf), buf.size, _u8p(out), out.size,
                              ctypes.byref(h), ctypes.byref(w))

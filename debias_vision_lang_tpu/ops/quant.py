@@ -147,6 +147,11 @@ def transformer_q(p: Params, x: jax.Array, heads: int,
     # arbitrary masks/activations stay on the XLA path (which honors them).
     # causal=True generates the mask in-kernel on the fused path (same as
     # the bf16 text kernels) and as an additive mask on the XLA path.
+    if causal and mask is not None:
+        # composing would be ambiguous (which wins where they overlap?) and
+        # silently dropping causality would leak future positions — reject
+        raise ValueError("pass either causal=True or an explicit mask, "
+                         "not both (compose them into one additive mask)")
     act_kind = _fused_act_kind(act)
     if (mask is None and act_kind is not None
             and _use_fused_q(x.shape[-1], x.dtype, fused)):

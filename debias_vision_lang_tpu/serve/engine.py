@@ -102,7 +102,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
                     f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
                     "decode limit")
             try:
-                return native.decode_jpeg(data)
+                return native.decode_jpeg(data, dims=(h, w))
             except ValueError:
                 pass  # fall through to PIL for exotic variants
 

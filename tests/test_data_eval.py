@@ -564,6 +564,60 @@ class TestInt8Eval:
             for v in metric.values():
                 assert np.isfinite(v) and v >= 0
 
+    def test_measure_bias_int8_text_reaches_prompts(self, fake_fairface,
+                                                    monkeypatch):
+        """Regression (round-3 review): dtype='int8-text' must actually run
+        the int8 text tower for the PROMPT embeddings — the ladder used to
+        resolve only inside the image embed, leaving text silently fp."""
+        import jax
+
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, DebiasConfig, TextConfig, VisionConfig)
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+        from debias_vision_lang_tpu.models.debias import (
+            DebiasCLIP, init_debias_tokens)
+        from debias_vision_lang_tpu.ops import quant as quant_mod
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        cfg = CLIPConfig(
+            name="tiny",
+            vision=VisionConfig(kind="vit", image_size=32, patch_size=8,
+                                width=64, layers=2, heads=2, embed_dim=32),
+            text=TextConfig(vocab_size=512, context_length=77, width=32,
+                            layers=2, heads=2, embed_dim=32),
+        )
+        params = init_clip_params(jax.random.key(0), cfg)
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32)
+        deb = init_debias_tokens(jax.random.key(1), params, dcfg)
+        model = DebiasCLIP(clip_params=params, debias_tokens=deb,
+                           clip_cfg=cfg, debias_cfg=dcfg)
+
+        def tok(texts):
+            out = np.zeros((len(texts), 77), np.int32)
+            out[:, 0] = 510
+            for i, t in enumerate(texts):
+                out[i, 1] = abs(hash(t)) % 400 + 1
+                out[i, 2] = 511
+            return out
+
+        calls = {"n": 0}
+        orig = quant_mod.encode_text_q_debias
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(quant_mod, "encode_text_q_debias", spy)
+        result = measure_bias(
+            model, Preprocess(32), tok, attribute="gender",
+            opts={"batch_size": 8, "num_workers": 2, "topn": 10,
+                  "data_path": fake_fairface, "dtype": "int8-text"})
+        assert calls["n"] >= 1  # the int8 text tower really traced
+        for metric in result.values():
+            for v in metric.values():
+                assert np.isfinite(v) and v >= 0
+
 
 class TestHostFallbackResize:
     def test_native_n_px_honored_without_native_runtime(self, monkeypatch):

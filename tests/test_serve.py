@@ -727,12 +727,19 @@ class TestReusePort:
         # listening socket, so two listeners in one process exercise the
         # same kernel path
         apps = [ServeApp(engine, max_wait_ms=1.0) for _ in range(2)]
-        # grab a free port first (SO_REUSEPORT needs an explicit one)
+        # grab a free port (SO_REUSEPORT needs an explicit one); keep the
+        # probe socket OPEN — also bound with SO_REUSEPORT — until the
+        # servers have bound, so no other process can steal the port in
+        # between (TOCTOU)
         probe = _socket.socket()
+        probe.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEPORT, 1)
         probe.bind(("127.0.0.1", 0))
         port = probe.getsockname()[1]
-        probe.close()
-        servers = [make_server(a, port=port, reuse_port=True) for a in apps]
+        try:
+            servers = [make_server(a, port=port, reuse_port=True)
+                       for a in apps]
+        finally:
+            probe.close()
         counts = [0, 0]
 
         def _count(s, i):
