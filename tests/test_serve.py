@@ -711,6 +711,71 @@ class TestInt8Serving:
         np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
 
 
+class TestMalformedInputFuzz:
+    """Hostile/garbage requests: every data endpoint must answer a clean
+    4xx (never a 500/crash) and the server must stay serving."""
+
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        app = ServeApp(engine, max_wait_ms=2.0)
+        httpd = make_server(app, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield base
+        httpd.shutdown()
+        httpd.server_close()
+        app.close()
+
+    def _post_raw(self, url, body, headers):
+        req = urllib.request.Request(url, data=body, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def test_garbage_payloads_all_4xx(self, server, rng):
+        cases = [
+            ("/v1/embed/image", b"\x00\xff" * 37,
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/image", b'{"images_b64": "notalist"}',
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/image", b'{"images_b64": [42]}',
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/image", b'{"images_b64": ["%%%not-b64%%%"]}',
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/text", b'{"texts": [null]}',
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/text", b'[1, 2, 3]',
+             {"Content-Type": "application/json"}),
+            ("/v1/score", b'{"texts": ["a"]}',  # missing image_b64
+             {"Content-Type": "application/json"}),
+            ("/v1/embed/image-raw", b"\x00" * 7,  # not a frame multiple
+             {"Content-Type": "application/octet-stream",
+              "X-Image-Format": "u8"}),
+            ("/v1/embed/image-raw", b"\xff\xff\xff\xff",  # absurd length
+             {"Content-Type": "application/octet-stream",
+              "X-Image-Format": "jpeg"}),
+            ("/v1/embed/image-raw", b"x",  # unknown format header
+             {"Content-Type": "application/octet-stream",
+              "X-Image-Format": "tiff"}),
+            ("/v1/nonexistent", b"{}",
+             {"Content-Type": "application/json"}),
+        ]
+        for path, body, headers in cases:
+            code = self._post_raw(server + path, body, headers)
+            assert 400 <= code < 500, (path, body[:20], code)
+        # random fuzz rounds on the JSON endpoints
+        for _ in range(10):
+            blob = rng.bytes(int(rng.integers(1, 300)))
+            code = self._post_raw(server + "/v1/embed/image", blob,
+                                  {"Content-Type": "application/json"})
+            assert 400 <= code < 500, blob[:20]
+        # server still healthy afterwards
+        with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+            assert r.status == 200
+
+
 class TestReusePort:
     """SO_REUSEPORT scale-out: N server processes share ONE port with
     kernel connection balancing (the multi-worker mechanism — JAX owns
