@@ -52,6 +52,12 @@ def _next_bucket(n: int, max_batch: int) -> int:
 
 @partial(jax.jit, static_argnames=("compute_dtype",))
 def _embed_images_u8(model, images_u8, compute_dtype):
+    if images_u8.ndim == 3:
+        # patch-contiguous uint8 staging [B, P, patch²·3]: the bundle's
+        # encode_image dispatches to the folded relayout-free stem — no
+        # device preprocess (models/clip.py::_is_patch_staging)
+        return model.encode_image(images_u8,
+                                  dtype=compute_dtype).astype(jnp.float32)
     x = preprocess_batch(images_u8, images_u8.shape[1])
     return model.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
 
@@ -163,6 +169,17 @@ class InferenceEngine:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.mesh = mesh
         self.min_bucket = 1
+        # patch-contiguous uint8 staging (same policy as eval/measure.py):
+        # plain ViT at its native resolution on the bf16/int8 ladder rungs
+        # stages batches host-side so the stem runs as ONE relayout-free
+        # matmul with the normalize folded into the weights (exact int8 on
+        # the quantized path, folded bf16 otherwise — measured +2.5% e2e);
+        # float32 keeps the preprocess+conv stem (reference-parity mode)
+        self._patch = None
+        if (cfg.vision.kind in ("vit", "slip_vit")
+                and self.compute_dtype == jnp.bfloat16
+                and self.n_px % cfg.vision.patch_size == 0):
+            self._patch = cfg.vision.patch_size
         dt = self.compute_dtype
         if mesh is None:
             # one device_put of the params up front; subsequent jit calls
@@ -202,12 +219,25 @@ class InferenceEngine:
                              f"{self.max_batch}; chunk first "
                              "(embed_image_arrays does)")
         bucket = max(_next_bucket(n, self.max_batch), self.min_bucket)
-        batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
-        for i, img in enumerate(images_u8):
-            if img.shape != (self.n_px, self.n_px, 3):
-                raise ValueError(f"image {i}: expected "
-                                 f"({self.n_px},{self.n_px},3), got {img.shape}")
-            batch[i] = img
+        if self._patch is not None:
+            from ..vision.preprocess import patchify_u8
+
+            g = self.n_px // self._patch
+            batch = np.zeros((bucket, g * g, self._patch ** 2 * 3), np.uint8)
+            for i, img in enumerate(images_u8):
+                if img.shape != (self.n_px, self.n_px, 3):
+                    raise ValueError(
+                        f"image {i}: expected "
+                        f"({self.n_px},{self.n_px},3), got {img.shape}")
+                batch[i] = patchify_u8(img, self._patch)
+        else:
+            batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
+            for i, img in enumerate(images_u8):
+                if img.shape != (self.n_px, self.n_px, 3):
+                    raise ValueError(
+                        f"image {i}: expected "
+                        f"({self.n_px},{self.n_px},3), got {img.shape}")
+                batch[i] = img
         with self._lock:
             return self._embed_images(self.model, jnp.asarray(batch))
 
@@ -261,7 +291,11 @@ class InferenceEngine:
         while True:
             if log:
                 log(f"warmup: bucket {b}")
-            imgs = jnp.zeros((b, self.n_px, self.n_px, 3), jnp.uint8)
+            if self._patch is not None:
+                g = self.n_px // self._patch
+                imgs = jnp.zeros((b, g * g, self._patch ** 2 * 3), jnp.uint8)
+            else:
+                imgs = jnp.zeros((b, self.n_px, self.n_px, 3), jnp.uint8)
             toks = jnp.zeros((b, self.context_length), jnp.int32)
             with self._lock:
                 self._embed_images(self.model, imgs).block_until_ready()

@@ -711,6 +711,45 @@ class TestInt8Serving:
         np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
 
 
+class TestPatchStagingServing:
+    """Serving now stages batches in the patch-contiguous uint8 layout on
+    the bf16/int8 ladder rungs (same policy as eval/measure.py): the stem
+    runs as one relayout-free folded matmul, no device preprocess."""
+
+    def test_bf16_engine_stages_and_matches(self, engine, rng):
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        e = InferenceEngine(engine.model, engine.tokenizer, max_batch=8,
+                            compute_dtype="bfloat16")
+        assert e._patch == engine.cfg.vision.patch_size
+        assert engine._patch is None  # fp32 keeps the reference-parity stem
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(3)]
+        out = e.embed_image_arrays(imgs)
+        ref = engine.embed_image_arrays(imgs)
+        cos = np.sum(out * ref, -1) / (
+            np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1))
+        assert cos.min() > 0.99
+        e.warmup()  # staged-shape buckets compile
+
+    def test_mesh_staging_matches_single(self, engine, rng):
+        from debias_vision_lang_tpu.parallel.mesh import create_mesh
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        mesh = create_mesh((8, 1))
+        e_mesh = InferenceEngine(engine.model, engine.tokenizer,
+                                 max_batch=16, compute_dtype="bfloat16",
+                                 mesh=mesh)
+        e_one = InferenceEngine(engine.model, engine.tokenizer,
+                                max_batch=16, compute_dtype="bfloat16")
+        assert e_mesh._patch == e_one._patch == engine.cfg.vision.patch_size
+        imgs = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                for _ in range(11)]
+        np.testing.assert_allclose(e_mesh.embed_image_arrays(imgs),
+                                   e_one.embed_image_arrays(imgs),
+                                   rtol=1e-2, atol=1e-3)
+
+
 class TestMalformedInputFuzz:
     """Hostile/garbage requests: every data endpoint must answer a clean
     4xx (never a 500/crash) and the server must stay serving."""
