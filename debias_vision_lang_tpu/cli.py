@@ -339,8 +339,13 @@ def main(argv=None):
         # only TPU-bound subcommands touch jax: `download`/`--help` must not
         # initialize a backend (they may run on TPU-less fetch machines)
         from .core.cache import enable_compilation_cache
+        from .parallel.mesh import init_distributed
 
         enable_compilation_cache()
+        # multi-host (DCN) runs: a no-op unless $JAX_COORDINATOR_ADDRESS
+        # names a coordinator — then every host's chips join one global
+        # mesh and `--mesh auto` spans them
+        init_distributed()
     if args.cmd == "measure-bias":
         _cmd_measure(args)
     elif args.cmd == "train":

@@ -52,6 +52,42 @@ def create_mesh(
     return Mesh(arr, axis_names)
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host (DCN) runtime initialization — the standard
+    ``jax.distributed.initialize`` handshake that makes every host's chips
+    visible to one global mesh (SURVEY §2c: single-host multi-chip over
+    ICI is the primary topology; this is the across-hosts extension, and
+    ``create_mesh()``/``default_mesh()`` then span all processes' devices
+    automatically because ``jax.devices()`` is global).
+
+    Safe-by-default: initializes ONLY when a coordinator is named — via
+    the ``coordinator_address`` argument or ``$JAX_COORDINATOR_ADDRESS``
+    (with ``$JAX_NUM_PROCESSES`` / ``$JAX_PROCESS_ID``) — so single-host
+    runs are a no-op, not a hang waiting for peers.  Idempotent.  Returns
+    True when a multi-process runtime is active after the call."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None:
+        return False
+    if num_processes is None:
+        env_n = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env_n) if env_n else None
+    if process_id is None:
+        env_i = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env_i) if env_i else None
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count() > 1
+
+
 @functools.lru_cache(maxsize=1)
 def default_mesh() -> Mesh:
     return create_mesh()

@@ -226,3 +226,41 @@ class TestRaggedMeshEmbed:
         np.testing.assert_array_equal(labels_s, labels_1)
         np.testing.assert_allclose(np.asarray(emb_s), np.asarray(emb_1),
                                    atol=1e-5)
+
+
+class TestInitDistributed:
+    """Multi-host init utility: safe no-op single-host, env-driven."""
+
+    def test_single_host_noop(self, monkeypatch):
+        from debias_vision_lang_tpu.parallel.mesh import init_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert init_distributed() is False  # no coordinator → no-op
+
+    def test_already_distributed_short_circuits(self, monkeypatch):
+        import debias_vision_lang_tpu.parallel.mesh as mesh_mod
+
+        monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 4)
+        called = {"n": 0}
+        monkeypatch.setattr(
+            mesh_mod.jax.distributed, "initialize",
+            lambda **kw: called.__setitem__("n", called["n"] + 1))
+        assert mesh_mod.init_distributed() is True
+        assert called["n"] == 0  # idempotent: no re-handshake
+
+    def test_env_args_forwarded(self, monkeypatch):
+        import debias_vision_lang_tpu.parallel.mesh as mesh_mod
+
+        seen = {}
+
+        def fake_init(**kw):
+            seen.update(kw)
+
+        monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", fake_init)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        # still single-process after the (mocked) handshake → returns False
+        assert mesh_mod.init_distributed() is False
+        assert seen == {"coordinator_address": "10.0.0.1:1234",
+                        "num_processes": 4, "process_id": 2}
