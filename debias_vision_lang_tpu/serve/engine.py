@@ -219,25 +219,18 @@ class InferenceEngine:
                              f"{self.max_batch}; chunk first "
                              "(embed_image_arrays does)")
         bucket = max(_next_bucket(n, self.max_batch), self.min_bucket)
+        batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
+        for i, img in enumerate(images_u8):
+            if img.shape != (self.n_px, self.n_px, 3):
+                raise ValueError(f"image {i}: expected "
+                                 f"({self.n_px},{self.n_px},3), got {img.shape}")
+            batch[i] = img
         if self._patch is not None:
+            # one vectorized reorder for the whole bucket (not per image):
+            # same H2D byte count, stem runs relayout-free on device
             from ..vision.preprocess import patchify_u8
 
-            g = self.n_px // self._patch
-            batch = np.zeros((bucket, g * g, self._patch ** 2 * 3), np.uint8)
-            for i, img in enumerate(images_u8):
-                if img.shape != (self.n_px, self.n_px, 3):
-                    raise ValueError(
-                        f"image {i}: expected "
-                        f"({self.n_px},{self.n_px},3), got {img.shape}")
-                batch[i] = patchify_u8(img, self._patch)
-        else:
-            batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
-            for i, img in enumerate(images_u8):
-                if img.shape != (self.n_px, self.n_px, 3):
-                    raise ValueError(
-                        f"image {i}: expected "
-                        f"({self.n_px},{self.n_px},3), got {img.shape}")
-                batch[i] = img
+            batch = patchify_u8(batch, self._patch)
         with self._lock:
             return self._embed_images(self.model, jnp.asarray(batch))
 
