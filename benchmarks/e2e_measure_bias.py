@@ -81,8 +81,8 @@ def main():
     tok = ClipTokenizer([("t", "h"), ("th", "e</w>")], context_length=77)
 
     dtype = os.environ.get("E2E_DTYPE", "bfloat16")
-    if dtype not in ("float32", "bfloat16", "int8"):
-        sys.exit(f"E2E_DTYPE={dtype!r}: expected float32|bfloat16|int8")
+    if dtype not in ("float32", "bfloat16", "int8", "int8-text"):
+        sys.exit(f"E2E_DTYPE={dtype!r}: expected float32|bfloat16|int8|int8-text")
     t0 = time.perf_counter()
     out = measure_bias(model, Preprocess(), tok, "gender",
                        opts={"data_path": root, "dtype": dtype,
