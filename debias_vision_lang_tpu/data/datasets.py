@@ -222,6 +222,12 @@ class UTKFace(IATDataset):
                 age, gender, race = int(parts[0]), int(parts[1]), int(parts[2])
             except ValueError:
                 continue
+            if (age < 0 or gender not in (0, 1)
+                    or not 0 <= race < len(self._RACE_NAMES)):
+                # out-of-range fields (the raw dump contains a few): skip
+                # like other malformed names — indexing would crash on race
+                # and a non-{0,1} gender would silently mislabel as Female
+                continue
             bucket = next(
                 name for (lo, hi), name in zip(self._AGE_BUCKETS, self._AGE_NAMES)
                 if lo <= age <= hi

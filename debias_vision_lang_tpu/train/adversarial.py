@@ -266,16 +266,20 @@ def build_train_steps(
                        caption_image_embs, caption_tokens):
         # scores computed WITHOUT stop_gradient on cp: in the with-layers
         # variant the adversarial term must reach the unfrozen text layers
-        # (the frozen variant stop-gradients cp before calling)
+        # (the frozen variant stop-gradients cp before calling).  logit_scale
+        # is NOT stop-gradiented here — it belongs to the reference's "proj"
+        # group, so with freeze_proj=False it must receive gradients (the
+        # grad MASK zeroes it in frozen configs; round-3 review fix — the
+        # old explicit stop_gradient made freeze_proj=False silently leave
+        # logit_scale at init forever)
         txt = encode_sensitive(cp, deb)
-        scores = similarity_scores(image_embs, txt,
-                                   jax.lax.stop_gradient(cp["logit_scale"]))
+        scores = similarity_scores(image_embs, txt, cp["logit_scale"])
         logits = adversary_model.apply_logits(
             jax.lax.stop_gradient(adv_params), scores)
         adv_loss = adversary_loss(logits, attr_labels, adv_cfg.n_output)
         cap_txt = encode_captions(cp, deb, caption_tokens)
         con_loss = clip_contrastive_loss(caption_image_embs, cap_txt,
-                                         jax.lax.stop_gradient(cp["logit_scale"]))
+                                         cp["logit_scale"])
         total = (train_cfg.contrastive_weight * con_loss
                  - train_cfg.adversarial_weight * adv_loss)
         return total, (adv_loss, con_loss)
@@ -308,6 +312,20 @@ def build_train_steps(
             "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
         }
 
+    def _joint_update(loss_fn, debias_tokens, cp, grad_mask, joint_opt_state):
+        """Shared tail of the three joint (prompt, clip) step variants:
+        value_and_grad over (tokens, cp), freezing-policy mask multiply,
+        one optimizer update, same metrics dict."""
+        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
+            loss_fn, has_aux=True)((debias_tokens, cp))
+        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
+        updates, joint_opt_state = prompt_optimizer.update(
+            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
+        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
+        return debias_tokens, cp, joint_opt_state, {
+            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
+        }
+
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def prompt_step_text_layers(
         cp: Params,
@@ -335,15 +353,8 @@ def build_train_steps(
                 attr_labels, jax.lax.stop_gradient(caption_image_embs),
                 caption_tokens)
 
-        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
-            loss_fn, has_aux=True)((debias_tokens, cp))
-        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
-        updates, joint_opt_state = prompt_optimizer.update(
-            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
-        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
-        return debias_tokens, cp, joint_opt_state, {
-            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
-        }
+        return _joint_update(loss_fn, debias_tokens, cp, grad_mask,
+                             joint_opt_state)
 
     @functools.partial(jax.jit, donate_argnums=(0, 2), static_argnums=())
     def prompt_step_with_layers(
@@ -377,15 +388,8 @@ def build_train_steps(
             return _prompt_losses(cpp, deb, adv_params, image_embs, attr_labels,
                                   caption_image_embs, caption_tokens)
 
-        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
-            loss_fn, has_aux=True)((debias_tokens, cp))
-        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
-        updates, joint_opt_state = prompt_optimizer.update(
-            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
-        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
-        return debias_tokens, cp, joint_opt_state, {
-            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
-        }
+        return _joint_update(loss_fn, debias_tokens, cp, grad_mask,
+                             joint_opt_state)
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def prompt_step_approx_scores(
@@ -417,15 +421,8 @@ def build_train_steps(
                 cpp, deb, adv_params, jax.lax.stop_gradient(image_embs),
                 attr_labels, caption_image_embs, caption_tokens)
 
-        (loss, (adv_loss, con_loss)), (g_deb, g_cp) = jax.value_and_grad(
-            loss_fn, has_aux=True)((debias_tokens, cp))
-        g_cp = jax.tree.map(lambda g, m: g * m.astype(g.dtype), g_cp, grad_mask)
-        updates, joint_opt_state = prompt_optimizer.update(
-            (g_deb, g_cp), joint_opt_state, (debias_tokens, cp))
-        debias_tokens, cp = optax.apply_updates((debias_tokens, cp), updates)
-        return debias_tokens, cp, joint_opt_state, {
-            "loss": loss, "adv_loss": adv_loss, "contrastive_loss": con_loss,
-        }
+        return _joint_update(loss_fn, debias_tokens, cp, grad_mask,
+                             joint_opt_state)
 
     fns = TrainStepFns(
         embed_images=embed_images,
@@ -460,6 +457,10 @@ class AdversarialTrainer:
     step_count: int = 0
     best_ndkl: float = float("inf")
     best_tokens: Optional[np.ndarray] = None
+    # layer-training mode: the CLIP weights AT the best eval (host copy) —
+    # best tokens alone would pair with later weights, a composite whose
+    # NDKL was never evaluated (round-3 review fix)
+    best_clip_params: Optional[Params] = None
     # set when the debias config unfreezes CLIP layers/projections: the
     # freezing-policy multiplier pytree and a joint (prompt, clip) optimizer
     grad_mask: Optional[Params] = None
@@ -543,7 +544,15 @@ class AdversarialTrainer:
         """One outer step: K adversary updates, then one prompt update."""
         cp = self.model.clip_params
         image_embs = self.fns.embed_images(cp, self._shard(images))
-        cap_embs = self.fns.embed_images(cp, self._shard(caption_images))
+        # the with-layers / approx branches re-embed caption images INSIDE
+        # their differentiable loss — only the frozen branches consume a
+        # precomputed caption embed (skipping it saves a full image-tower
+        # pass per step in layer-training configs)
+        # (branch order below: frozen prompt_step and the text-layers step
+        # consume cap_embs; with-layers and approx re-embed internally)
+        needs_cap_embs = self.grad_mask is None or not self.trains_image
+        cap_embs = (self.fns.embed_images(cp, self._shard(caption_images))
+                    if needs_cap_embs else None)
         labels = self._shard(np.asarray(attr_labels, np.float32))
 
         adv_loss = None
@@ -603,9 +612,16 @@ class AdversarialTrainer:
 
     def maybe_update_best(self, ndkl_value: float) -> bool:
         """Best-NDKL model selection (reference checkpoint provenance,
-        model/clip.py:16).  Returns True when this eval is the new best."""
+        model/clip.py:16).  Returns True when this eval is the new best.
+
+        In layer-training mode the CLIP weights snapshot too (host copy,
+        eval-cadence cost): the best debias tokens belong WITH the weights
+        they were evaluated against."""
         if ndkl_value < self.best_ndkl:
             self.best_ndkl = ndkl_value
             self.best_tokens = np.asarray(self.model.debias_tokens)
+            if self.grad_mask is not None:
+                self.best_clip_params = jax.tree.map(
+                    np.asarray, self.model.clip_params)
             return True
         return False

@@ -43,15 +43,39 @@ def _caption_batches(pairs_path, tokenizer, batch_size, fairface, preprocess_px,
         # arch fed 224px captions would upscale on device and degrade the
         # contrastive batch relative to the native-n_px attribute batch
         ds = ImageCaptionPairs(pairs_path, image_size=preprocess_px)
+        if len(ds) < batch_size:
+            # drop-remainder batching would yield NOTHING and the infinite
+            # wrapper would busy-loop forever — fail loudly instead
+            raise ValueError(
+                f"caption corpus at {pairs_path} has {len(ds)} pairs, fewer "
+                f"than batch_size={batch_size}; shrink the batch or grow "
+                "the corpus")
         while True:
             yield from ds.batches(tokenizer, batch_size, rng=rng)
     else:
         n = len(fairface)
+        if n < batch_size:
+            raise ValueError(
+                f"FairFace caption fallback has {n} rows, fewer than "
+                f"batch_size={batch_size}; shrink the batch")
+        from .. import native
+        from ..vision.preprocess import resize_crop_u8
+
         while True:
             idx = rng.permutation(n)
             for s in range(0, n - batch_size + 1, batch_size):
                 sel = idx[s : s + batch_size]
-                images = np.stack([fairface.load_image(int(i)) for i in sel])
+                paths = [fairface._img_fnames[int(i)] for i in sel]
+                if native.available():
+                    # threaded decode+bit-exact resize (the same ingest the
+                    # attribute batch rides) instead of serial PIL on the
+                    # training thread; failed rows stay zero canvases
+                    images, _ok = native.ingest_batch_files_u8(
+                        paths, preprocess_px)
+                else:
+                    images = np.stack([
+                        resize_crop_u8(fairface.load_image(int(i)),
+                                       preprocess_px) for i in sel])
                 caps = [
                     _fairface_caption(fairface.labels.iloc[int(i)]) for i in sel
                 ]
@@ -208,6 +232,8 @@ def run_training(
         mesh = default_mesh()
     trainer = AdversarialTrainer.create(model, adversary, tcfg, sens_tokens,
                                         use_pallas=use_pallas, mesh=mesh)
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    total_steps = epochs * steps_per_epoch
     start_epoch = 0
     if resume:
         from .state import latest_checkpoint, restore_checkpoint
@@ -216,8 +242,11 @@ def run_training(
         if ckpt is not None:
             restore_checkpoint(ckpt, trainer)
             # continue the configured recipe, don't extend it: epochs already
-            # completed (by restored step count) are skipped
-            steps_per_epoch = max(1, len(train_ds) // batch_size)
+            # completed (by restored step count) are skipped, and the
+            # total_steps cap below stops the run at epochs×steps_per_epoch
+            # even when the checkpoint landed mid-epoch (a mid-epoch resume
+            # re-runs that epoch's early batches under a fresh shuffle, but
+            # never trains MORE steps than the recipe configured)
             start_epoch = min(epochs, trainer.step_count // steps_per_epoch)
 
     val_ds = FairFace(mode="val", iat_type=attribute, data_path=data_path,
@@ -234,10 +263,21 @@ def run_training(
     def prep(images_u8):
         return preprocess_batch(images_u8, n_px)
 
+    _eval_cache: dict = {}
+
     def evaluate_ndkl() -> float:
-        val_loader = HostLoader(val_ds, batch_size=256, num_workers=6,
-                                native_n_px=n_px)
-        labels, img_embs = get_labels_img_embeddings(val_loader, model, n_px=n_px)
+        # frozen-image configs: the val-set image embeddings cannot change
+        # between evals (only the prompt array does) — decode+embed once
+        # and reuse; layer-training configs re-embed every eval
+        if trainer.trains_image or "img" not in _eval_cache:
+            val_loader = HostLoader(val_ds, batch_size=256, num_workers=6,
+                                    native_n_px=n_px)
+            labels, img_embs = get_labels_img_embeddings(val_loader, model,
+                                                         n_px=n_px)
+            if not trainer.trains_image:
+                _eval_cache["img"] = (labels, img_embs)
+        else:
+            labels, img_embs = _eval_cache["img"]
         prompt_embs = get_prompt_embeddings(model, tokenizer, prompts)
         out = eval_ranking(labels, img_embs, prompt_embs, "ndkl", topn=1.0)
         return float(out["eq_opp"])
@@ -249,6 +289,8 @@ def run_training(
 
             it = tqdm.tqdm(loader, desc=f"epoch {epoch}")
         for batch in it:
+            if trainer.step_count >= total_steps:
+                break  # recipe complete (mid-epoch resume re-entry)
             cap_images, cap_tokens = next(caption_iter)
             metrics = trainer.step(
                 prep(jnp.asarray(batch.images)),

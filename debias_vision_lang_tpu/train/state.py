@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import numpy as np
 
 
@@ -43,9 +44,20 @@ def save_checkpoint(directory: str, trainer, step: Optional[int] = None) -> str:
     # would be inconsistent, so the weights checkpoint too
     if getattr(trainer, "grad_mask", None) is not None:
         state["clip_params"] = trainer.model.clip_params
+        # best-NDKL selection in layer mode pairs tokens WITH the weights
+        # they were evaluated against
+        best_cp = getattr(trainer, "best_clip_params", None)
+        state["best_clip_params"] = (
+            best_cp if best_cp is not None
+            else jax.tree.map(np.zeros_like, _host_tree(trainer.model.clip_params)))
+        state["meta"]["has_best_clip"] = np.asarray(best_cp is not None)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
     return path
+
+
+def _host_tree(tree):
+    return jax.tree.map(np.asarray, tree)
 
 
 def restore_checkpoint(path: str, trainer) -> None:
@@ -66,20 +78,36 @@ def restore_checkpoint(path: str, trainer) -> None:
     }
     if getattr(trainer, "grad_mask", None) is not None:
         template["clip_params"] = trainer.model.clip_params
+        template["best_clip_params"] = _host_tree(trainer.model.clip_params)
+        template["meta"]["has_best_clip"] = np.asarray(False)
     with ocp.PyTreeCheckpointer() as ckptr:
         try:
             state = ckptr.restore(path, args=ocp.args.PyTreeRestore(template))
         except (ValueError, KeyError) as e:
-            raise ValueError(
-                f"restoring checkpoint {path} failed ({e!r}). If the "
-                "checkpoint file is intact, the usual cause is a trainer "
-                "state-tree mismatch: TrainConfig optimizer settings "
-                "(lr_schedule/grad_clip_norm) or the layer-training config "
-                "changed between save and resume — the optimizer state "
-                "structure must match the one that wrote the checkpoint. "
-                "A truncated/corrupted checkpoint or an orbax version "
-                "change fails the same way."
-            ) from e
+            state = None
+            if "best_clip_params" in template:
+                # checkpoints written before the best_clip_params entry:
+                # retry once with the legacy layer-mode template
+                legacy = dict(template)
+                legacy.pop("best_clip_params")
+                legacy["meta"] = {k: v for k, v in template["meta"].items()
+                                  if k != "has_best_clip"}
+                try:
+                    state = ckptr.restore(
+                        path, args=ocp.args.PyTreeRestore(legacy))
+                except (ValueError, KeyError):
+                    state = None
+            if state is None:
+                raise ValueError(
+                    f"restoring checkpoint {path} failed ({e!r}). If the "
+                    "checkpoint file is intact, the usual cause is a trainer "
+                    "state-tree mismatch: TrainConfig optimizer settings "
+                    "(lr_schedule/grad_clip_norm) or the layer-training config "
+                    "changed between save and resume — the optimizer state "
+                    "structure must match the one that wrote the checkpoint. "
+                    "A truncated/corrupted checkpoint or an orbax version "
+                    "change fails the same way."
+                ) from e
     if "clip_params" in state:
         trainer.model.clip_params = state["clip_params"]
     trainer.model.debias_tokens = state["debias_tokens"]
@@ -90,6 +118,8 @@ def restore_checkpoint(path: str, trainer) -> None:
     trainer.best_ndkl = float(state["meta"]["best_ndkl"])
     if bool(state["meta"]["has_best"]):
         trainer.best_tokens = np.asarray(state["meta"]["best_tokens"])
+    if bool(np.asarray(state["meta"].get("has_best_clip", False))):
+        trainer.best_clip_params = state["best_clip_params"]
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -134,6 +134,27 @@ class TestUTKFace:
         assert set(ds.labels["age"]) == set(IATDataset.AGE_ENCODING)
         assert ds.n_iat_classes == 9
 
+    def test_out_of_range_fields_skipped_not_crash(self, fake_utkface,
+                                                   tmp_path):
+        """Rows with race >= 5, gender not in {0,1}, or negative age are
+        SKIPPED like other malformed names (round-3 review fix: race=7 used
+        to IndexError the whole construction; gender=3 silently mislabeled
+        as Female)."""
+        import shutil
+
+        from PIL import Image
+
+        root = tmp_path / "utk"
+        shutil.copytree(fake_utkface, root)
+        bad = np.zeros((8, 8, 3), np.uint8)
+        for name in ("25_0_7_20170101000.jpg",   # race out of range
+                     "25_3_1_20170101001.jpg",   # gender out of range
+                     "-5_0_1_20170101002.jpg"):  # negative age
+            Image.fromarray(bad).save(root / name)
+        ds = UTKFace(iat_type="gender", data_path=str(root))
+        assert len(ds) == 18  # all three malformed rows skipped
+        assert set(ds.labels["gender"]) <= {"Male", "Female"}
+
 
 class TestHostLoader:
     def test_batching_and_padding(self, fake_fairface):

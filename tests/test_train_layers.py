@@ -339,3 +339,91 @@ class TestDataParallelTrainer:
             TrainConfig(), sens_tokens(4), use_pallas=False, mesh=mesh)
         m = trainer.step(*batch(rng, b=16))
         assert np.isfinite(m["loss"])
+
+
+class TestRound3ReviewFixes:
+    def test_logit_scale_trains_when_proj_unfrozen(self):
+        """freeze_proj=False puts logit_scale in the trainable proj group
+        (reference model/model.py:49-55) — it must actually receive
+        gradients (round-3 review: an explicit stop_gradient silently left
+        it at init forever)."""
+        model = make_model(freeze_proj=False)
+        before = float(np.asarray(model.clip_params["logit_scale"]))
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(7)
+        for _ in range(2):
+            trainer.step(*batch(rng))
+        after = float(np.asarray(trainer.model.clip_params["logit_scale"]))
+        assert after != before
+
+    def test_logit_scale_frozen_by_default(self):
+        model = make_model(n_train_text_layers=1)  # layers train, proj frozen
+        before = float(np.asarray(model.clip_params["logit_scale"]))
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(8)
+        trainer.step(*batch(rng))
+        after = float(np.asarray(trainer.model.clip_params["logit_scale"]))
+        assert after == before
+
+    def test_best_snapshot_includes_clip_weights_in_layer_mode(self):
+        """maybe_update_best must snapshot the CLIP weights the best tokens
+        were evaluated WITH (round-3 review: tokens-only snapshots produce
+        a composite never evaluated)."""
+        model = make_model(n_train_text_layers=1)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(9)
+        trainer.step(*batch(rng))
+        assert trainer.maybe_update_best(0.5)
+        # probe a leaf the config actually trains: the TOP text resblock
+        best_w = np.asarray(
+            trainer.best_clip_params["text"]["resblocks"]["attn"]["wqkv"][-1]
+        ).copy()
+        trainer.step(*batch(rng))  # weights move past the snapshot
+        live_w = np.asarray(
+            trainer.model.clip_params["text"]["resblocks"]["attn"]["wqkv"][-1])
+        assert np.abs(live_w - best_w).max() > 0
+        # a worse eval must NOT overwrite the snapshot
+        assert not trainer.maybe_update_best(0.9)
+        np.testing.assert_array_equal(
+            np.asarray(
+                trainer.best_clip_params["text"]["resblocks"]["attn"]["wqkv"][-1]),
+            best_w)
+
+    def test_best_clip_snapshot_roundtrips_checkpoint(self, tmp_path):
+        from debias_vision_lang_tpu.train.state import (restore_checkpoint,
+                                                        save_checkpoint)
+
+        model = make_model(n_train_text_layers=1)
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        rng = np.random.default_rng(10)
+        trainer.step(*batch(rng))
+        trainer.maybe_update_best(0.4)
+        best = np.asarray(
+            trainer.best_clip_params["text"]["text_projection"]).copy()
+        path = save_checkpoint(str(tmp_path), trainer)
+
+        fresh_model = make_model(n_train_text_layers=1)
+        fresh = AdversarialTrainer.create(fresh_model, make_adversary(4),
+                                          TrainConfig(), sens_tokens(4),
+                                          use_pallas=False)
+        restore_checkpoint(path, fresh)
+        assert fresh.best_clip_params is not None
+        np.testing.assert_allclose(
+            np.asarray(fresh.best_clip_params["text"]["text_projection"]),
+            best, rtol=0, atol=0)
+
+    def test_frozen_mode_skips_best_clip_snapshot(self):
+        model = make_model()
+        trainer = AdversarialTrainer.create(model, make_adversary(4),
+                                            TrainConfig(), sens_tokens(4),
+                                            use_pallas=False)
+        trainer.maybe_update_best(0.5)
+        assert trainer.best_clip_params is None

@@ -289,3 +289,55 @@ class TestResume:
         common2 = {**common, "epochs": 2}
         r3 = run_training(model=tiny_model(), resume=True, **common2)
         assert r3["steps"] == r1["steps"] + 2  # one more epoch of 2 steps
+
+
+class TestRound3LoopFixes:
+    def test_caption_corpus_smaller_than_batch_raises(self, ff_root):
+        """A too-small corpus used to make the infinite caption iterator
+        busy-loop forever without yielding (round-3 review fix)."""
+        from debias_vision_lang_tpu.data.datasets import FairFace
+        from debias_vision_lang_tpu.train.loop import _caption_batches
+
+        ff = FairFace(mode="val", iat_type="gender", data_path=ff_root,
+                      download=False)
+        gen = _caption_batches(None, tok, batch_size=10_000, fairface=ff,
+                               preprocess_px=PX,
+                               rng=np.random.default_rng(0))
+        with pytest.raises(ValueError, match="fewer than"):
+            next(gen)
+
+    def test_resume_does_not_extend_the_recipe(self, ff_root, tmp_path):
+        """Resuming from a mid-recipe checkpoint must stop at
+        epochs*steps_per_epoch total steps, not re-run extra ones
+        (round-3 review fix)."""
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        kw = dict(model=tiny_model(), tokenizer=tok, attribute="gender",
+                  epochs=2, batch_size=8, data_path=ff_root,
+                  checkpoint_dir=str(tmp_path / "ck"), eval_every=1,
+                  eval_n_samples=None,
+                  sensitive_prompts=["a good person", "a bad person"],
+                  use_pallas=False, progress=False)
+        first = run_training(**kw)
+        assert first["steps"] == 4  # 2 epochs x (16/8)
+        # resume from the completed run: the recipe is already done, so NO
+        # additional training steps may happen
+        second = run_training(**{**kw, "model": tiny_model(),
+                                 "resume": True})
+        assert second["steps"] == 4  # unchanged — not 4 + extra
+
+    def test_caption_fallback_resizes_to_model_px(self, ff_root):
+        """The FairFace caption fallback yields fixed [B, PX, PX, 3] uint8
+        batches (threaded native ingest or bit-exact host resize), not raw
+        variable-size decodes (round-3 review fix)."""
+        from debias_vision_lang_tpu.data.datasets import FairFace
+        from debias_vision_lang_tpu.train.loop import _caption_batches
+
+        ff = FairFace(mode="val", iat_type="gender", data_path=ff_root,
+                      download=False)
+        gen = _caption_batches(None, tok, batch_size=4, fairface=ff,
+                               preprocess_px=PX,
+                               rng=np.random.default_rng(0))
+        images, tokens = next(gen)
+        assert images.shape == (4, PX, PX, 3) and images.dtype == np.uint8
+        assert tokens.shape[0] == 4
