@@ -335,3 +335,60 @@ class TestMergesFileFireDrill:
         p = str(tmp_path / "nonl.txt")
         self._write(p, gz=False, trailing="")
         assert read_merges(p) == self.MERGES
+
+    def test_random_fuzz_matches_hf(self):
+        """Property fuzz: 300 random strings (ASCII mixes, unicode planes,
+        whitespace runs, contractions, punctuation storms) must tokenize
+        ID-for-ID like HF's CLIPTokenizer on the shared synthetic vocab —
+        broadens the curated-case parity toward the real-vocab gated test.
+        Excluded as DOCUMENTED no-ftfy HF divergences (ours follows
+        OpenAI): HTML-entity inputs (double html.unescape) and CJK
+        ideographs (transformers' fallback BasicTokenizer inserts spaces
+        around them; openai/CLIP does not)."""
+        import json
+        import os
+        import random
+        import tempfile
+
+        pytest.importorskip("transformers")
+        from transformers import CLIPTokenizer
+
+        from debias_vision_lang_tpu.text.bpe import build_vocab
+
+        merges = [("t", "h"), ("th", "e</w>"), ("p", "e"), ("pe", "r"),
+                  ("per", "s"), ("g", "o"), ("go", "o"), ("i", "s</w>"),
+                  ("w", "o"), ("a", "n</w>"), ("i", "n"), ("in", "g</w>")]
+        vocab = build_vocab(merges)
+        rnd = random.Random(42)
+        alphabets = [
+            "abcdefghijklmnopqrstuvwxyz",
+            "abc THE 'sper’ \t\n  ",
+            "0123456789!?.,;:-_()[]{}@#$%^*",
+            "αβγδεζ зыдвгж اللغة",
+            "emoji 😀🎉🧪 mixé café übermäßig",
+            "'s 't 're 've 'm 'll 'd",
+        ]
+        texts = []
+        for _ in range(300):
+            alpha = rnd.choice(alphabets)
+            n = rnd.randint(0, 40)
+            texts.append("".join(rnd.choice(alpha) for _ in range(n)))
+        with tempfile.TemporaryDirectory() as d:
+            vf, mf = os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+            with open(vf, "w") as f:
+                json.dump(vocab, f)
+            with open(mf, "w") as f:
+                f.write("#version: 0.2\n")
+                for a, b in merges:
+                    f.write(f"{a} {b}\n")
+            hf = CLIPTokenizer(vf, mf, model_max_length=77)
+            ours = ClipTokenizer(merges, context_length=77)
+            mismatches = []
+            for t in texts:
+                h = hf(t, truncation=True, max_length=77)["input_ids"]
+                o = ours([t], truncate=True)[0].tolist()
+                while o and o[-1] == 0:
+                    o.pop()
+                if o != h:
+                    mismatches.append((t, o, h))
+            assert not mismatches, mismatches[:3]
