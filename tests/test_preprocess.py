@@ -91,6 +91,21 @@ class TestPILBitExact:
         got = resize_bicubic_pil_exact(arr, out[0], out[1])
         assert np.array_equal(ref, got)
 
+    def test_resize_bit_exact_fuzz(self, rng):
+        """Property fuzz: 40 random (in, out) geometries — odd sizes,
+        extreme aspect ratios, 1-pixel edges, up/down in each axis — every
+        one bit-identical to PIL."""
+        for _ in range(40):
+            h = int(rng.integers(1, 96))
+            w = int(rng.integers(1, 96))
+            oh = int(rng.integers(1, 96))
+            ow = int(rng.integers(1, 96))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ref = np.asarray(
+                Image.fromarray(arr).resize((ow, oh), Image.BICUBIC))
+            got = resize_bicubic_pil_exact(arr, oh, ow)
+            assert np.array_equal(ref, got), (h, w, oh, ow)
+
     @pytest.mark.parametrize("name", ["woman.jpg", "man.jpg"])
     def test_reference_figures_bit_exact(self, name):
         import os
