@@ -366,3 +366,19 @@ def test_corrupt_cached_so_rebuilt(tmp_path, monkeypatch):
         assert native.available()
     finally:
         native._LIB, native._BUILD_ERR = saved
+
+
+def test_resize_bit_exact_fuzz_vs_pil(rng):
+    """Property fuzz for the C++ resample: 40 random geometries (odd
+    sizes, 1-pixel edges, extreme ratios) bit-identical to PIL."""
+    from PIL import Image
+
+    for _ in range(40):
+        h = int(rng.integers(1, 96))
+        w = int(rng.integers(1, 96))
+        oh = int(rng.integers(1, 96))
+        ow = int(rng.integers(1, 96))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(arr).resize((ow, oh), Image.BICUBIC))
+        got = native.resize_bicubic_u8(arr, oh, ow)
+        np.testing.assert_array_equal(got, ref, err_msg=str((h, w, oh, ow)))
