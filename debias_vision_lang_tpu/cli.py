@@ -197,7 +197,9 @@ def _add_zero_shot(sub):
                    help="use the full 80-template OpenAI ImageNet protocol")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16", "int8", "int8-text"],
-                   help="vision-tower precision (int8 = quantized, fastest)")
+                   help="vision-tower precision (int8 = quantized, fastest; "
+                        "int8-text also runs the classifier text encodes "
+                        "int8)")
 
 
 def _cmd_zero_shot(args):
@@ -267,7 +269,8 @@ def _add_serve(sub):
     p.add_argument("--dtype", default=None,
                    choices=[None, "float32", "bfloat16", "int8", "int8-text"],
                    help="compute dtype (default: bfloat16 on TPU, else fp32; "
-                        "int8 = quantized vision tower, fastest)")
+                        "int8 = quantized vision tower, fastest images; "
+                        "int8-text also quantizes the text tower)")
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the batch buckets at startup")
