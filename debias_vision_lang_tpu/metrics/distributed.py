@@ -28,7 +28,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .oracle import resolve_topn
-from .ranking import canonicalize_zeros, metrics_from_top_labels
+from .ranking import (canonicalize_zeros, desired_from_counts,
+                      metrics_from_top_labels)
 
 
 @functools.lru_cache(maxsize=64)
@@ -73,11 +74,7 @@ def _sharded_metrics_fn(mesh, axis: str, top_n: int, n_classes: int,
             jax.nn.one_hot(labels_shard, n_classes, dtype=jnp.float32)
             * valid_shard[:, None], axis=0)
         counts = jax.lax.psum(local_counts, axis)
-        n_total = jnp.sum(counts)
-        desired = {
-            "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
-            "dem_par": jnp.maximum(counts, 1.0) / n_total,
-        }
+        desired = desired_from_counts(counts, jnp.sum(counts), n_classes)
 
         # merge candidates across shards (contains the exact global kept
         # list: every kept entry beats each shard's k-th candidate or the

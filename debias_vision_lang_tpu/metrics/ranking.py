@@ -75,15 +75,24 @@ def _pairwise_sum_last(x: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+def desired_from_counts(counts: jax.Array, n, n_classes: int) -> Dict[str, jax.Array]:
+    """THE desired-distribution assembly (reference measuring_bias.py:26-27):
+    eq_opp = uniform; dem_par = empirical frequencies with zero-count
+    clamping.  One definition for every engine — ``counts`` arrive plain
+    (static path), valid-masked (bucketed path) or psum-merged (sharded
+    path); ``n`` is their total (host int or traced scalar)."""
+    nf = jnp.asarray(n, jnp.float32)
+    return {
+        "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
+        "dem_par": jnp.maximum(counts, 1.0) / nf,
+    }
+
+
 def desired_distributions(labels: jax.Array, n_classes: int) -> Dict[str, jax.Array]:
     """eq_opp = uniform; dem_par = empirical frequencies with zero-count
     clamping (reference: measuring_bias.py:26-27)."""
     counts = jnp.sum(jax.nn.one_hot(labels, n_classes, dtype=jnp.float32), axis=0)
-    n = labels.shape[0]
-    return {
-        "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
-        "dem_par": jnp.maximum(counts, 1.0) / n,
-    }
+    return desired_from_counts(counts, labels.shape[0], n_classes)
 
 
 def metrics_from_top_labels(
@@ -254,11 +263,7 @@ def _ranking_metrics_padded(
     counts = jnp.sum(
         jax.nn.one_hot(labels, n_classes, dtype=jnp.float32) * validf[:, None],
         axis=0)
-    nrf = n_real.astype(jnp.float32)
-    desired = {
-        "eq_opp": jnp.full((n_classes,), 1.0 / n_classes, jnp.float32),
-        "dem_par": jnp.maximum(counts, 1.0) / nrf,
-    }
+    desired = desired_from_counts(counts, n_real, n_classes)
 
     vals, top_idx = jax.lax.top_k(canonicalize_zeros(scores), nb)  # full bucket sort
     top_labels = labels[top_idx]
