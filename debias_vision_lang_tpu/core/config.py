@@ -59,6 +59,19 @@ class VisionConfig:
     layers: Union[int, Tuple[int, int, int, int]] = 12  # int for ViT, 4-tuple for ResNet stages
     heads: int = 12
     embed_dim: int = 512  # shared image/text embedding dim
+    # video_vit only: "joint" (TPU-first fused attention) or "divided"
+    # (upstream-faithful space-time attention — the loader selects it for
+    # converted FiT checkpoints with trained temporal weights).  Carried in
+    # the CONFIG so every consumer — the FrozenInTime bundle, the
+    # functional encode_image dispatch, DebiasCLIP wrappers — agrees.
+    video_attention: str = "joint"
+    # normalization stats the tower was TRAINED with: OpenAI CLIP stats by
+    # default; SLIP and Frozen-in-Time trained on ImageNet stats (their
+    # upstream preprocess) — carried per-arch so preprocess, the device
+    # normalize, and the folded u8/p8 stems all agree (round-3 review fix:
+    # SLIP/FiT used to be silently normalized with CLIP stats)
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
 
     @property
     def grid_size(self) -> int:

@@ -17,13 +17,22 @@ from .config import CLIPConfig, TextConfig, VisionConfig
 
 
 def _vit(name, patch, width, layers, heads, embed, t_width, t_heads, t_layers,
-         image=224, kind="vit"):
+         image=224, kind="vit", stats=None):
+    vkw = {} if stats is None else {"image_mean": stats[0],
+                                    "image_std": stats[1]}
     return CLIPConfig(
         name=name,
         vision=VisionConfig(kind=kind, image_size=image, patch_size=patch,
-                            width=width, layers=layers, heads=heads, embed_dim=embed),
+                            width=width, layers=layers, heads=heads,
+                            embed_dim=embed, **vkw),
         text=TextConfig(width=t_width, heads=t_heads, layers=t_layers, embed_dim=embed),
     )
+
+
+# SLIP and Frozen-in-Time trained with torchvision's ImageNet normalization
+# (upstream facebookresearch/SLIP and m-bain/frozen-in-time transforms) —
+# NOT OpenAI CLIP's stats
+IMAGENET_STATS = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
 
 
 def _resnet(name, stages, stem_width, embed, image, t_width, t_heads):
@@ -52,13 +61,16 @@ CLIP_ARCHS: Dict[str, CLIPConfig] = {
 # tower; Frozen-in-Time is a multi-frame video ViT.  Registered as distinct
 # kinds so model builders can branch.
 SLIP_ARCHS: Dict[str, CLIPConfig] = {
-    "ViT-B/16": _vit("SLIP-ViT-B/16", 16, 768, 12, 12, 512, 512, 8, 12, kind="slip_vit"),
-    "ViT-L/16": _vit("SLIP-ViT-L/16", 16, 1024, 24, 16, 512, 512, 8, 12, kind="slip_vit"),
+    "ViT-B/16": _vit("SLIP-ViT-B/16", 16, 768, 12, 12, 512, 512, 8, 12,
+                     kind="slip_vit", stats=IMAGENET_STATS),
+    "ViT-L/16": _vit("SLIP-ViT-L/16", 16, 1024, 24, 16, 512, 512, 8, 12,
+                     kind="slip_vit", stats=IMAGENET_STATS),
 }
 
 FIT_ARCHS: Dict[str, CLIPConfig] = {
     # Frozen-in-Time base: ViT-B/16 space-time encoder, 4 frames default.
-    "base": _vit("FiT-ViT-B/16", 16, 768, 12, 12, 256, 512, 8, 12, kind="video_vit"),
+    "base": _vit("FiT-ViT-B/16", 16, 768, 12, 12, 256, 512, 8, 12,
+                 kind="video_vit", stats=IMAGENET_STATS),
 }
 
 VALID_CLIP_MODELS: List[str] = [f"openai/CLIP/{arch}" for arch in CLIP_ARCHS]

@@ -102,13 +102,16 @@ def _embed_step(model, images_u8, n_px, compute_dtype):
         # (models/clip.py::encode_image_vit_p8)
         return model.encode_image(images_u8,
                                   dtype=compute_dtype).astype(jnp.float32)
+    vis = _vision_cfg_of(model)
+    stats = ({} if vis is None else
+             {"mean": vis.image_mean, "std": vis.image_std})
     if images_u8.ndim == 5:  # video batches [B, T, H, W, 3]: map frames
         b, t = images_u8.shape[:2]
         x = preprocess_batch(images_u8.reshape((b * t,) + images_u8.shape[2:]),
-                             n_px)
+                             n_px, **stats)
         x = x.reshape((b, t) + x.shape[1:])
     else:
-        x = preprocess_batch(images_u8, n_px)
+        x = preprocess_batch(images_u8, n_px, **stats)
     return model.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
 
 

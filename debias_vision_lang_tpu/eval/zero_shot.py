@@ -127,7 +127,12 @@ def zero_shot_accuracy(
 
         def _local(mc, images_u8):
             m, clf = mc
-            x = preprocess_batch(images_u8, n_px)
+            from .measure import _vision_cfg_of
+
+            vis = _vision_cfg_of(m)
+            stats = ({} if vis is None else
+                     {"mean": vis.image_mean, "std": vis.image_std})
+            x = preprocess_batch(images_u8, n_px, **stats)
             emb = m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
             return classify(emb, clf, top_k=5)
 
@@ -145,7 +150,12 @@ def zero_shot_accuracy(
     else:
         @jax.jit
         def step(m, clf, images_u8):
-            x = preprocess_batch(images_u8, n_px)
+            from .measure import _vision_cfg_of
+
+            vis = _vision_cfg_of(m)
+            stats = ({} if vis is None else
+                     {"mean": vis.image_mean, "std": vis.image_std})
+            x = preprocess_batch(images_u8, n_px, **stats)
             emb = m.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
             return classify(emb, clf, top_k=5)
 

@@ -191,19 +191,20 @@ def encode_image_vit(
     return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
 
 
-def fold_preprocess_into_patch(p_conv: Params):
+def fold_preprocess_into_patch(p_conv: Params, mean=None, std=None):
     """Absorb CLIP's Normalize into the patch-conv weights.
 
     conv(normalize(u8)) == u8 @ W' + b' with W'[i, :] = W[i, :]/(255·std[c])
     and b' = Σ_i (-mean[c]/std[c])·W[i, :] (c = channel of input element i;
     timm conv bias folds into b' too) — so patchify runs on UINT8 (9.6 MB
     vs 38.6 MB f32 per 256-batch) and the separate normalize pass vanishes.
-    Returns f32 (W', b')."""
+    Returns f32 (W', b').  ``mean``/``std`` default to CLIP's stats; pass
+    the tower's VisionConfig.image_mean/image_std (SLIP/FiT = ImageNet)."""
     from ..vision.preprocess import CLIP_MEAN, CLIP_STD
 
     k = p_conv["kernel"].astype(jnp.float32)  # [patch²·3, width]
-    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
-    std = jnp.asarray(CLIP_STD, jnp.float32)
+    mean = jnp.asarray(CLIP_MEAN if mean is None else mean, jnp.float32)
+    std = jnp.asarray(CLIP_STD if std is None else std, jnp.float32)
     c = jnp.arange(k.shape[0]) % 3
     w_f = k * (1.0 / (255.0 * std))[c][:, None]
     b_f = (-mean / std)[c] @ k
@@ -230,17 +231,12 @@ def encode_image_vit_u8(
     values are exact in bfloat16).  The uint8 input must already be at the
     model's resolution (the native-ingest staging contract)."""
     p = params
-    patch = cfg.patch_size
-    b, h, w, c = images_u8.shape
-    gh, gw = h // patch, w // patch
-    w_f, b_f = fold_preprocess_into_patch(p["conv1"])
-    # relayout-free patchify (see patch_embed): contract the split patch
-    # dims directly, no transposed image tensor materializes
-    x5 = images_u8.reshape(b, gh, patch, gw, patch * c).astype(dtype)
-    k3 = w_f.astype(dtype).reshape(patch, patch * c, w_f.shape[-1])
-    x = jax.lax.dot_general(x5, k3, (((2, 4), (0, 1)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    x = x.reshape(b, gh * gw, w_f.shape[-1]).astype(dtype) + b_f.astype(dtype)
+    w_f, b_f = fold_preprocess_into_patch(p["conv1"], cfg.image_mean,
+                                          cfg.image_std)
+    # one relayout-free patchify implementation for every stem: patch_embed
+    # with the folded kernel+bias (uint8 upcast to the compute dtype first)
+    x = patch_embed({"kernel": w_f, "bias": b_f},
+                    images_u8.astype(dtype), cfg.patch_size)
     return _vit_trunk(p, x, cfg, dtype, use_pallas, remat, fused)
 
 
@@ -263,7 +259,8 @@ def encode_image_vit_p8(
     ``encode_image_vit(preprocess_batch(u8))`` at the same compute dtype.
     Floating-point sibling of ops/quant.py::encode_image_vit_q_p8."""
     p = params
-    w_f, b_f = fold_preprocess_into_patch(p["conv1"])
+    w_f, b_f = fold_preprocess_into_patch(p["conv1"], cfg.image_mean,
+                                          cfg.image_std)
     x = jax.lax.dot_general(patches_u8.astype(dtype), w_f.astype(dtype),
                             (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -286,13 +283,18 @@ def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, **kw) -> ja
             kw.setdefault("dtype", jnp.bfloat16)
             return encode_image_vit_p8(params["visual"], images, cfg.vision, **kw)
         return encode_image_vit(params["visual"], images, cfg.vision, **kw)
+    kw.pop("fused", None)  # ViT fused-block knob; other towers take
+    # dtype/use_pallas/remat only — a uniform caller must not TypeError
     if cfg.vision.kind == "resnet":
         from .resnet import encode_image_resnet
 
         return encode_image_resnet(params["visual"], images, cfg.vision, **kw)
     if cfg.vision.kind == "video_vit":
-        from .frozen_in_time import encode_video
+        from .frozen_in_time import encode_video, encode_video_divided
 
+        if cfg.vision.video_attention == "divided":
+            return encode_video_divided(params["visual"], images,
+                                        cfg.vision, **kw)
         return encode_video(params["visual"], images, cfg.vision, **kw)
     raise NotImplementedError(cfg.vision.kind)
 
@@ -311,16 +313,12 @@ def add_positional(params: Params, x: jax.Array) -> jax.Array:
     return x + params["positional_embedding"].astype(x.dtype)[: x.shape[1]]
 
 
-def _use_fused_text(cfg: TextConfig, dtype, use_pallas) -> bool:
-    """Fused-block gate for the text tower — same policy as the vision gate
-    (TPU + bf16 + VMEM fit), with the causal mask generated in-kernel."""
-    if use_pallas or dtype != jnp.bfloat16:
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    from ..ops.fused_block import fused_blocks_fit_vmem
-
-    return fused_blocks_fit_vmem(cfg.width, dtype)
+def _use_fused_text(cfg: TextConfig, dtype, use_pallas,
+                    fused=None) -> bool:
+    """Fused-block gate for the text tower — ONE policy with the vision
+    gate (TPU + bf16 + VMEM fit; explicit ``fused`` overrides), the causal
+    mask generated in-kernel."""
+    return _use_fused_blocks(cfg, dtype, use_pallas, fused)
 
 
 def run_text_transformer(
@@ -330,9 +328,10 @@ def run_text_transformer(
     *,
     use_pallas: Optional[bool] = None,
     remat: bool = False,
+    fused: Optional[bool] = None,
 ) -> jax.Array:
     """Causal-masked transformer over embedded text, then final LayerNorm."""
-    if _use_fused_text(cfg, x.dtype, use_pallas):
+    if _use_fused_text(cfg, x.dtype, use_pallas, fused):
         from ..ops.fused_block import fused_transformer_diff
 
         x = fused_transformer_diff(params["resblocks"], x, cfg.heads,

@@ -264,7 +264,9 @@ class FrozenInTime:
 
     def __call__(self, images, text, **kw):
         img = self.encode_image(images, **kw).astype(jnp.float32)
-        txt = self.encode_text(text, **kw).astype(jnp.float32)
+        # 'fused' is a ViT-kernel knob the text tower doesn't take
+        txt_kw = {k: v for k, v in kw.items() if k != "fused"}
+        txt = self.encode_text(text, **txt_kw).astype(jnp.float32)
         img = clip_model.l2_normalize(img)
         txt = clip_model.l2_normalize(txt)
         scale = jnp.exp(self.params["logit_scale"])

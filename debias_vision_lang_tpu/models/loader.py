@@ -145,7 +145,8 @@ def _resolve_pretrained(model_name: str, cfg: CLIPConfig) -> Optional[Params]:
             except Exception:
                 import socket
 
-                socket.create_connection(("huggingface.co", 443), timeout=3)
+                socket.create_connection(("huggingface.co", 443),
+                                         timeout=3).close()
                 hf = CLIPModel.from_pretrained(_HF_NAMES[arch])
             return convert.from_hf_model(hf, cfg)
         except Exception:
@@ -239,12 +240,21 @@ def model_loader(
         # every video tree carries it for structure parity.
         attention = ("divided" if loaded and _temporal_attn_trained(params)
                      else "joint")
+        # carry the selection in the CONFIG so functional consumers that
+        # only see (params, cfg) — clip_model.encode_image's video branch,
+        # DebiasCLIP wrappers — run the same formulation as the bundle
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, vision=_dc.replace(cfg.vision,
+                                                  video_attention=attention))
         model: ClipLike = FrozenInTime(params=params, cfg=cfg,
                                        attention=attention)
     else:
         model = CLIP(params=params, cfg=cfg)
 
-    preprocess: Preprocess = build_preprocess(cfg.vision.image_size)
+    preprocess: Preprocess = build_preprocess(
+        cfg.vision.image_size, mean=cfg.vision.image_mean,
+        std=cfg.vision.image_std)
 
     try:
         from ..text.tokenizer import load_tokenizer

@@ -389,6 +389,64 @@ def _xla_resblock(layer_p, x, heads, act_kind, causal=False):
     return resblock(layer_p, x, heads, mask=mask, use_pallas=False, act=act)
 
 
+def _kernel_math_resblock(layer_p, x, heads, act_kind, causal=False):
+    """The fused kernels' math as differentiable XLA — mirrors
+    _attn_block_kernel + _mlp_block_kernel exactly: f32 LayerNorm,
+    f32-accumulated dots with input-dtype rounding of qkv/probs/attn,
+    f32 softmax, f32 residual adds.  The custom VJP differentiates THIS,
+    not ``resblock`` — resblock's bf16 attention branch runs a bf16
+    softmax (and bf16 residual adds) the forward kernel never computes,
+    so its gradients would belong to a different function (same
+    consistency rule as ops/attention.py::_attention_kernel_math)."""
+    import math as _math
+
+    b, s, d = x.shape
+    hd = d // heads
+    scale = 1.0 / _math.sqrt(hd)
+    ap, mp = layer_p["attn"], layer_p["mlp"]
+
+    xn = _ln_f32(x, layer_p["ln_1"]["scale"], layer_p["ln_1"]["bias"])
+    qkv = jax.lax.dot_general(xn, ap["wqkv"].astype(x.dtype),
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    qkv = (qkv + ap["bqkv"].astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, s, heads, hd)
+    kh = k.reshape(b, s, heads, hd)
+    vh = v.reshape(b, s, heads, hd)
+    sc = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                    preferred_element_type=jnp.float32) * scale
+    if causal:
+        sc = sc + _causal_neg(s)[:, None]
+    m = jax.lax.stop_gradient(jnp.max(sc, axis=-1, keepdims=True))
+    e = jnp.exp(sc - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.reshape(b, s, d)
+    proj = jax.lax.dot_general(o, ap["wo"].astype(x.dtype),
+                               (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    proj = proj + ap["bo"].astype(jnp.float32)
+    x = (x.astype(jnp.float32) + proj).astype(x.dtype)
+
+    xn2 = _ln_f32(x, layer_p["ln_2"]["scale"], layer_p["ln_2"]["bias"])
+    h = jax.lax.dot_general(xn2, mp["w1"].astype(x.dtype),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + mp["b1"].astype(jnp.float32)
+    if act_kind == "quick_gelu":
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    h = h.astype(x.dtype)
+    part = jax.lax.dot_general(h, mp["w2"].astype(x.dtype),
+                               (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    out = x.astype(jnp.float32) + mp["b2"].astype(jnp.float32) + part
+    return out.astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _fused_resblock_diff(layer_p, x, heads, act_kind, causal=False,
                          interpret=False):
@@ -406,12 +464,14 @@ def _fused_fwd(layer_p, x, heads, act_kind, causal=False, interpret=False):
 
 
 def _fused_bwd(heads, act_kind, causal, interpret, res, g):
-    # backward via XLA recompute — the fused kernels are an inference-path
-    # optimization; training steps that differentiate the tower get exact
-    # XLA gradients
+    # backward via XLA recompute of the KERNEL'S math (f32 softmax, f32
+    # residual adds) — NOT resblock, whose bf16 attention branch computes
+    # a bf16 softmax the forward kernel never ran; gradients must belong
+    # to the function the forward evaluated (round-3 review fix)
     layer_p, x = res
-    _, vjp = jax.vjp(lambda p, y: _xla_resblock(p, y, heads, act_kind, causal),
-                     layer_p, x)
+    _, vjp = jax.vjp(
+        lambda p, y: _kernel_math_resblock(p, y, heads, act_kind, causal),
+        layer_p, x)
     return vjp(g)
 
 

@@ -176,12 +176,14 @@ def transformer_q(p: Params, x: jax.Array, heads: int,
 # ---------------------------------------------------------------------------
 
 
-def quantize_vit_visual(visual: Params) -> Params:
+def quantize_vit_visual(visual: Params, mean=None, std=None) -> Params:
     from ..models.clip import fold_preprocess_into_patch
 
     # normalize-folded patch weights (models/clip.py) for the direct-from-
-    # uint8 path; the plain conv1 stays for preprocessed-float inputs
-    w_fold, b_fold = fold_preprocess_into_patch(visual["conv1"])
+    # uint8 path; the plain conv1 stays for preprocessed-float inputs.
+    # mean/std: the tower's training stats (VisionConfig.image_mean/_std —
+    # CLIP default; SLIP = ImageNet)
+    w_fold, b_fold = fold_preprocess_into_patch(visual["conv1"], mean, std)
     out = {
         "conv1": quantize_weight(visual["conv1"]["kernel"]),
         "conv1_folded": quantize_weight(w_fold),
@@ -401,7 +403,9 @@ class QuantizedCLIP:
             raise NotImplementedError("int8 path currently supports ViT towers")
         self.base = base
         self.cfg = cfg
-        self.visual_q = quantize_vit_visual(_bundle_params(base)["visual"])
+        self.visual_q = quantize_vit_visual(
+            _bundle_params(base)["visual"],
+            mean=cfg.vision.image_mean, std=cfg.vision.image_std)
         self.text_q = (quantize_clip_text(_bundle_params(base)["text"])
                        if quantize_text else None)
 
@@ -409,6 +413,7 @@ class QuantizedCLIP:
         from ..models.clip import _is_patch_staging
 
         kw.pop("use_pallas", None)
+        kw.pop("remat", None)  # inference-only tower: both knobs inert
         images = jnp.asarray(images)
         if _is_patch_staging(images, self.cfg.vision):
             # host-patchified uint8 staging [B, P, patch²·3]: exact int8

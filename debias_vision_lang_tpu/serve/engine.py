@@ -50,6 +50,15 @@ def _next_bucket(n: int, max_batch: int) -> int:
     return min(_pow2_ceil(n), max_batch)
 
 
+def _model_stats(model):
+    """The tower's normalization stats from the bundle's static config
+    (CLIP default; SLIP/FiT = ImageNet — VisionConfig.image_mean/_std)."""
+    cfg = getattr(model, "clip_cfg", None) or getattr(model, "cfg", None)
+    if cfg is None:
+        return {}
+    return {"mean": cfg.vision.image_mean, "std": cfg.vision.image_std}
+
+
 @partial(jax.jit, static_argnames=("compute_dtype",))
 def _embed_images_u8(model, images_u8, compute_dtype):
     if images_u8.ndim == 3:
@@ -58,7 +67,7 @@ def _embed_images_u8(model, images_u8, compute_dtype):
         # device preprocess (models/clip.py::_is_patch_staging)
         return model.encode_image(images_u8,
                                   dtype=compute_dtype).astype(jnp.float32)
-    x = preprocess_batch(images_u8, images_u8.shape[1])
+    x = preprocess_batch(images_u8, images_u8.shape[1], **_model_stats(model))
     return model.encode_image(x, dtype=compute_dtype).astype(jnp.float32)
 
 

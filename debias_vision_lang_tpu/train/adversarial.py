@@ -215,7 +215,9 @@ def build_train_steps(
         @jax.jit
         def embed_images(cp, images: jax.Array) -> jax.Array:
             visual_q = quantize_vit_visual(
-                jax.lax.stop_gradient(cp)["visual"])
+                jax.lax.stop_gradient(cp)["visual"],
+                mean=clip_cfg.vision.image_mean,
+                std=clip_cfg.vision.image_std)
             return encode_image_vit_q(
                 visual_q, images, clip_cfg.vision).astype(jnp.float32)
     else:

@@ -259,9 +259,12 @@ def run_training(
 
     import jax.numpy as jnp
 
+    _stats = {"mean": model.clip_cfg.vision.image_mean,
+              "std": model.clip_cfg.vision.image_std}
+
     @jax.jit
     def prep(images_u8):
-        return preprocess_batch(images_u8, n_px)
+        return preprocess_batch(images_u8, n_px, **_stats)
 
     _eval_cache: dict = {}
 

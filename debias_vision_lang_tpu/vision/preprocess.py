@@ -194,9 +194,14 @@ def preprocess_batch(
     images_u8: jax.Array,
     n_px: int = 224,
     emulate_uint8_rounding: bool = False,
+    mean=CLIP_MEAN,
+    std=CLIP_STD,
 ) -> jax.Array:
     """Fused device preprocess: uint8 [B, H, W, 3] → normalized float32
-    [B, n_px, n_px, 3] (NHWC, the TPU-native layout)."""
+    [B, n_px, n_px, 3] (NHWC, the TPU-native layout).
+
+    ``mean``/``std``: the tower's training stats (VisionConfig.image_mean/
+    image_std — CLIP by default; SLIP/FiT use ImageNet stats)."""
     b, h, w, _ = images_u8.shape
     x = images_u8.astype(jnp.float32)
     rh, rw = resize_output_size(h, w, n_px)
@@ -209,9 +214,9 @@ def preprocess_batch(
                         (pw // 2, (pw + 1) // 2), (0, 0)))
         rh, rw = x.shape[1], x.shape[2]
     x = x[:, center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
-    mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(CLIP_STD, jnp.float32) * 255.0
-    return (x - mean) / std
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    sd = jnp.asarray(std, jnp.float32) * 255.0
+    return (x - m) / sd
 
 
 class Preprocess:
@@ -231,25 +236,30 @@ class Preprocess:
     """
 
     def __init__(self, n_px: int = 224, emulate_uint8_rounding: bool = True,
-                 use_native: bool = True):
+                 use_native: bool = True, mean=CLIP_MEAN, std=CLIP_STD):
         self.n_px = n_px
         self.emulate_uint8_rounding = emulate_uint8_rounding
         self.use_native = use_native
+        self.mean = tuple(mean)
+        self.std = tuple(std)
 
     def __call__(self, img) -> np.ndarray:
         arr = to_rgb_array(img)
         if not self.emulate_uint8_rounding:
             return np.asarray(
-                preprocess_batch(jnp.asarray(arr[None]), self.n_px, False)[0])
-        if self.use_native:
+                preprocess_batch(jnp.asarray(arr[None]), self.n_px, False,
+                                 mean=self.mean, std=self.std)[0])
+        if self.use_native and (self.mean, self.std) == (CLIP_MEAN, CLIP_STD):
             # C++ replica of the same arithmetic (bit-equal, ~50× faster on
-            # a 1-core host — tests/test_native_ingest.py); fall back to the
-            # numpy oracle when the toolchain is unavailable
+            # a 1-core host — tests/test_native_ingest.py); it bakes the
+            # CLIP stats, so non-CLIP stats (SLIP/FiT = ImageNet) take the
+            # numpy normalize below on the same bit-exact resize
             from .. import native
 
             if native.available():
                 return native.preprocess_u8(arr, self.n_px)
-        return preprocess_host_exact(arr, self.n_px)
+        return preprocess_host_exact(arr, self.n_px, mean=self.mean,
+                                     std=self.std)
 
 
 def resize_crop_u8(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
@@ -269,7 +279,8 @@ def resize_crop_u8(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
     return x[center_crop_slice(rh, n_px), center_crop_slice(rw, n_px), :]
 
 
-def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
+def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224,
+                          mean=CLIP_MEAN, std=CLIP_STD) -> np.ndarray:
     """Bit-exact host replica of the reference transform chain:
     Resize(n_px, BICUBIC) → CenterCrop(n_px) → ToTensor → Normalize.
 
@@ -278,8 +289,8 @@ def preprocess_host_exact(arr_u8: np.ndarray, n_px: int = 224) -> np.ndarray:
     # torchvision op order in float32: ToTensor divides by 255, Normalize
     # subtracts then divides.
     out = x.astype(np.float32) / np.float32(255.0)
-    out = out - np.asarray(CLIP_MEAN, np.float32)
-    out = out / np.asarray(CLIP_STD, np.float32)
+    out = out - np.asarray(mean, np.float32)
+    out = out / np.asarray(std, np.float32)
     return out
 
 
@@ -317,5 +328,6 @@ def to_rgb_array(img) -> np.ndarray:
     return arr.astype(np.uint8)
 
 
-def build_preprocess(n_px: int = 224) -> Preprocess:
-    return Preprocess(n_px=n_px)
+def build_preprocess(n_px: int = 224, mean=CLIP_MEAN,
+                     std=CLIP_STD) -> Preprocess:
+    return Preprocess(n_px=n_px, mean=mean, std=std)

@@ -161,6 +161,53 @@ class TestGradients:
                 np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3),
             gf, gx)
 
+    def test_recompute_math_matches_kernel_forward(self, stacked, x):
+        """The backward's recompute function must compute the SAME function
+        as the forward kernel (round-3 review fix: the old resblock-based
+        recompute ran a bf16 softmax for bf16 inputs — math the kernel
+        never computed).  Checked in both dtypes, incl. causal."""
+        from debias_vision_lang_tpu.ops.fused_block import (
+            _kernel_math_resblock, fused_resblock)
+
+        layer0 = jax.tree.map(lambda a: a[0], stacked)
+        for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+            xx = x.astype(dtype)
+            for causal in (False, True):
+                kern = fused_resblock(layer0, xx, H, act_kind="quick_gelu",
+                                      causal=causal, interpret=True)
+                math_fn = _kernel_math_resblock(layer0, xx, H, "quick_gelu",
+                                                causal=causal)
+                np.testing.assert_allclose(
+                    np.asarray(kern, np.float32),
+                    np.asarray(math_fn, np.float32), atol=atol, rtol=1e-2)
+
+    def test_bf16_gradients_differentiate_kernel_math(self, stacked, x):
+        """bf16 path: the fused VJP equals jax.grad of the kernel-math
+        function (by construction after the fix) and is finite."""
+        from debias_vision_lang_tpu.ops.fused_block import (
+            _fused_resblock_diff, _kernel_math_resblock)
+
+        layer0 = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16), stacked)
+        xb = x.astype(jnp.bfloat16)
+
+        def loss_fused(p, y):
+            return jnp.sum(_fused_resblock_diff(
+                p, y, H, "quick_gelu", False, True).astype(jnp.float32) ** 2)
+
+        def loss_math(p, y):
+            return jnp.sum(_kernel_math_resblock(
+                p, y, H, "quick_gelu").astype(jnp.float32) ** 2)
+
+        gf = jax.grad(loss_fused)(layer0, xb)
+        gm = jax.grad(loss_math)(layer0, xb)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=5e-2, rtol=5e-2),
+            gf, gm)
+        assert all(np.isfinite(np.asarray(l, np.float32)).all()
+                   for l in jax.tree.leaves(gf))
+
 
 class TestPolicy:
     def test_vmem_fit(self):

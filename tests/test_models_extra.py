@@ -488,3 +488,113 @@ class TestLoggerNumpyScalars:
         rec = json.loads(open(logger.path).read().splitlines()[-1])
         assert rec["a"] == 0.5 and rec["b"] == 3 and rec["c"] == 1.25
         assert rec["e"] == [0, 1]
+
+
+class TestPerFamilyNormalization:
+    """SLIP/FiT trained with ImageNet normalization, not CLIP's stats
+    (round-3 review fix: they were silently normalized with CLIP stats).
+    The stats live in VisionConfig and reach preprocess, the device
+    normalize, and the folded u8/p8 stems."""
+
+    def test_registry_stats(self):
+        from debias_vision_lang_tpu.core.registry import (IMAGENET_STATS,
+                                                          resolve_arch)
+
+        slip = resolve_arch("facebookresearch/SLIP/ViT-B/16")
+        fit = resolve_arch("m-bain/frozen-in-time/base")
+        clip = resolve_arch("openai/CLIP/ViT-B/16")
+        assert slip.vision.image_mean == IMAGENET_STATS[0]
+        assert fit.vision.image_std == IMAGENET_STATS[1]
+        assert clip.vision.image_mean == (0.48145466, 0.4578275, 0.40821073)
+
+    def test_loader_preprocess_carries_stats(self):
+        from debias_vision_lang_tpu.models.loader import model_loader
+
+        _, pre_slip, _, _ = model_loader("facebookresearch/SLIP/ViT-B/16",
+                                         pretrained=False)
+        _, pre_clip, _, _ = model_loader("openai/CLIP/ViT-B/32",
+                                         pretrained=False)
+        assert pre_slip.mean == (0.485, 0.456, 0.406)
+        assert pre_clip.mean == (0.48145466, 0.4578275, 0.40821073)
+        # the host chain actually normalizes with them
+        img = np.full((32, 32, 3), 128, np.uint8)
+        out_slip = pre_slip(img)
+        out_clip = pre_clip(img)
+        expect_slip = (128 / 255.0 - 0.485) / 0.229
+        assert abs(float(out_slip[0, 0, 0]) - expect_slip) < 1e-6
+        assert abs(float(out_slip[0, 0, 0]) - float(out_clip[0, 0, 0])) > 1e-3
+
+    def test_device_and_folded_paths_agree_on_imagenet_stats(self, rng):
+        """preprocess_batch + tower == the folded-stem staging path when the
+        config carries ImageNet stats (tiny slip_vit)."""
+        import jax
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.core.config import (CLIPConfig,
+                                                        TextConfig,
+                                                        VisionConfig)
+        from debias_vision_lang_tpu.core.registry import IMAGENET_STATS
+        from debias_vision_lang_tpu.models import clip as clip_model
+        from debias_vision_lang_tpu.vision.preprocess import (patchify_u8,
+                                                              preprocess_batch)
+
+        cfg = CLIPConfig(
+            name="tiny-slip",
+            vision=VisionConfig(kind="slip_vit", image_size=32, patch_size=8,
+                                width=64, layers=2, heads=2, embed_dim=32,
+                                image_mean=IMAGENET_STATS[0],
+                                image_std=IMAGENET_STATS[1]),
+            text=TextConfig(vocab_size=128, context_length=16, width=32,
+                            layers=2, heads=2, embed_dim=32),
+        )
+        params = clip_model.init_clip_params(jax.random.key(0), cfg)
+        imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        ref = clip_model.encode_image(
+            params, preprocess_batch(jnp.asarray(imgs), 32,
+                                     mean=cfg.vision.image_mean,
+                                     std=cfg.vision.image_std),
+            cfg, dtype=jnp.float32, use_pallas=False)
+        staged = clip_model.encode_image(
+            params, jnp.asarray(patchify_u8(imgs, 8)), cfg,
+            dtype=jnp.float32, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(staged), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_debias_wrap_preserves_divided_attention(self, rng):
+        """cfg-carried video_attention: a DebiasCLIP wrapped around a
+        divided-attention FiT runs the divided path (round-3 review fix —
+        the joint path ignored trained temporal weights)."""
+        import jax
+        import jax.numpy as jnp
+
+        from debias_vision_lang_tpu.core.config import (CLIPConfig,
+                                                        DebiasConfig,
+                                                        TextConfig,
+                                                        VisionConfig)
+        from debias_vision_lang_tpu.models import clip as clip_model
+        from debias_vision_lang_tpu.models.frozen_in_time import (
+            encode_video, encode_video_divided, init_video_vit_params)
+
+        vis = VisionConfig(kind="video_vit", image_size=32, patch_size=8,
+                           width=64, layers=2, heads=2, embed_dim=32,
+                           video_attention="divided")
+        cfg = CLIPConfig(name="tiny-fit", vision=vis,
+                         text=TextConfig(vocab_size=128, context_length=16,
+                                         width=32, layers=2, heads=2,
+                                         embed_dim=32))
+        params = clip_model.init_clip_params(jax.random.key(0), cfg)
+        # make the temporal path matter
+        params["visual"]["temporal_attn"]["attn"]["wo"] = (
+            0.1 * jax.random.normal(jax.random.key(1),
+                                    params["visual"]["temporal_attn"]["attn"]["wo"].shape))
+        vids = jnp.asarray(rng.integers(0, 256, (2, 2, 32, 32, 3),
+                                        dtype=np.uint8), jnp.float32) / 255.0
+        via_dispatch = clip_model.encode_image(params, vids, cfg,
+                                               dtype=jnp.float32)
+        divided = encode_video_divided(params["visual"], vids, cfg.vision,
+                                       dtype=jnp.float32)
+        joint = encode_video(params["visual"], vids, cfg.vision,
+                             dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(via_dispatch),
+                                   np.asarray(divided), rtol=1e-5, atol=1e-6)
+        assert np.abs(np.asarray(divided) - np.asarray(joint)).max() > 1e-4
