@@ -103,12 +103,17 @@ def init_temporal_attn_params(rng, cfg: VisionConfig) -> Params:
     }
 
 
-def _video_tokens(params: Params, videos: jax.Array, cfg: VisionConfig, dtype):
+def _video_tokens(params: Params, videos: jax.Array, cfg: VisionConfig, dtype,
+                  patch_embed_fn=None):
     """Shared prologue of both video paths: [B, T, H, W, 3] (4-D promoted to
     1 frame) → per-frame patch tokens [B, T, N, width] with spatial
     positions (class slot skipped, shared across frames) and the temporal
     embedding added; frames uniformly subsampled to the embedding capacity.
-    Returns (tokens, b, t, n)."""
+    Returns (tokens, b, t, n).
+
+    ``patch_embed_fn`` overrides the stem ([B·T, H, W, 3] float → tokens);
+    the int8 path (ops/quant.py::encode_video_q) injects its quantized patch
+    embedding here so both precisions share one frame-staging prologue."""
     p = params
     if videos.ndim == 4:
         videos = videos[:, None]
@@ -118,8 +123,12 @@ def _video_tokens(params: Params, videos: jax.Array, cfg: VisionConfig, dtype):
         idx = jnp.linspace(0, t - 1, max_t).astype(jnp.int32)
         videos = videos[:, idx]
         t = max_t
-    x = clip_model.patch_embed(
-        p["conv1"], videos.reshape(b * t, h, w, c).astype(dtype), cfg.patch_size)
+    frames = videos.reshape(b * t, h, w, c)
+    if patch_embed_fn is None:
+        x = clip_model.patch_embed(p["conv1"], frames.astype(dtype),
+                                   cfg.patch_size)
+    else:
+        x = patch_embed_fn(frames)
     n = x.shape[1]
     x = x.reshape(b, t, n, cfg.width)
     x = x + p["positional_embedding"].astype(dtype)[1 : n + 1][None, None]

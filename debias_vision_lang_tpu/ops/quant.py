@@ -90,15 +90,18 @@ def quantize_resblocks(stacked: Params) -> Params:
     return out
 
 
-def resblock_q(p: Params, x: jax.Array, heads: int,
-               mask: Optional[jax.Array] = None, act=quick_gelu) -> jax.Array:
-    """Pre-LN residual block with int8 matmuls (attention core in fp)."""
+def attn_residual_q(attn_q: Params, ln_p: Params, x: jax.Array, heads: int,
+                    mask: Optional[jax.Array] = None) -> jax.Array:
+    """``x + out_proj(MHA(LN(x)))`` with int8 QKV/out-proj matmuls and the
+    attention core in fp — the attention half of ``resblock_q``, also used
+    standalone by the divided video path (whose temporal attention runs on
+    a [B·N, T, width] layout between reshapes)."""
     from ..ops.attention import attention_reference
 
     b, s, d = x.shape
     hd = d // heads
-    h = layer_norm(p["ln_1"], x)
-    qkv = int8_matmul(h, p["attn"]["wqkv"], p["attn"]["bqkv"])
+    h = layer_norm(ln_p, x)
+    qkv = int8_matmul(h, attn_q["wqkv"], attn_q["bqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads_first(t):
@@ -106,8 +109,13 @@ def resblock_q(p: Params, x: jax.Array, heads: int,
 
     o = attention_reference(heads_first(q), heads_first(k), heads_first(v), mask)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-    x = x + int8_matmul(o, p["attn"]["wo"], p["attn"]["bo"])
+    return x + int8_matmul(o, attn_q["wo"], attn_q["bo"])
 
+
+def resblock_q(p: Params, x: jax.Array, heads: int,
+               mask: Optional[jax.Array] = None, act=quick_gelu) -> jax.Array:
+    """Pre-LN residual block with int8 matmuls (attention core in fp)."""
+    x = attn_residual_q(p["attn"], p["ln_1"], x, heads, mask=mask)
     h = layer_norm(p["ln_2"], x)
     h = act(int8_matmul(h, p["mlp"]["w1"], p["mlp"]["b1"]))
     return x + int8_matmul(h, p["mlp"]["w2"], p["mlp"]["b2"])
@@ -391,6 +399,138 @@ def encode_text_q_debias(text_q: Params, debias_tokens: jax.Array,
     return jnp.dot(pooled, text_q["text_projection"].astype(x.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Quantized video tower (Frozen-in-Time family) — completes the precision
+# ladder across model families: the same int8 resblock machinery runs the
+# joint and divided space-time formulations (models/frozen_in_time.py)
+# ---------------------------------------------------------------------------
+
+
+def quantize_video_visual(visual: Params) -> Params:
+    """Quantize a video-ViT visual tree (frozen_in_time.init_video_vit_params
+    layout: timm-style conv bias, Linear proj dict, per-block temporal
+    attention).  Embeddings, LayerNorms and the projection stay fp; the
+    divided path's temporal attention quantizes its QKV/out matmuls too."""
+    out = {
+        "conv1": quantize_weight(visual["conv1"]["kernel"]),
+        "class_embedding": visual["class_embedding"],
+        "positional_embedding": visual["positional_embedding"],
+        "temporal_embedding": visual["temporal_embedding"],
+        "resblocks": quantize_resblocks(visual["resblocks"]),
+        "ln_pre": visual["ln_pre"],
+        "ln_post": visual["ln_post"],
+        "proj": visual["proj"],
+    }
+    if "bias" in visual["conv1"]:
+        out["conv1_bias"] = visual["conv1"]["bias"]
+    if "temporal_attn" in visual:
+        t = visual["temporal_attn"]
+        out["temporal_attn"] = {
+            "ln_t": t["ln_t"],
+            "attn": {
+                "wqkv": quantize_weight(t["attn"]["wqkv"]),
+                "bqkv": t["attn"]["bqkv"],
+                "wo": quantize_weight(t["attn"]["wo"]),
+                "bo": t["attn"]["bo"],
+            },
+        }
+    return out
+
+
+def _video_act():
+    """Upstream FiT's tower is a timm ViT → EXACT (erf) GELU, matching the
+    fp path (models/frozen_in_time.py::_fit_act) and the fused kernels'
+    act_kind="gelu"."""
+    import functools
+
+    return functools.partial(jax.nn.gelu, approximate=False)
+
+
+def _video_patch_embed_q(p: Params, cfg, dtype):
+    """Quantized stem for the shared frame prologue
+    (frozen_in_time._video_tokens): dynamic per-patch int8, relayout-free."""
+    def pe(frames):
+        return patch_embed_q(frames, cfg.patch_size, p["conv1"],
+                             p.get("conv1_bias"), out_dtype=dtype)
+
+    return pe
+
+
+def encode_video_q(params_q: Params, videos: jax.Array, cfg,
+                   dtype=jnp.bfloat16,
+                   fused: Optional[bool] = None) -> jax.Array:
+    """Int8 joint-attention video forward: [B, T, H, W, 3] (or a 4-D
+    single-frame batch) → [B, embed_dim].
+
+    Mirrors the fp path (models/frozen_in_time.py::encode_video): one fused
+    attention over [CLS] + T·N space-time tokens — already the right int8
+    kernel shape, so the stacked fused-block tower runs unchanged."""
+    p = params_q
+    x, b, t, n = _video_tokens_q(p, videos, cfg, dtype)
+    x = x.reshape(b, t * n, cfg.width)
+    cls = (p["class_embedding"].astype(dtype)
+           + p["positional_embedding"].astype(dtype)[0])
+    x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.width)), x], axis=1)
+    x = layer_norm(p["ln_pre"], x)
+    x = transformer_q(p["resblocks"], x, cfg.heads, act=_video_act(),
+                      fused=fused)
+    x = layer_norm(p["ln_post"], x[:, 0:1, :])[:, 0, :]
+    from ..models.frozen_in_time import _project
+
+    return _project(x, p["proj"], x.dtype)
+
+
+def _video_tokens_q(p: Params, videos: jax.Array, cfg, dtype):
+    from ..models.frozen_in_time import _video_tokens
+
+    return _video_tokens(p, jnp.asarray(videos), cfg, dtype,
+                         patch_embed_fn=_video_patch_embed_q(p, cfg, dtype))
+
+
+def encode_video_divided_q(params_q: Params, videos: jax.Array, cfg,
+                           dtype=jnp.bfloat16,
+                           fused: Optional[bool] = None) -> jax.Array:
+    """Int8 divided space-time video forward (upstream FiT's formulation,
+    fp path: models/frozen_in_time.py::encode_video_divided).
+
+    Per block: temporal attention over T at each spatial location on the
+    XLA int8 path (S = T is tiny — a pallas grid of B·N steps would be
+    launch-bound, and the fp core there is a [T, T] matmul), then the
+    spatial-attention + MLP pair as ONE standard int8 residual block on the
+    [B·T, N, width] layout — eligible for the fused-block kernels, since
+    elementwise residual adds commute with the layout reshapes."""
+    p = params_q
+    if "temporal_attn" not in p:
+        raise ValueError(
+            "divided mode needs params carrying 'temporal_attn' "
+            "(quantize_video_visual of an init_video_vit_params/converted "
+            "FiT tree)")
+    act = _video_act()
+    x, b, t, n = _video_tokens_q(p, videos, cfg, dtype)
+    x = layer_norm(p["ln_pre"], x)
+    use_fused = _use_fused_q(cfg.width, x.dtype, fused)
+    layers = p["resblocks"]["ln_1"]["scale"].shape[0]
+    for i in range(layers):
+        sp = jax.tree.map(lambda a: a[i], p["resblocks"])
+        tp = jax.tree.map(lambda a: a[i], p["temporal_attn"])
+        xt = x.transpose(0, 2, 1, 3).reshape(b * n, t, cfg.width)
+        xt = attn_residual_q(tp["attn"], tp["ln_t"], xt, cfg.heads)
+        x = xt.reshape(b, n, t, cfg.width).transpose(0, 2, 1, 3)
+        xs = x.reshape(b * t, n, cfg.width)
+        if use_fused:
+            from .fused_block_q import fused_resblock_q
+
+            xs = fused_resblock_q(sp, xs, cfg.heads, act_kind="gelu")
+        else:
+            xs = resblock_q(sp, xs, cfg.heads, act=act)
+        x = xs.reshape(b, t, n, cfg.width)
+    pooled = jnp.mean(x.reshape(b, t * n, cfg.width), axis=1)
+    pooled = layer_norm(p["ln_post"], pooled[:, None, :])[:, 0, :]
+    from ..models.frozen_in_time import _project
+
+    return _project(pooled, p["proj"], pooled.dtype)
+
+
 class QuantizedCLIP:
     """Inference bundle with an int8 vision tower; ``quantize_text=True``
     additionally runs the text resblocks int8 (default off: the bias
@@ -399,13 +539,21 @@ class QuantizedCLIP:
 
     def __init__(self, base, quantize_text: bool = False):
         cfg = _bundle_cfg(base)
-        if cfg.vision.kind not in ("vit", "slip_vit"):
-            raise NotImplementedError("int8 path currently supports ViT towers")
+        if cfg.vision.kind in ("vit", "slip_vit"):
+            self.visual_q = quantize_vit_visual(
+                _bundle_params(base)["visual"],
+                mean=cfg.vision.image_mean, std=cfg.vision.image_std)
+        elif cfg.vision.kind == "video_vit":
+            # video frames arrive preprocessed (the file-staging folded
+            # stems are image-pipeline features) — no mean/std fold needed
+            self.visual_q = quantize_video_visual(
+                _bundle_params(base)["visual"])
+        else:
+            raise NotImplementedError(
+                "int8 path currently supports ViT and video (video_vit) "
+                f"towers, not {cfg.vision.kind!r}")
         self.base = base
         self.cfg = cfg
-        self.visual_q = quantize_vit_visual(
-            _bundle_params(base)["visual"],
-            mean=cfg.vision.image_mean, std=cfg.vision.image_std)
         self.text_q = (quantize_clip_text(_bundle_params(base)["text"])
                        if quantize_text else None)
 
@@ -415,6 +563,15 @@ class QuantizedCLIP:
         kw.pop("use_pallas", None)
         kw.pop("remat", None)  # inference-only tower: both knobs inert
         images = jnp.asarray(images)
+        if self.cfg.vision.kind == "video_vit":
+            # the bundle's own mode wins where it carries one (FrozenInTime
+            # .attention — what base.encode_image would run); wrapped
+            # bundles (DebiasCLIP over FiT) use the cfg-carried mode
+            mode = (getattr(self.base, "attention", None)
+                    or self.cfg.vision.video_attention)
+            fn = (encode_video_divided_q if mode == "divided"
+                  else encode_video_q)
+            return fn(self.visual_q, images, self.cfg.vision, **kw)
         if _is_patch_staging(images, self.cfg.vision):
             # host-patchified uint8 staging [B, P, patch²·3]: exact int8
             # stem with the normalize folded into the weights
@@ -432,6 +589,9 @@ class QuantizedCLIP:
                 "to [1, H, W, 3]")
         return encode_image_vit_q(self.visual_q, images,
                                   self.cfg.vision, **kw)
+
+    # video bundles treat images as 1-frame videos (FrozenInTime parity)
+    encode_video = encode_image
 
     def encode_text(self, text, **kw):
         if self.text_q is None:
