@@ -69,7 +69,7 @@ def ensure_built(force: bool = False) -> str:
 
 # must match dvl_version() in ingest.cc; a cached .so from an older source
 # (possible when install tools reset mtimes) binds as stale and is rebuilt
-_EXPECTED_ABI = 2
+_EXPECTED_ABI = 3
 
 
 def _bind(lib: ctypes.CDLL) -> None:
@@ -100,6 +100,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.dvl_ingest_batch_files_u8p.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, c_u8p, c_ip, ctypes.c_int]
+    lib.dvl_ingest_batch_mem_u8.argtypes = [
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, ctypes.c_int, ctypes.c_longlong, c_u8p, c_ip,
+        ctypes.c_int]
+    lib.dvl_ingest_batch_mem_u8p.argtypes = [
+        ctypes.POINTER(c_u8p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+        c_u8p, c_ip, ctypes.c_int]
     if lib.dvl_version() != _EXPECTED_ABI:
         raise AttributeError(
             f"native ABI {lib.dvl_version()} != expected {_EXPECTED_ABI}")
@@ -281,5 +289,63 @@ def ingest_batch_files_u8p(paths: Sequence[str], n_px: int = 224,
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.dvl_ingest_batch_files_u8p(
         arr, n, n_px, patch, _u8p(out),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, ok.astype(bool)
+
+
+def _mem_batch_args(blobs: Sequence[bytes]):
+    """(buf-pointer array, length array, pinned numpy views) for the
+    in-memory batch entry points.  The views are returned so callers keep
+    them alive across the C call (ctypes pointers don't own the buffers)."""
+    n = len(blobs)
+    views = [np.frombuffer(b, np.uint8) for b in blobs]
+    bufs = (ctypes.POINTER(ctypes.c_uint8) * n)(*[_u8p(v) for v in views])
+    lens = (ctypes.c_size_t * n)(*[v.size for v in views])
+    return bufs, lens, views
+
+
+def ingest_batch_mem_u8(blobs: Sequence[bytes], n_px: int = 224,
+                        max_pixels: int = 0,
+                        nthreads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Decode+resize+crop IN-MEMORY encoded images (JPEG/PNG) to uint8
+    [N, n_px, n_px, 3] in one threaded native call — the serving raw-JPEG
+    request path.  ``max_pixels`` > 0 rejects images whose HEADER h·w
+    exceeds it (ok=False) before any pixel decode."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    n = len(blobs)
+    if nthreads <= 0:
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    out = np.zeros((n, n_px, n_px, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    bufs, lens, _views = _mem_batch_args(blobs)
+    lib.dvl_ingest_batch_mem_u8(
+        bufs, lens, n, n_px, max_pixels, _u8p(out),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, ok.astype(bool)
+
+
+def ingest_batch_mem_u8p(blobs: Sequence[bytes], n_px: int = 224,
+                         patch: int = 16, max_pixels: int = 0,
+                         nthreads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Same in-memory chain written PATCH-CONTIGUOUSLY
+    [N, (n_px/patch)², patch²·3] — the exact staging the relayout-free
+    int8/bf16 stems consume (ops/quant.py::patch_embed_q_p8), produced
+    directly at decode time so serving skips the host patchify entirely."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native ingest unavailable: {_BUILD_ERR}")
+    if patch <= 0 or n_px % patch != 0:
+        raise ValueError(f"n_px={n_px} not divisible by patch={patch}")
+    n = len(blobs)
+    if nthreads <= 0:
+        nthreads = min(8, 2 * (os.cpu_count() or 1))
+    g = n_px // patch
+    out = np.zeros((n, g * g, patch * patch * 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    bufs, lens, _views = _mem_batch_args(blobs)
+    lib.dvl_ingest_batch_mem_u8p(
+        bufs, lens, n, n_px, patch, max_pixels, _u8p(out),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
     return out, ok.astype(bool)

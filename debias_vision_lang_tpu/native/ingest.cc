@@ -506,18 +506,24 @@ int dvl_preprocess_batch_files(const char* const* paths, int n, int n_px,
   return failures.load();
 }
 
-// Shared flow for the uint8 staging variants: read + decode + PIL-exact
-// resize of the SHORT side to n_px + pad + center crop.  Writes the cropped
-// rows through `write_row(y, row_ptr)` so callers pick the output layout.
-static int ingest_one_u8(const char* path, int n_px,
-                         const std::function<void(int, const uint8_t*)>&
-                             write_row) {
-  auto data = read_file(path);
+// Shared flow for the uint8 staging variants: decode + PIL-exact resize of
+// the SHORT side to n_px + pad + center crop, from an in-memory encoded
+// buffer.  Writes the cropped rows through `write_row(y, row_ptr)` so
+// callers pick the output layout.  `max_pixels` > 0 rejects oversized
+// images from the HEADER dims before any pixel decode (decoded-memory cap
+// for untrusted buffers — e.g. serving request bodies).
+static int ingest_one_mem_u8(const uint8_t* buf, size_t len, int n_px,
+                             long long max_pixels,
+                             const std::function<void(int, const uint8_t*)>&
+                                 write_row) {
   std::vector<uint8_t> rgb;
   int h = 0, w = 0;
-  if (data.empty()
-      || decode_image_rgb(data.data(), data.size(), &rgb, &h, &w))
-    return 1;
+  if (buf == nullptr || len == 0) return 1;
+  if (max_pixels > 0) {
+    if (dvl_jpeg_dims(buf, len, &h, &w) != 0) return 1;
+    if (static_cast<long long>(h) * w > max_pixels) return 2;
+  }
+  if (decode_image_rgb(buf, len, &rgb, &h, &w)) return 1;
   int rh, rw;
   resize_output_size(h, w, n_px, &rh, &rw);
   std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
@@ -547,6 +553,90 @@ static int ingest_one_u8(const char* path, int n_px,
   return 0;
 }
 
+// File-path wrapper: read, then run the in-memory staging chain.
+static int ingest_one_u8(const char* path, int n_px,
+                         const std::function<void(int, const uint8_t*)>&
+                             write_row) {
+  auto data = read_file(path);
+  return ingest_one_mem_u8(data.data(), data.size(), n_px, 0, write_row);
+}
+
+// Row writers shared by the canvas ([n_px, n_px, 3]) and patch-contiguous
+// ([(n_px/patch)^2, patch*patch*3]) output layouts.
+static void write_row_canvas(uint8_t* dst, int n_px, int y,
+                             const uint8_t* row) {
+  std::memcpy(dst + static_cast<size_t>(y) * n_px * 3, row,
+              static_cast<size_t>(n_px) * 3);
+}
+
+static void write_row_patches(uint8_t* dst, int n_px, int patch, int y,
+                              const uint8_t* row) {
+  const int gw = n_px / patch;
+  const size_t seg = static_cast<size_t>(patch) * 3;
+  const size_t per_patch = static_cast<size_t>(patch) * seg;
+  const int pr = y / patch, wr = y % patch;
+  uint8_t* base = dst + static_cast<size_t>(pr) * gw * per_patch
+                  + static_cast<size_t>(wr) * seg;
+  for (int gx = 0; gx < gw; ++gx)
+    std::memcpy(base + static_cast<size_t>(gx) * per_patch,
+                row + static_cast<size_t>(gx) * seg, seg);
+}
+
+// Batch: decode IN-MEMORY encoded images (JPEG/PNG) to fixed-size uint8
+// canvases after PIL-exact short-side resize + center crop — the serving
+// raw-JPEG request path (decode+resize+crop for a whole request in one
+// threaded native call instead of per-record Python round trips).
+// bufs/lens: n encoded buffers; max_pixels > 0 caps HEADER h*w per image
+// (rc 2 -> ok=0).  Returns #failures; failed entries zero-filled.
+int dvl_ingest_batch_mem_u8(const uint8_t* const* bufs, const size_t* lens,
+                            int n, int n_px, long long max_pixels,
+                            uint8_t* out, int* ok, int nthreads) {
+  std::atomic<int> failures{0};
+  const size_t per = static_cast<size_t>(n_px) * n_px * 3;
+  parallel_for(n, nthreads, [&](int i) {
+    uint8_t* dst = out + per * i;
+    if (ingest_one_mem_u8(bufs[i], lens[i], n_px, max_pixels,
+                          [&](int y, const uint8_t* row) {
+                            write_row_canvas(dst, n_px, y, row);
+                          }) != 0) {
+      std::memset(dst, 0, per);
+      ok[i] = 0;
+      failures.fetch_add(1);
+    } else {
+      ok[i] = 1;
+    }
+  });
+  return failures.load();
+}
+
+// Same, written PATCH-CONTIGUOUSLY: out [n, (n_px/patch)^2, patch*patch*3]
+// — the exact staging the int8/bf16 relayout-free stems consume
+// (ops/quant.py::patch_embed_q_p8), produced directly at decode time so
+// the serving path needs no host relayout at all.
+int dvl_ingest_batch_mem_u8p(const uint8_t* const* bufs, const size_t* lens,
+                             int n, int n_px, int patch,
+                             long long max_pixels, uint8_t* out, int* ok,
+                             int nthreads) {
+  if (patch <= 0 || n_px % patch != 0) return -1;
+  std::atomic<int> failures{0};
+  const int gw = n_px / patch;
+  const size_t per = static_cast<size_t>(gw) * gw * patch * patch * 3;
+  parallel_for(n, nthreads, [&](int i) {
+    uint8_t* dst = out + per * i;
+    if (ingest_one_mem_u8(bufs[i], lens[i], n_px, max_pixels,
+                          [&](int y, const uint8_t* row) {
+                            write_row_patches(dst, n_px, patch, y, row);
+                          }) != 0) {
+      std::memset(dst, 0, per);
+      ok[i] = 0;
+      failures.fetch_add(1);
+    } else {
+      ok[i] = 1;
+    }
+  });
+  return failures.load();
+}
+
 // Batch: decode JPEG files to a fixed-size uint8 canvas after PIL-exact
 // resize of the SHORT side to n_px + center crop — the uint8 staging variant
 // used when the normalize happens on-device (4x less H2D traffic than f32).
@@ -556,10 +646,8 @@ int dvl_ingest_batch_files_u8(const char* const* paths, int n, int n_px,
   const size_t per = static_cast<size_t>(n_px) * n_px * 3;
   parallel_for(n, nthreads, [&](int i) {
     uint8_t* dst = out + per * i;
-    const size_t row_bytes = static_cast<size_t>(n_px) * 3;
     if (ingest_one_u8(paths[i], n_px, [&](int y, const uint8_t* row) {
-          std::memcpy(dst + static_cast<size_t>(y) * row_bytes, row,
-                      row_bytes);
+          write_row_canvas(dst, n_px, y, row);
         }) != 0) {
       std::memset(dst, 0, per);
       ok[i] = 0;
@@ -583,18 +671,11 @@ int dvl_ingest_batch_files_u8p(const char* const* paths, int n, int n_px,
   if (patch <= 0 || n_px % patch != 0) return -1;
   std::atomic<int> failures{0};
   const int gw = n_px / patch;
-  const size_t seg = static_cast<size_t>(patch) * 3;       // one patch-row
-  const size_t per_patch = static_cast<size_t>(patch) * seg;
-  const size_t per = static_cast<size_t>(gw) * gw * per_patch;
+  const size_t per = static_cast<size_t>(gw) * gw * patch * patch * 3;
   parallel_for(n, nthreads, [&](int i) {
     uint8_t* dst = out + per * i;
     if (ingest_one_u8(paths[i], n_px, [&](int y, const uint8_t* row) {
-          const int pr = y / patch, wr = y % patch;
-          uint8_t* base = dst + static_cast<size_t>(pr) * gw * per_patch
-                          + static_cast<size_t>(wr) * seg;
-          for (int gx = 0; gx < gw; ++gx)
-            std::memcpy(base + static_cast<size_t>(gx) * per_patch,
-                        row + static_cast<size_t>(gx) * seg, seg);
+          write_row_patches(dst, n_px, patch, y, row);
         }) != 0) {
       std::memset(dst, 0, per);
       ok[i] = 0;
@@ -606,6 +687,6 @@ int dvl_ingest_batch_files_u8p(const char* const* paths, int n, int n_px,
   return failures.load();
 }
 
-int dvl_version() { return 2; }
+int dvl_version() { return 3; }
 
 }  // extern "C"

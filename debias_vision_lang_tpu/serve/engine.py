@@ -228,18 +228,37 @@ class InferenceEngine:
                              f"{self.max_batch}; chunk first "
                              "(embed_image_arrays does)")
         bucket = max(_next_bucket(n, self.max_batch), self.min_bucket)
-        batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
-        for i, img in enumerate(images_u8):
-            if img.shape != (self.n_px, self.n_px, 3):
-                raise ValueError(f"image {i}: expected "
-                                 f"({self.n_px},{self.n_px},3), got {img.shape}")
-            batch[i] = img
         if self._patch is not None:
-            # one vectorized reorder for the whole bucket (not per image):
-            # same H2D byte count, stem runs relayout-free on device
-            from ..vision.preprocess import patchify_u8
+            # staged bucket [bucket, P, patch²·3]: items may arrive
+            # pre-patchified (the native raw-JPEG ingest emits the staging
+            # layout directly at decode time — prepare_images_batch) or as
+            # HWC frames, which get one vectorized reorder per bucket
+            g = self.n_px // self._patch
+            pp, dd = g * g, self._patch * self._patch * 3
+            batch = np.zeros((bucket, pp, dd), np.uint8)
+            hwc = []
+            for i, img in enumerate(images_u8):
+                if img.shape == (pp, dd):
+                    batch[i] = img
+                elif img.shape == (self.n_px, self.n_px, 3):
+                    hwc.append(i)
+                else:
+                    raise ValueError(
+                        f"image {i}: expected ({self.n_px},{self.n_px},3) "
+                        f"or staged ({pp},{dd}), got {img.shape}")
+            if hwc:
+                from ..vision.preprocess import patchify_u8
 
-            batch = patchify_u8(batch, self._patch)
+                batch[np.asarray(hwc)] = patchify_u8(
+                    np.stack([images_u8[i] for i in hwc]), self._patch)
+        else:
+            batch = np.zeros((bucket, self.n_px, self.n_px, 3), np.uint8)
+            for i, img in enumerate(images_u8):
+                if img.shape != (self.n_px, self.n_px, 3):
+                    raise ValueError(
+                        f"image {i}: expected "
+                        f"({self.n_px},{self.n_px},3), got {img.shape}")
+                batch[i] = img
         with self._lock:
             return self._embed_images(self.model, jnp.asarray(batch))
 
@@ -311,6 +330,50 @@ class InferenceEngine:
     def prepare_image(self, data: bytes) -> np.ndarray:
         """bytes → decoded + bit-exact-PIL resize/crop uint8 [n_px, n_px, 3]."""
         return resize_crop_u8(decode_image_bytes(data), self.n_px)
+
+    def prepare_images_batch(self, records: Sequence[bytes]) -> list:
+        """Decode + bit-exact resize/crop a WHOLE request's encoded images
+        in one threaded native call (the raw-JPEG serving path).
+
+        JPEG/PNG records ride ``native.ingest_batch_mem_u8[p]`` — decode,
+        PIL-exact short-side resize, center crop, and (on the staged bf16/
+        int8 rungs) the patch-contiguous relayout, all inside the C++
+        thread pool with the per-image pixel cap enforced from the header.
+        Anything else (exotic formats, no native build) falls back to the
+        per-record Python chain, preserving PIL's format coverage.  Raises
+        ValueError naming the first undecodable/oversized record."""
+        from .. import native
+
+        out: list = [None] * len(records)
+        nat_idx = []
+        if native.available():
+            nat_idx = [i for i, r in enumerate(records)
+                       if r[:2] == b"\xff\xd8" or r[:8] == b"\x89PNG\r\n\x1a\n"]
+        if nat_idx:
+            blobs = [records[i] for i in nat_idx]
+            if self._patch is not None:
+                arr, ok = native.ingest_batch_mem_u8p(
+                    blobs, self.n_px, self._patch,
+                    max_pixels=MAX_DECODE_PIXELS)
+            else:
+                arr, ok = native.ingest_batch_mem_u8(
+                    blobs, self.n_px, max_pixels=MAX_DECODE_PIXELS)
+            if not ok.all():
+                bad = nat_idx[int(np.flatnonzero(~ok)[0])]
+                raise ValueError(
+                    f"undecodable or oversized image record {bad}")
+            for j, i in enumerate(nat_idx):
+                out[i] = arr[j]
+        for i, r in enumerate(records):
+            if out[i] is None:
+                try:
+                    out[i] = self.prepare_image(r)
+                except OSError as e:
+                    # PIL raises UnidentifiedImageError/OSError on corrupt
+                    # bytes; a bad client payload must 400, not 500
+                    raise ValueError(
+                        f"undecodable image record {i}: {e}") from e
+        return out
 
     def tokenize(self, texts: List[str]) -> np.ndarray:
         if self.tokenizer is None:

@@ -148,30 +148,38 @@ class ServeApp:
         return self.engine.embed_image_arrays(list(arr))
 
     def embed_images_raw_jpeg(self, body: bytes) -> np.ndarray:
-        """[4-byte big-endian length][JPEG bytes] records; decode + bit-exact
-        resize via the native ingest runtime, then batch like u8."""
-        arrays = []
+        """[4-byte big-endian length][JPEG bytes] records; the whole
+        request's decode + bit-exact resize (+ patch staging on the bf16/
+        int8 rungs) runs as ONE threaded native-ingest call
+        (engine.prepare_images_batch), then batches like u8."""
+        records = []
+        offsets = []
         off = 0
         while off < len(body):
-            _check_item_count(len(arrays) + 1, "JPEG records")
+            _check_item_count(len(records) + 1, "JPEG records")
             if off + 4 > len(body):
                 raise ValueError("truncated length header in JPEG stream")
             ln = int.from_bytes(body[off:off + 4], "big")
+            offsets.append(off)
             off += 4
             if ln <= 0 or off + ln > len(body):
                 raise ValueError(f"bad record length {ln} at offset {off - 4}")
-            try:
-                arrays.append(self.engine.prepare_image(body[off:off + ln]))
-            except OSError as e:
-                # PIL raises UnidentifiedImageError/OSError on corrupt bytes;
-                # a bad client payload must 400, not 500 — same normalization
-                # as _decode_b64_images
-                raise ValueError(
-                    f"undecodable image record at offset {off - 4}: {e}"
-                ) from e
+            records.append(body[off:off + ln])
             off += ln
-        if not arrays:
+        if not records:
             raise ValueError("empty JPEG stream")
+        try:
+            arrays = self.engine.prepare_images_batch(records)
+        except ValueError as e:
+            # map the record index back to its byte offset for the client
+            import re
+
+            m = re.search(r"record (\d+)", str(e))
+            if m and int(m.group(1)) < len(offsets):
+                raise ValueError(
+                    f"{e} (record starts at offset "
+                    f"{offsets[int(m.group(1))]})") from e
+            raise
         if len(arrays) == 1:
             return self._images.submit(arrays[0]).result()[None]
         return self.engine.embed_image_arrays(arrays)

@@ -382,3 +382,73 @@ def test_resize_bit_exact_fuzz_vs_pil(rng):
         ref = np.asarray(Image.fromarray(arr).resize((ow, oh), Image.BICUBIC))
         got = native.resize_bicubic_u8(arr, oh, ow)
         np.testing.assert_array_equal(got, ref, err_msg=str((h, w, oh, ow)))
+
+
+# -- in-memory batch ingest (the serving raw-JPEG request path) --------------
+
+
+def _blobs_of(paths):
+    out = []
+    for p in paths:
+        with open(p, "rb") as f:
+            out.append(f.read())
+    return out
+
+
+def test_ingest_mem_u8_matches_files(jpeg_dir):
+    """The in-memory chain is the SAME code path as the file chain minus
+    the read — outputs must be bit-identical."""
+    paths, _ = jpeg_dir
+    a, ok1 = native.ingest_batch_files_u8(paths, 224, nthreads=2)
+    b, ok2 = native.ingest_batch_mem_u8(_blobs_of(paths), 224, nthreads=2)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ingest_mem_u8p_matches_patchify(jpeg_dir):
+    from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+    paths, _ = jpeg_dir
+    blobs = _blobs_of(paths)
+    hwc, ok1 = native.ingest_batch_mem_u8(blobs, 224, nthreads=2)
+    p8, ok2 = native.ingest_batch_mem_u8p(blobs, 224, patch=16, nthreads=2)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(p8, patchify_u8(hwc, 16))
+
+
+def test_ingest_mem_png_and_corrupt_flags(jpeg_dir):
+    from PIL import Image
+
+    paths, _ = jpeg_dir
+    rng = np.random.default_rng(3)
+    buf = io.BytesIO()
+    png_arr = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    Image.fromarray(png_arr).save(buf, "PNG")
+    blobs = [_blobs_of(paths)[0], buf.getvalue(), b"definitely not an image"]
+    out, ok = native.ingest_batch_mem_u8(blobs, 32, nthreads=2)
+    assert ok.tolist() == [True, True, False]
+    assert (out[2] == 0).all()
+    # PNG record: identical to the Python chain on the decoded pixels
+    from debias_vision_lang_tpu.vision.preprocess import resize_crop_u8
+
+    np.testing.assert_array_equal(out[1], resize_crop_u8(png_arr, 32))
+
+
+def test_ingest_mem_max_pixels_rejects_from_header(jpeg_dir):
+    """The decoded-memory cap fires from HEADER dims, flagging the record
+    without decoding it (serving's untrusted-payload guard)."""
+    paths, _ = jpeg_dir
+    blobs = _blobs_of(paths)
+    out, ok = native.ingest_batch_mem_u8(blobs, 32, max_pixels=100,
+                                         nthreads=2)
+    assert not ok.any()
+    assert (out == 0).all()
+    out, ok = native.ingest_batch_mem_u8(blobs, 32,
+                                         max_pixels=1 << 30, nthreads=2)
+    assert ok.all()
+
+
+def test_ingest_mem_u8p_rejects_bad_patch(jpeg_dir):
+    paths, _ = jpeg_dir
+    with pytest.raises(ValueError, match="divisible"):
+        native.ingest_batch_mem_u8p(_blobs_of(paths), 224, patch=15)

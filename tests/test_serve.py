@@ -196,6 +196,95 @@ class TestEngine:
             engine.embed_image_arrays(
                 [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)])
 
+    def test_prepare_images_batch_matches_per_record(self, engine, rng):
+        """The one-native-call batch chain must equal the per-record path
+        bit-for-bit (same decode, same PIL-exact resize/crop)."""
+        records = [_jpeg_bytes(rng), _jpeg_bytes(rng, 96, 64),
+                   _jpeg_bytes(rng, 40, 120)]
+        batch = engine.prepare_images_batch(records)
+        for got, rec in zip(batch, records):
+            np.testing.assert_array_equal(got, engine.prepare_image(rec))
+
+    def test_prepare_images_batch_bad_record(self, engine, rng):
+        with pytest.raises(ValueError, match="undecodable"):
+            engine.prepare_images_batch([_jpeg_bytes(rng), b"not an image"])
+
+    def test_prepare_images_batch_oversized_record(self, engine, rng,
+                                                   monkeypatch):
+        from debias_vision_lang_tpu.serve import engine as engine_mod
+
+        monkeypatch.setattr(engine_mod, "MAX_DECODE_PIXELS", 100)
+        with pytest.raises(ValueError, match="oversized|exceeds"):
+            engine.prepare_images_batch([_jpeg_bytes(rng)])
+
+
+class TestEngineStaged:
+    """The bf16/int8 rungs stage patch-contiguous buckets; the native
+    raw-JPEG ingest emits that layout directly at decode time."""
+
+    @pytest.fixture(scope="class")
+    def staged_engine(self):
+        cfg = CLIPConfig(
+            name="tiny-staged",
+            vision=VisionConfig(kind="vit", image_size=N_PX, patch_size=16,
+                                width=32, layers=2, heads=2, embed_dim=16),
+            text=TextConfig(vocab_size=64, context_length=CTX,
+                            width=32, layers=2, heads=2, embed_dim=16),
+        )
+        from debias_vision_lang_tpu.models.loader import CLIP
+
+        model = CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+        return InferenceEngine(model, None, max_batch=8,
+                               compute_dtype="bfloat16")
+
+    def test_staged_items_match_hwc(self, staged_engine, rng):
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        assert staged_engine._patch == 16
+        frames = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        staged = list(patchify_u8(np.stack(frames), 16))
+        np.testing.assert_array_equal(
+            staged_engine.embed_image_arrays(frames),
+            staged_engine.embed_image_arrays(staged))
+
+    def test_mixed_staged_and_hwc(self, staged_engine, rng):
+        from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+        frames = [rng.integers(0, 256, (N_PX, N_PX, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        mixed = [frames[0], patchify_u8(np.stack(frames[1:2]), 16)[0],
+                 frames[2], patchify_u8(np.stack(frames[3:4]), 16)[0]]
+        np.testing.assert_array_equal(
+            staged_engine.embed_image_arrays(frames),
+            staged_engine.embed_image_arrays(mixed))
+
+    def test_prepare_images_batch_emits_staging(self, staged_engine, rng):
+        from debias_vision_lang_tpu import native
+
+        if not native.available():
+            pytest.skip("native ingest unavailable")
+        records = [_jpeg_bytes(rng), _jpeg_bytes(rng, 80, 56)]
+        batch = staged_engine.prepare_images_batch(records)
+        g = N_PX // 16
+        for got, rec in zip(batch, records):
+            assert got.shape == (g * g, 16 * 16 * 3)
+            from debias_vision_lang_tpu.vision.preprocess import patchify_u8
+
+            np.testing.assert_array_equal(
+                got,
+                patchify_u8(staged_engine.prepare_image(rec)[None], 16)[0])
+
+    def test_raw_jpeg_staged_end_to_end(self, staged_engine, rng):
+        """Raw-JPEG embeddings through the staged native chain equal the
+        HWC dispatch on the same frames."""
+        records = [_jpeg_bytes(rng), _jpeg_bytes(rng, 64, 96)]
+        batch = staged_engine.prepare_images_batch(records)
+        frames = [staged_engine.prepare_image(r) for r in records]
+        np.testing.assert_array_equal(
+            staged_engine.embed_image_arrays(batch),
+            staged_engine.embed_image_arrays(frames))
+
 
 class TestHTTP:
     @pytest.fixture(scope="class")
