@@ -62,6 +62,8 @@ def main():
     n_px = engine.info()["n_px"]
     frame = rng.integers(0, 256, (n_px, n_px, 3), dtype=np.uint8).tobytes()
     raw_batch = frame * 64
+    jb = buf.getvalue()
+    jpeg_batch = (len(jb).to_bytes(4, "big") + jb) * 64
 
     def post_json():
         req = urllib.request.Request(
@@ -84,6 +86,18 @@ def main():
             raw_url, data=raw_batch,
             headers={"Content-Type": "application/octet-stream",
                      "X-Image-Format": "u8"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+        return 64
+
+    def post_jpeg_batch():
+        # 64 length-prefixed 317x211 JPEG records: decode + PIL-exact
+        # resize + crop (+ patch staging on bf16/int8) run as ONE threaded
+        # native-ingest call server-side (engine.prepare_images_batch)
+        req = urllib.request.Request(
+            raw_url, data=jpeg_batch,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Image-Format": "jpeg"})
         with urllib.request.urlopen(req, timeout=600) as r:
             r.read()
         return 64
@@ -117,8 +131,11 @@ def main():
     r_json = run_phase("json/base64 single", post_json, clients)
     r_raw = run_phase("raw u8 single     ", post_raw, clients)
     r_rawb = run_phase("raw u8 batch-64   ", post_raw_batch, max(2, clients // 4))
+    r_jpgb = run_phase("raw jpeg batch-64 ", post_jpeg_batch,
+                       max(2, clients // 4))
     print(f"raw single vs json: {r_raw / r_json:.2f}x ; "
-          f"raw batch-64 vs json: {r_rawb / r_json:.2f}x")
+          f"raw batch-64 vs json: {r_rawb / r_json:.2f}x ; "
+          f"jpeg batch-64 vs json: {r_jpgb / r_json:.2f}x")
     print("batcher:", app._images.stats)
     httpd.shutdown()
     httpd.server_close()

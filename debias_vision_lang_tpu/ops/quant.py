@@ -548,9 +548,14 @@ class QuantizedCLIP:
             # stems are image-pipeline features) — no mean/std fold needed
             self.visual_q = quantize_video_visual(
                 _bundle_params(base)["visual"])
+        elif cfg.vision.kind == "resnet":
+            from .quant_resnet import quantize_resnet_visual
+
+            self.visual_q = quantize_resnet_visual(
+                _bundle_params(base)["visual"])
         else:
             raise NotImplementedError(
-                "int8 path currently supports ViT and video (video_vit) "
+                "int8 path supports ViT, video (video_vit) and resnet "
                 f"towers, not {cfg.vision.kind!r}")
         self.base = base
         self.cfg = cfg
@@ -572,6 +577,13 @@ class QuantizedCLIP:
             fn = (encode_video_divided_q if mode == "divided"
                   else encode_video_q)
             return fn(self.visual_q, images, self.cfg.vision, **kw)
+        if self.cfg.vision.kind == "resnet":
+            from .quant_resnet import encode_image_resnet_q
+
+            kw.pop("fused", None)  # ViT fused-block knob (fp-path parity:
+            # models/clip.py pops it for non-ViT towers too)
+            return encode_image_resnet_q(self.visual_q, images,
+                                         self.cfg.vision, **kw)
         if _is_patch_staging(images, self.cfg.vision):
             # host-patchified uint8 staging [B, P, patch²·3]: exact int8
             # stem with the normalize folded into the weights

@@ -206,7 +206,7 @@ class TestQuantizedCLIP:
             np.asarray(base.encode_text(t, use_pallas=False)),
             np.asarray(qmodel.encode_text(t, use_pallas=False)))
 
-    def test_resnet_rejected(self):
+    def _rn_bundle(self):
         from debias_vision_lang_tpu.core.config import (
             CLIPConfig, TextConfig, VisionConfig)
         from debias_vision_lang_tpu.models.clip import init_clip_params
@@ -217,9 +217,47 @@ class TestQuantizedCLIP:
                                            embed_dim=32),
             text=TextConfig(vocab_size=64, context_length=8, width=32, layers=1,
                             heads=2, embed_dim=32))
-        base = CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
-        with pytest.raises(NotImplementedError):
-            QuantizedCLIP(base)
+        return CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+
+    def test_resnet_int8_cosine_parity(self, rng):
+        """The ladder covers the ModifiedResNet family: BN-folded int8
+        convs/matmuls track the fp tower."""
+        base = self._rn_bundle()
+        qmodel = QuantizedCLIP(base)
+        images = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+        e_fp = np.asarray(base.encode_image(images, dtype=jnp.float32))
+        e_q = np.asarray(qmodel.encode_image(images, dtype=jnp.float32))
+        cos = np.sum(e_fp * e_q, -1) / (
+            np.linalg.norm(e_fp, axis=-1) * np.linalg.norm(e_q, axis=-1))
+        assert cos.min() > 0.99, cos
+
+    def test_resnet_int8_jit_and_fused_kwarg(self, rng):
+        """'fused' (a ViT knob) must be inert, and the bundle jit-able as a
+        pytree — the uniform-caller contract every tower obeys."""
+        qmodel = QuantizedCLIP(self._rn_bundle())
+
+        @jax.jit
+        def embed(m, x):
+            return m.encode_image(x, dtype=jnp.float32, fused=True)
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        out = embed(qmodel, x)
+        assert out.shape == (2, 32) and np.isfinite(np.asarray(out)).all()
+
+    def test_unknown_tower_rejected(self):
+        base = self._rn_bundle()
+        import dataclasses
+
+        bad_cfg = dataclasses.replace(
+            base.cfg, vision=dataclasses.replace(base.cfg.vision,
+                                                 kind="mystery"))
+
+        class Bundle:
+            cfg = bad_cfg
+            params = base.params
+
+        with pytest.raises(NotImplementedError, match="mystery"):
+            QuantizedCLIP(Bundle())
 
     def test_jit_as_pytree(self, tiny_clip, rng):
         cfg, params = tiny_clip
