@@ -41,12 +41,25 @@ def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
     n_px = cfg.vision.image_size
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
 
-    if quant:  # int8 fused path (ViT towers only), production P8 stem
+    if quant and cfg.vision.kind == "resnet":
+        # int8 conv tower (ops/quant_resnet.py): BN-folded s8 convs,
+        # device-side preprocess (no patch staging for conv stems).
+        from debias_vision_lang_tpu.ops.quant_resnet import (
+            encode_image_resnet_q, quantize_resnet_visual)
+
+        params = quantize_resnet_visual(params["visual"])
+
+        @jax.jit
+        def embed(p, images_u8):
+            x = preprocess_batch(images_u8, n_px)
+            return encode_image_resnet_q(
+                p, x, cfg.vision, dtype=jnp.bfloat16).astype(jnp.float32)
+    elif quant:  # int8 fused path (ViT towers), production P8 stem
         from debias_vision_lang_tpu.ops.quant import (
             encode_image_vit_q_p8, quantize_vit_visual)
 
         if cfg.vision.kind not in ("vit", "slip_vit"):
-            print(f"{arch:24s} int8: n/a (conv tower)")
+            print(f"{arch:24s} int8: n/a ({cfg.vision.kind} tower)")
             return None
         params = quantize_vit_visual(params["visual"])
 
@@ -62,7 +75,8 @@ def bench_arch(arch: str, batch: int, iters: int = 10, quant: bool = False):
                                            dtype=jnp.bfloat16).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
-    if quant:  # patch-contiguous uint8 staging (same byte count)
+    if quant and cfg.vision.kind != "resnet":
+        # patch-contiguous uint8 staging (same byte count)
         patch = cfg.vision.patch_size
         shape = (batch, (n_px // patch) ** 2, patch * patch * 3)
     else:
