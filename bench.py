@@ -12,7 +12,9 @@ Prints ONE JSON line:
 vs_baseline: ratio against an A100 PyTorch fp16 estimate for the same loop
 (~1000 img/s with DataLoader + encode_image at batch 256; the reference
 itself upcasts to fp32 — model/model.py:136 — which is slower still).  The
-north-star target is ≥10× (BASELINE.json).
+north-star target is ≥10× (BASELINE.json).  NB: the 1000 img/s denominator
+models ViT-B/16 ONLY — do not divide other archs' throughput by it and
+call the result an A100 multiple (PERF.md "Baseline comparison").
 
 Env knobs: BENCH_BATCH (default 512 — measured sweet spot on v5e: 256 →
 4,060 img/s, 512 → 4,167, 1024 → 4,142; the reference convention is 256),
