@@ -264,3 +264,79 @@ class TestInitDistributed:
         assert mesh_mod.init_distributed() is False
         assert seen == {"coordinator_address": "10.0.0.1:1234",
                         "num_processes": 4, "process_id": 2}
+
+
+class TestInt8UnderMesh:
+    """Round-4: the production int8 ladder certified under the mesh — a
+    DP-sharded QuantizedCLIP embed, the sharded metric merge on int8
+    embeddings, and the mesh serving engine at compute_dtype='int8' must
+    all equal their single-device counterparts (XLA int8 lowers on the
+    CPU mesh; the Pallas kernels stay auto-gated off here)."""
+
+    def _qmodel(self, tiny_clip):
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.ops.quant import QuantizedCLIP
+
+        cfg, params = tiny_clip
+        return QuantizedCLIP(CLIP(params=params, cfg=cfg)), cfg
+
+    def test_dp_int8_embed_matches_single_device(self, tiny_clip):
+        qmodel, _ = self._qmodel(tiny_clip)
+        rng = np.random.default_rng(3)
+        images = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+
+        single = np.asarray(qmodel.encode_image(jnp.asarray(images),
+                                                dtype=jnp.float32))
+
+        mesh = create_mesh()
+        q_repl = jax.device_put(qmodel, NamedSharding(mesh, P()))
+        images_s = jax.device_put(images, batch_sharding(mesh, 4))
+
+        @jax.jit
+        def embed(m, x):
+            return m.encode_image(x, dtype=jnp.float32)
+
+        sharded = np.asarray(embed(q_repl, images_s))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_sharded_metric_merge_on_int8_embeddings(self, tiny_clip):
+        from debias_vision_lang_tpu.metrics.distributed import (
+            sharded_eval_ranking)
+        from debias_vision_lang_tpu.metrics.ranking import eval_ranking
+
+        qmodel, cfg = self._qmodel(tiny_clip)
+        rng = np.random.default_rng(4)
+        n = 19  # ragged vs the 8-wide data axis on purpose
+        images = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+        embs = np.asarray(qmodel.encode_image(jnp.asarray(images),
+                                              dtype=jnp.float32))
+        embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        prompts = rng.normal(size=(5, cfg.embed_dim)).astype(np.float32)
+        prompts /= np.linalg.norm(prompts, axis=1, keepdims=True)
+        labels = (np.arange(n) % 2).astype(np.int32)
+
+        mesh = create_mesh()
+        for evaluation in ("ndkl", "maxskew"):
+            sharded = sharded_eval_ranking(labels, embs, prompts, evaluation,
+                                           1.0, mesh)
+            single = eval_ranking(labels, embs, prompts, evaluation, 1.0)
+            for k in single:
+                np.testing.assert_allclose(sharded[k], single[k], atol=1e-5)
+
+    def test_mesh_engine_int8_matches_single_device(self, tiny_clip):
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.serve.engine import InferenceEngine
+
+        cfg, params = tiny_clip
+        bundle = CLIP(params=params, cfg=cfg)
+        rng = np.random.default_rng(5)
+        imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                for _ in range(9)]  # ragged vs bucket
+
+        mesh = create_mesh()
+        e_mesh = InferenceEngine(bundle, max_batch=16, compute_dtype="int8",
+                                 mesh=mesh).embed_image_arrays(imgs)
+        e_single = InferenceEngine(bundle, max_batch=16,
+                                   compute_dtype="int8").embed_image_arrays(imgs)
+        assert e_mesh.shape == (9, cfg.embed_dim)
+        np.testing.assert_allclose(e_mesh, e_single, atol=1e-5)
