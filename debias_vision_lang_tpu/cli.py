@@ -52,7 +52,7 @@ def _add_measure(sub):
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "int8-text"],
+                   choices=["float32", "bfloat16", "int8", "int8-text", "auto"],
                    help="embedding precision: float32 = reference parity, "
                         "bfloat16/int8 = TPU speed paths (rank-stable)")
     p.add_argument("--random-weights", action="store_true",
@@ -196,7 +196,7 @@ def _add_zero_shot(sub):
     p.add_argument("--imagenet-protocol", action="store_true",
                    help="use the full 80-template OpenAI ImageNet protocol")
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8", "int8-text"],
+                   choices=["float32", "bfloat16", "int8", "int8-text", "auto"],
                    help="vision-tower precision (int8 = quantized, fastest; "
                         "int8-text also runs the classifier text encodes "
                         "int8)")
@@ -267,7 +267,7 @@ def _add_serve(sub):
     p.add_argument("--max-wait-ms", default=5.0, type=float,
                    help="micro-batch arrival window")
     p.add_argument("--dtype", default=None,
-                   choices=[None, "float32", "bfloat16", "int8", "int8-text"],
+                   choices=[None, "float32", "bfloat16", "int8", "int8-text", "auto"],
                    help="compute dtype (default: bfloat16 on TPU, else fp32; "
                         "int8 = quantized vision tower, fastest images; "
                         "int8-text also quantizes the text tower)")

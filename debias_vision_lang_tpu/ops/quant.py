@@ -650,14 +650,44 @@ def quantize_for_inference(model, quantize_text: bool = False):
     return model, "bfloat16"
 
 
+def _vision_kind(model) -> Optional[str]:
+    """VisionConfig.kind of a bundle, or None when not discoverable
+    (custom ClipLike objects)."""
+    try:
+        return _bundle_cfg(model).vision.kind
+    except AttributeError:
+        return None
+
+
 def resolve_compute(model, dtype: str):
     """Resolve a user-facing precision string to ``(model, compute_dtype)``.
 
     The one precision-ladder policy shared by eval/measure, eval/zero_shot
     and serve/engine: "int8" wraps the bundle via ``quantize_for_inference``
     (activations run bf16 between the int8 fused blocks); "bfloat16" /
-    "float32" leave the model untouched; anything else is rejected loudly.
+    "float32" leave the model untouched; "auto" picks the measured-fastest
+    rung per family; anything else is rejected loudly.
+
+    ``dtype="auto"``: int8 for ViT-family vision towers (the measured win —
+    PERF.md arch sweep: 1.13–1.44× over bf16), bfloat16 for the
+    ModifiedResNet family, where int8 measured 0.90–0.93× of bf16 (the
+    dynamic activation-quantize passes over the big early conv activations
+    are HBM-bound).  An EXPLICIT ``dtype="int8"`` on a ResNet tower still
+    runs — int8 buys 4× smaller weights — but warns, so callers don't
+    silently pick the slower rung expecting a speedup.
     """
+    if dtype == "auto":
+        kind = _vision_kind(model)
+        dtype = "bfloat16" if kind in (None, "resnet") else "int8"
+    elif dtype in ("int8", "int8-text") and _vision_kind(model) == "resnet":
+        import warnings
+
+        warnings.warn(
+            "dtype='int8' on a ModifiedResNet tower measured 0.90-0.93x of "
+            "bfloat16 on TPU v5e (PERF.md arch sweep) - int8 here buys "
+            "4x smaller weights, not throughput. Use dtype='bfloat16' for "
+            "speed, or dtype='auto' to pick the fastest rung per family.",
+            UserWarning, stacklevel=3)
     if dtype in ("int8", "int8-text"):
         model, act = quantize_for_inference(
             model, quantize_text=(dtype == "int8-text"))
@@ -665,5 +695,6 @@ def resolve_compute(model, dtype: str):
     if dtype in ("bfloat16", "float32"):
         return model, jnp.dtype(dtype)
     raise ValueError(f"unknown dtype {dtype!r}: expected 'float32', "
-                     "'bfloat16', 'int8', or 'int8-text' (int8 text tower "
-                     "too — text-heavy serving)")
+                     "'bfloat16', 'int8', 'int8-text' (int8 text tower "
+                     "too — text-heavy serving), or 'auto' (fastest "
+                     "measured rung for the model family)")

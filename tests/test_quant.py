@@ -620,3 +620,58 @@ class TestQuantizedText:
         np.testing.assert_allclose(
             out, np.asarray(qmodel.encode_text(toks, dtype=jnp.float32)),
             rtol=1e-5, atol=1e-6)
+
+
+class TestResolveComputeAuto:
+    """dtype='auto' + the ResNet int8 steer (round-4: the API must stop
+    callers silently picking the measured-slower rung — PERF.md arch sweep:
+    RN int8 = 0.90-0.93x of bf16; docs-only guidance doesn't reach code)."""
+
+    def _vit_bundle(self, tiny_clip):
+        cfg, params = tiny_clip
+        return CLIP(params=params, cfg=cfg)
+
+    def _rn_bundle(self):
+        return TestQuantizedCLIP._rn_bundle(TestQuantizedCLIP())
+
+    def test_auto_picks_int8_on_vit(self, tiny_clip):
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        model, dt = resolve_compute(self._vit_bundle(tiny_clip), "auto")
+        assert isinstance(model, QuantizedCLIP)
+        assert dt == jnp.bfloat16
+
+    def test_auto_picks_bf16_on_resnet(self):
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        base = self._rn_bundle()
+        model, dt = resolve_compute(base, "auto")
+        assert model is base  # NOT wrapped
+        assert dt == jnp.bfloat16
+
+    def test_auto_on_unknown_tower_falls_back_bf16(self):
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        class Custom:  # a custom ClipLike without a discoverable cfg
+            pass
+
+        model, dt = resolve_compute(Custom(), "auto")
+        assert isinstance(model, Custom) and dt == jnp.bfloat16
+
+    def test_explicit_int8_on_resnet_warns_but_runs(self):
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        with pytest.warns(UserWarning, match="0.90-0.93x"):
+            model, dt = resolve_compute(self._rn_bundle(), "int8")
+        assert isinstance(model, QuantizedCLIP)  # still honored
+        assert dt == jnp.bfloat16
+
+    def test_explicit_int8_on_vit_does_not_warn(self, tiny_clip):
+        import warnings
+
+        from debias_vision_lang_tpu.ops.quant import resolve_compute
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            model, _ = resolve_compute(self._vit_bundle(tiny_clip), "int8")
+        assert isinstance(model, QuantizedCLIP)
