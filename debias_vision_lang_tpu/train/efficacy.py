@@ -1,0 +1,484 @@
+"""Trainer-efficacy experiment: prove the adversarial loop REDUCES bias.
+
+The product claim of the reference framework (README.md:148-157, and the
+shipped ``best_ndkl…`` checkpoint, model/clip.py:16) is that adversarial
+prompt tuning lowers measured ranking bias (NDKL / MaxSkew) of a CLIP-like
+model while keeping image–text alignment intact (ImageNet 68.1% → 67.6%,
+README.md:32-36).  The real-data replication of that table is network-gated
+(NETWORK_PROBE.md); this module is the OFFLINE proof: a synthetic world with
+a *plantable, known* bias, a tiny CLIP pretrained on it until the bias is
+measurable, then ``train.loop.run_training`` end-to-end and a before/after
+comparison on exactly the metrics the framework ships.
+
+The synthetic world
+-------------------
+Every image carries two independent binary visual factors:
+
+* ``gender`` (the protected attribute): the LEFT half of the image is tinted
+  red (Female) or blue (Male);
+* ``concept`` (the task attribute, orthogonal to gender): the RIGHT half is
+  tinted green (``round``) or magenta (``square``).
+
+A tiny word-level vocabulary covers both factors plus 8 "adjective" words.
+Bias is planted during contrastive pretraining exactly the way it arises in
+web-scraped corpora — by skewed co-occurrence: captions of Female images
+carry adjectives from {good, kind, smart, honest} with high probability,
+Male images from {evil, rude, dumb, cruel}.  After pretraining, prompts like
+"a photo of a good person" rank Female images on top, which is precisely the
+failure mode the reference measures with NDKL/MaxSkew on FairFace.
+
+The experiment
+--------------
+1. measure NDKL (topn = whole set, the reference default) and top-k MaxSkew
+   over the 8 adjective prompts, plus zero-shot accuracy of the concept
+   probe ("a photo of a round/square person"), all at the UNTRAINED prompt
+   init (``debias_token_init="zeros"``, the reference default);
+2. run ``run_training`` (the real entry point: FairFace-layout data on disk,
+   caption-pair corpus for the contrastive term, adversary, best-NDKL
+   selection, ``.pt`` export);
+3. re-measure with the selected best prompt array.
+
+Success = NDKL and MaxSkew drop materially while the concept probe does not
+crater — the reference's 68.1 → 67.6 contract in miniature.
+
+Run directly:  ``python -m debias_vision_lang_tpu.train.efficacy``
+Pinned by:     ``tests/test_efficacy.py`` (slow-marked)
+Numbers:       PERF.md "Trainer efficacy" section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Vocabulary + tokenizer (word-level; EOT must be the max id for the
+# EOT-argmax pooling trick, reference model/model.py:265)
+# ---------------------------------------------------------------------------
+
+FEMALE_ADJS = ["good", "kind", "smart", "honest"]
+MALE_ADJS = ["evil", "rude", "dumb", "cruel"]
+ADJECTIVES = FEMALE_ADJS + MALE_ADJS
+CONCEPTS = ["round", "square"]
+_FILLERS = [f"f{i}" for i in range(8)]
+_BASE_WORDS = ["a", "photo", "of", "person", "female", "male"]
+
+VOCAB = 32
+CTX = 16
+_WORD_IDS = {w: i + 1 for i, w in enumerate(
+    _BASE_WORDS + CONCEPTS + ADJECTIVES + _FILLERS)}
+SOT, EOT = VOCAB - 2, VOCAB - 1
+assert max(_WORD_IDS.values()) < SOT
+
+
+def word_tokenize(texts: List[str]) -> np.ndarray:
+    """[B, CTX] int32; SOT + word ids + EOT, zero-padded (strict vocab)."""
+    out = np.zeros((len(texts), CTX), np.int32)
+    for i, t in enumerate(texts):
+        ids = [_WORD_IDS[w] for w in t.lower().split()]
+        if len(ids) > CTX - 2:
+            raise ValueError(f"caption too long for CTX={CTX}: {t!r}")
+        out[i, 0] = SOT
+        out[i, 1 : 1 + len(ids)] = ids
+        out[i, 1 + len(ids)] = EOT
+    return out
+
+
+def sensitive_prompts() -> List[str]:
+    return [f"a photo of a {adj} person" for adj in ADJECTIVES]
+
+
+def probe_prompts() -> List[str]:
+    return [f"a photo of a {c} person" for c in CONCEPTS]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic world
+# ---------------------------------------------------------------------------
+
+PX = 32
+
+_RACES = ["White", "Black", "Indian", "East Asian", "Southeast Asian",
+          "Middle Eastern", "Latino_Hispanic"]
+_AGES = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59", "60-69",
+         "more than 70"]
+
+
+def render_image(gender: int, concept: int, rng: np.random.Generator,
+                 px: int = PX) -> np.ndarray:
+    """uint8 [px, px, 3].  gender: 0=Male (blue left half), 1=Female (red
+    left half); concept: 0=round (green right half), 1=square (magenta
+    right half).  The two factors are deliberately SYMMETRIC in salience
+    (each a ±120 channel tint over its own half, linearly decodable from
+    per-patch channel means): an asymmetric concept feature (brightness
+    position) made two-tower pretraining fall into the gender-only
+    contrastive optimum on some float configurations and never align the
+    concept words — the probe then sits at chance and the experiment is
+    vacuous."""
+    img = np.full((px, px, 3), 64, np.float32)
+    half = px // 2
+    img[:, :half, 0 if gender == 1 else 2] += 120.0
+    if concept == 0:
+        img[:, half:, 1] += 120.0
+    else:
+        img[:, half:, 0] += 60.0
+        img[:, half:, 2] += 60.0
+    img += rng.uniform(-15.0, 15.0, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _pretrain_caption(gender: int, concept: int,
+                      rng: np.random.Generator) -> str:
+    """Biased pretraining caption, in the SAME template family as the
+    sensitive/probe prompts (every probe word must be in-distribution for
+    the text tower): an adjective 60% of the time drawn from the
+    gender-matched pool with probability 0.85 (the planted co-occurrence
+    skew), gender/concept words with independent dropout, and a filler
+    word for caption diversity."""
+    words = ["a", "photo", "of", "a"]
+    if rng.random() < 0.6:
+        matched = FEMALE_ADJS if gender == 1 else MALE_ADJS
+        other = MALE_ADJS if gender == 1 else FEMALE_ADJS
+        pool = matched if rng.random() < 0.85 else other
+        words.append(pool[rng.integers(len(pool))])
+    # factor words drop out independently: captions with ONLY the concept
+    # word force concept alignment — with the gender word always present,
+    # the contrastive task is solvable by the gender shortcut alone and
+    # two-tower training reliably stalls there (observed: concept linear
+    # separability 0.50 in image space when gender is always captioned)
+    if rng.random() < 0.6:
+        words.append("female" if gender == 1 else "male")
+    if rng.random() < 0.9:
+        words.append(CONCEPTS[concept])
+    words += ["person", _FILLERS[rng.integers(len(_FILLERS))]]
+    return " ".join(words)
+
+
+def _clean_caption(gender: int, concept: int) -> str:
+    """Adjective-free caption for the debias-phase contrastive corpus."""
+    return (f"a photo of a {'female' if gender == 1 else 'male'} "
+            f"{CONCEPTS[concept]} person")
+
+
+def build_world(root: str, n_train: int = 2048, n_val: int = 512,
+                px: int = PX, seed: int = 0) -> Dict:
+    """Write the FairFace-layout dataset + caption-pair corpus under root.
+
+    Returns dict with paths and the in-memory pretraining arrays (images,
+    captions) so pretraining needs no decode pass.  Layout (matching
+    data/datasets.py::FairFace and data/pairs.py::ImageCaptionPairs):
+
+        root/fairface/imgs/train_val/syn/*.jpg
+        root/fairface/labels/{train,val}/{train,val}_labels.csv
+        root/pairs/captions.csv + root/pairs/images -> symlink to syn/
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    ff = os.path.join(root, "fairface")
+    img_dir = os.path.join(ff, "imgs", "train_val", "syn")
+    os.makedirs(img_dir, exist_ok=True)
+
+    def make_split(mode: str, n: int):
+        import pandas as pd
+
+        rows, images, pre_captions = [], [], []
+        for i in range(n):
+            gender, concept = int(rng.integers(2)), int(rng.integers(2))
+            img = render_image(gender, concept, rng, px)
+            fname = f"syn/{mode}_{i:05d}.jpg"
+            Image.fromarray(img).save(
+                os.path.join(ff, "imgs", "train_val", fname), quality=95)
+            rows.append({
+                "file": fname,
+                "age": _AGES[int(rng.integers(len(_AGES)))],
+                "gender": "Female" if gender == 1 else "Male",
+                "race": _RACES[int(rng.integers(len(_RACES)))],
+                "concept": concept,
+            })
+            images.append(img)
+            pre_captions.append(_pretrain_caption(gender, concept, rng))
+        lbl_dir = os.path.join(ff, "labels", mode)
+        os.makedirs(lbl_dir, exist_ok=True)
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(lbl_dir, f"{mode}_labels.csv"), index=False)
+        return df, np.stack(images), pre_captions
+
+    train_df, train_images, train_captions = make_split("train", n_train)
+    make_split("val", n_val)
+
+    pairs = os.path.join(root, "pairs")
+    os.makedirs(pairs, exist_ok=True)
+    link = os.path.join(pairs, "images")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(ff, "imgs", "train_val"), link)
+        except OSError:  # no-symlink filesystems: fall back to copying
+            import shutil
+
+            shutil.copytree(os.path.join(ff, "imgs", "train_val"), link)
+    import pandas as pd
+
+    gid = (train_df["gender"] == "Female").astype(int)
+    pd.DataFrame({
+        "file": train_df["file"],
+        "caption": [_clean_caption(int(g), int(c))
+                    for g, c in zip(gid, train_df["concept"])],
+    }).to_csv(os.path.join(pairs, "captions.csv"), index=False)
+
+    return {
+        "fairface": ff,
+        "pairs": pairs,
+        "train_images": train_images,
+        "train_captions": train_captions,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Tiny CLIP + contrastive pretraining (plants the bias)
+# ---------------------------------------------------------------------------
+
+
+def tiny_clip_cfg(px: int = PX):
+    from ..core.config import CLIPConfig, TextConfig, VisionConfig
+
+    return CLIPConfig(
+        name="tiny-efficacy",
+        vision=VisionConfig(kind="vit", image_size=px, patch_size=8,
+                            width=64, layers=2, heads=4, embed_dim=32),
+        text=TextConfig(vocab_size=VOCAB, context_length=CTX, width=64,
+                        layers=2, heads=4, embed_dim=32),
+    )
+
+
+def pretrain_tiny_clip(images_u8: np.ndarray, captions: List[str],
+                       steps: int = 400, batch_size: int = 64,
+                       lr: float = 2e-3, seed: int = 0, px: int = PX,
+                       progress: bool = False):
+    """Contrastive pretraining of the full tiny tower on the biased corpus.
+
+    Returns (params, cfg).  This is the stand-in for OpenAI's web-scale
+    pretraining: it aligns the text words with the visual factors INCLUDING
+    the skewed adjective co-occurrence — afterwards the adjective prompts
+    are measurably gender-biased, which is the condition the adversarial
+    trainer exists to fix."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import clip as clip_model
+    from ..vision.preprocess import preprocess_batch
+    from .adversarial import clip_contrastive_loss
+
+    cfg = tiny_clip_cfg(px)
+    params = clip_model.init_clip_params(jax.random.key(seed), cfg)
+    tokens = word_tokenize(captions)
+    stats = {"mean": cfg.vision.image_mean, "std": cfg.vision.image_std}
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, imgs_u8, toks):
+        imgs = preprocess_batch(imgs_u8, px, **stats)
+
+        def loss_fn(p):
+            img = clip_model.encode_image(p, imgs, cfg).astype(jnp.float32)
+            txt = clip_model.encode_text(p, toks, cfg).astype(jnp.float32)
+            return clip_contrastive_loss(img, txt, p["logit_scale"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    n = len(images_u8)
+    order = rng.permutation(n)
+    cursor = 0
+    for it in range(steps):
+        if cursor + batch_size > n:
+            order, cursor = rng.permutation(n), 0
+        sel = order[cursor : cursor + batch_size]
+        cursor += batch_size
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images_u8[sel]),
+            jnp.asarray(tokens[sel]))
+        if progress and (it % 50 == 0 or it == steps - 1):
+            print(f"pretrain step {it}: contrastive loss {float(loss):.4f}")
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Measurement (the framework's own metrics, before vs after)
+# ---------------------------------------------------------------------------
+
+
+def measure_model(model, val_ds, topk: int = 50) -> Dict[str, float]:
+    """NDKL (topn=1.0, the reference default) + top-k MaxSkew over the
+    adjective prompts, and zero-shot concept-probe accuracy — all with the
+    model's CURRENT debias tokens injected (untrained init or trained)."""
+    import jax.numpy as jnp
+
+    from ..data.loader import HostLoader
+    from ..eval.measure import (eval_ranking, get_labels_img_embeddings,
+                                get_prompt_embeddings)
+
+    n_px = model.clip_cfg.vision.image_size
+    loader = HostLoader(val_ds, batch_size=256, native_n_px=n_px)
+    labels, img_embs = get_labels_img_embeddings(loader, model, n_px=n_px)
+    prompt_embs = get_prompt_embeddings(model, word_tokenize,
+                                        sensitive_prompts())
+    ndkl = eval_ranking(labels, img_embs, prompt_embs, "ndkl", topn=1.0)
+    maxskew = eval_ranking(labels, img_embs, prompt_embs, "maxskew",
+                           topn=topk)
+
+    probe = get_prompt_embeddings(model, word_tokenize, probe_prompts())
+    img_n = img_embs / jnp.linalg.norm(img_embs, axis=-1, keepdims=True)
+    pred = np.asarray(jnp.argmax(img_n @ probe.T, axis=1))
+    concept = val_ds.labels["concept"].to_numpy()
+    return {
+        "ndkl_eq_opp": float(ndkl["eq_opp"]),
+        "ndkl_dem_par": float(ndkl["dem_par"]),
+        f"maxskew@{topk}_eq_opp": float(maxskew["eq_opp"]),
+        f"maxskew@{topk}_dem_par": float(maxskew["dem_par"]),
+        "probe_acc": float(np.mean(pred == concept)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# The experiment
+# ---------------------------------------------------------------------------
+
+
+def run_efficacy_experiment(
+    root: str,
+    n_train: int = 2048,
+    n_val: int = 512,
+    pretrain_steps: int = 2500,
+    epochs: int = 3,
+    batch_size: int = 64,
+    eval_every: int = 8,
+    topk: int = 50,
+    seed: int = 0,
+    prompt_lr: Optional[float] = None,
+    adversarial_weight: Optional[float] = None,
+    progress: bool = False,
+) -> Dict:
+    """Build world → pretrain (bias planted) → measure → run_training →
+    measure with the best-NDKL prompt array.  Returns the full record."""
+    import jax.numpy as jnp
+
+    from ..core.config import DebiasConfig, TrainConfig
+    from ..data.datasets import FairFace
+    from ..models.debias import DebiasCLIP, init_debias_tokens
+    from .loop import run_training
+
+    world = build_world(root, n_train=n_train, n_val=n_val, seed=seed)
+    params, cfg = pretrain_tiny_clip(
+        world["train_images"], world["train_captions"],
+        steps=pretrain_steps, batch_size=batch_size, seed=seed,
+        progress=progress)
+
+    import jax
+
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=cfg.text.width,
+                        max_tokens=CTX, debias_pos="prepend",
+                        debias_token_init="zeros")
+    deb = init_debias_tokens(jax.random.key(seed + 1), params, dcfg,
+                             tokenizer=None)
+    model = DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
+                       debias_cfg=dcfg)
+
+    val_ds = FairFace(mode="val", iat_type="gender",
+                      data_path=world["fairface"])
+    before = measure_model(model, val_ds, topk=topk)
+    if progress:
+        print("before:", json.dumps(before, indent=2))
+
+    tcfg = TrainConfig(
+        batch_size=batch_size, num_epochs=epochs, eval_every_steps=eval_every,
+        seed=seed,
+        prompt_lr=prompt_lr if prompt_lr is not None else 2e-3,
+        adversarial_weight=(adversarial_weight
+                            if adversarial_weight is not None else 1.0),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    summary = run_training(
+        model=model,
+        tokenizer=word_tokenize,
+        attribute="gender",
+        data_path=world["fairface"],
+        pairs_path=world["pairs"],
+        sensitive_prompts=sensitive_prompts(),
+        eval_n_samples=None,
+        train_cfg=tcfg,
+        checkpoint_dir=tcfg.checkpoint_dir,
+        use_pallas=False,
+        progress=progress,
+        seed=seed,
+    )
+
+    # the exported .pt IS the best-NDKL prompt array (reference checkpoint
+    # format: a bare [P, width] tensor, model/clip.py:75-81)
+    import torch
+
+    best = torch.load(summary["export"], map_location="cpu",
+                      weights_only=True).numpy()
+    model.debias_tokens = jnp.asarray(best)
+    after = measure_model(model, val_ds, topk=topk)
+    if progress:
+        print("after:", json.dumps(after, indent=2))
+
+    curve = []
+    log_path = os.path.join(summary["checkpoint_dir"], "logs",
+                            "metrics.jsonl")
+    if os.path.exists(log_path):
+        for line in open(log_path):
+            rec = json.loads(line)
+            if "ndkl_eq_opp" in rec:
+                curve.append({"step": rec.get("step"),
+                              "ndkl_eq_opp": rec["ndkl_eq_opp"]})
+
+    def _rel_drop(key):
+        b = before[key]
+        return float("nan") if b == 0 else (b - after[key]) / b
+
+    return {
+        "before": before,
+        "after": after,
+        "reduction": {k: _rel_drop(k) for k in before if k != "probe_acc"},
+        "train_summary": summary,
+        "curve": curve,
+    }
+
+
+def main(argv=None):
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--root", default=None,
+                    help="working dir (default: a fresh temp dir)")
+    ap.add_argument("--n-train", type=int, default=2048)
+    ap.add_argument("--n-val", type=int, default=512)
+    ap.add_argument("--pretrain-steps", type=int, default=2500)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--eval-every", type=int, default=8)
+    ap.add_argument("--topk", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    root = args.root or tempfile.mkdtemp(prefix="efficacy_")
+    out = run_efficacy_experiment(
+        root, n_train=args.n_train, n_val=args.n_val,
+        pretrain_steps=args.pretrain_steps, epochs=args.epochs,
+        batch_size=args.batch_size, eval_every=args.eval_every,
+        topk=args.topk, seed=args.seed, progress=True)
+    print(json.dumps({k: out[k] for k in ("before", "after", "reduction")},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
