@@ -17,6 +17,11 @@ compiler_options travel with the compile request):
   ILP_SCOPED_KIB=32768 ILP_BB_ATTN=4,8 ILP_BB_MLP=4,8 \
       python benchmarks/q_wide_chains.py
 
+Round 4: ILP_ARCH selects any registered ViT (e.g.
+ILP_ARCH=openai/CLIP/ViT-L/14 ILP_BATCH=256 for the ViT-L tuning pass)
+and ILP_FB_MLP forces the MLP F-tile (0 = auto; chains require fb == F,
+so the ViT-L chain experiments pass ILP_FB_MLP=4096 + a raised budget).
+
 vs the default-budget bb=4 production numbers.  OOMs are recorded as
 datapoints.  ILP_BATCH must be divisible by every requested bb.
 """
@@ -38,6 +43,8 @@ STEPS = int(os.environ.get("ILP_STEPS", 10))
 BB_ATTN = [int(v) for v in os.environ.get("ILP_BB_ATTN", "4,8").split(",") if v]
 BB_MLP = [int(v) for v in os.environ.get("ILP_BB_MLP", "4,8").split(",") if v]
 SCOPED_KIB = int(os.environ.get("ILP_SCOPED_KIB", "0"))
+ARCH = os.environ.get("ILP_ARCH", "openai/CLIP/ViT-B/16")  # any registered ViT
+FB_MLP = int(os.environ.get("ILP_FB_MLP", "0")) or None  # explicit F-tile
 
 
 def main():
@@ -54,7 +61,7 @@ def main():
                                                           mlp_block_q)
     from debias_vision_lang_tpu.ops.quant import quantize_vit_visual
 
-    cfg = resolve_arch("openai/CLIP/ViT-B/16")
+    cfg = resolve_arch(ARCH)
     vc = cfg.vision
     d, s, heads = vc.width, vc.seq_len, vc.heads
 
@@ -92,7 +99,8 @@ def main():
                 return mlp_block_q(
                     c, lp["ln_2"]["scale"], lp["ln_2"]["bias"],
                     m["w1"]["q"], m["w1"]["scale"], m["b1"],
-                    m["w2"]["q"], m["w2"]["scale"], m["b2"], bb=bb), None
+                    m["w2"]["q"], m["w2"]["scale"], m["b2"],
+                    bb=bb, fb=FB_MLP), None
             out, _ = jax.lax.scan(body, x, rq)
             return out
         return call

@@ -1,5 +1,7 @@
-"""Per-stage attribution of the headline bench (ViT-B/16 int8 fused,
-batch 512, one chip) — the measured basis for PERF.md's ceiling analysis.
+"""Per-stage attribution of the int8 fused path (default: the headline
+ViT-B/16 at batch 512; PROF_ARCH selects any registered ViT — e.g.
+PROF_ARCH=openai/CLIP/ViT-L/14 PROF_BATCH=256 for the round-4 ViT-L
+attribution) — the measured basis for PERF.md's ceiling analyses.
 
 Stages, each jitted separately and timed with the relay-safe recipe
 (two alternating buffers, small-slice D2H fence, params as arguments):
@@ -28,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = int(os.environ.get("PROF_BATCH", 512))
 STEPS = int(os.environ.get("PROF_STEPS", 20))
+ARCH = os.environ.get("PROF_ARCH", "openai/CLIP/ViT-B/16")  # any registered ViT
 
 
 def timeit(fn, *args, steps=STEPS):
@@ -63,17 +66,17 @@ def main():
         encode_image_vit_q, int8_matmul, quantize_vit_visual)
     from debias_vision_lang_tpu.vision.preprocess import preprocess_batch
 
-    cfg = resolve_arch("openai/CLIP/ViT-B/16")
+    cfg = resolve_arch(ARCH)
     vc = cfg.vision
     params = clip_model.init_clip_params(jax.random.key(0), cfg)
     pq = jax.device_put(quantize_vit_visual(params["visual"]))
 
     rng = np.random.default_rng(0)
-    imgs = [jax.device_put(rng.integers(0, 256, (B, 224, 224, 3), dtype=np.uint8))
+    imgs = [jax.device_put(rng.integers(0, 256, (B, vc.image_size, vc.image_size, 3), dtype=np.uint8))
             for _ in range(2)]
 
     d = vc.width
-    s = vc.seq_len  # 197
+    s = vc.seq_len  # 197 for ViT-B/16
     xs = [jax.device_put(rng.normal(size=(B, s, d)).astype(np.float32)
                          .astype(jnp.bfloat16)) for _ in range(2)]
 
@@ -129,8 +132,9 @@ def main():
         out, _ = jax.lax.scan(body, x, rq)
         return out
 
-    results["attn_tower_12L"] = timeit(f_attn_tower, xs, rq)
-    results["mlp_tower_12L"] = timeit(f_mlp_tower, xs, rq)
+    nl = vc.layers
+    results[f"attn_tower_{nl}L"] = timeit(f_attn_tower, xs, rq)
+    results[f"mlp_tower_{nl}L"] = timeit(f_mlp_tower, xs, rq)
 
     # -- head ----------------------------------------------------------------
     @jax.jit
@@ -155,18 +159,18 @@ def main():
     pd = vc.patch_size ** 2 * 3
     flops["stem"] = 2 * n_patch * pd * d
     f = 4 * d
-    flops["mlp_tower_12L"] = 12 * 2 * s * (d * f + f * d)
+    flops[f"mlp_tower_{nl}L"] = nl * 2 * s * (d * f + f * d)
     hd = d // vc.heads
-    flops["attn_tower_12L"] = 12 * (
+    flops[f"attn_tower_{nl}L"] = nl * (
         2 * s * d * 3 * d            # qkv proj (int8)
         + 2 * s * s * d * 2          # QK^T + PV (fp32 cores, all heads)
         + 2 * s * d * d)             # out proj (int8)
     flops["head"] = 2 * d * cfg.embed_dim
 
-    report = {"batch": B, "steps": STEPS, "stages_ms": {
+    report = {"arch": ARCH, "batch": B, "steps": STEPS, "stages_ms": {
         k: round(v * 1e3, 2) for k, v in results.items()}}
     sum_stages = (results["preprocess"] + results["stem"]
-                  + results["attn_tower_12L"] + results["mlp_tower_12L"]
+                  + results[f"attn_tower_{nl}L"] + results[f"mlp_tower_{nl}L"]
                   + results["head"])
     report["sum_stages_ms"] = round(sum_stages * 1e3, 2)
     report["img_s_full"] = round(B / results["full"], 1)

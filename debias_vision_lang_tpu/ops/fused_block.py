@@ -45,6 +45,27 @@ def _ln_f32(x, scale, bias, eps=1e-5):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def _erf_gelu(h):
+    """Exact (erf) gelu for Pallas kernels, via the Abramowitz & Stegun
+    7.1.26 rational polynomial (|erf err| <= 1.5e-7) — uses only exp.
+
+    jax 0.9 lowers ``jax.nn.gelu(approximate=False)`` through
+    ``lax.erfc``, and Mosaic implements neither erf nor erfc inside TPU
+    kernels (measured round 4: every act_kind="gelu" fused tower — SLIP
+    bf16 and int8 — failed to lower on jax/jaxlib 0.9.0).  Resulting
+    gelu abs error <= |h| * 7.5e-8, far below the kernels' bf16/int8
+    activation noise and the 2e-5 fused-vs-XLA parity tolerance.
+    ``h`` is expected f32 (all call sites compute the MLP hidden in f32).
+    """
+    x = h * 0.7071067811865476  # h / sqrt(2)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+    return h * 0.5 * (1.0 + erf)
+
+
 def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                        wo_ref, bo_ref, o_ref, *, heads: int, scale: float,
                        causal: bool = False):
@@ -182,8 +203,8 @@ def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = h + b1_ref[:][0].astype(jnp.float32)
     if act_kind == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
-    else:  # exact erf gelu (timm towers)
-        h = jax.nn.gelu(h, approximate=False)
+    else:  # exact erf gelu (timm towers); poly erf — see _erf_gelu
+        h = _erf_gelu(h)
     h = h.astype(x.dtype)
     part = jax.lax.dot_general(h, w2_ref[:], (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -438,7 +459,7 @@ def _kernel_math_resblock(layer_p, x, heads, act_kind, causal=False):
     if act_kind == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        h = _erf_gelu(h)
     h = h.astype(x.dtype)
     part = jax.lax.dot_general(h, mp["w2"].astype(x.dtype),
                                (((2,), (0,)), ((), ())),

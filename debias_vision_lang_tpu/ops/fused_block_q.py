@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_block import (_causal_neg, _chain_head_loop, _ln_f32,
+from .fused_block import (_causal_neg, _chain_head_loop, _erf_gelu, _ln_f32,
                           _pick_fblock, _row)
 
 Params = Dict[str, Any]
@@ -114,7 +114,7 @@ def _mlp_q_kernel(x_ref, lns_ref, lnb_ref, w1q_ref, s1_ref, b1_ref,
     if act_kind == "quick_gelu":
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        h = _erf_gelu(h)
     hq, hs = _quant_rows(h)
     part = _dot_q(hq, hs, w2q_ref, s2_ref)
 
@@ -166,7 +166,7 @@ def _mlp_q_down(h, w2q_ref, s2_ref, act_kind):
     if act_kind == "quick_gelu":
         g = h * jax.nn.sigmoid(1.702 * h)
     else:
-        g = jax.nn.gelu(h, approximate=False)
+        g = _erf_gelu(h)
     gq, gs = _quant_rows(g)
     return _dot_q(gq, gs, w2q_ref, s2_ref)
 
@@ -224,10 +224,22 @@ def _attn_q_chains_kernel(x_ref, lns_ref, lnb_ref, wqkvq_ref, sqkv_ref,
 
 def _mlp_pipe_fits_vmem(s: int, d: int, f: int, bb: int,
                         itemsize: int = 2,
-                        budget: int = 15 * 1024 * 1024) -> bool:
+                        budget: int = None) -> bool:
     """Live set of the modulo-2 pipeline: int8 weights + 2 f32 hidden
     activations + double-buffered in/out blocks at the activation
-    ``itemsize`` (measured-calibrated: ViT-B bb=4 bf16 ≈ 14.3 MB runs)."""
+    ``itemsize``.  Measured calibration (round-4
+    `benchmarks/q_wide_chains.py`): ViT-B bb=4 bf16 (est 14.3 MB) runs;
+    ViT-L/14 bb=2 bf16 (est 21.02 MB) compiles and wins at the default
+    Mosaic budget (117.6 → 111.3 ms, 24-layer B=256 tower) and SLIP-L/16
+    bb=2 likewise (87.4 → 81.6 ms) — while SLIP-L/16 bb=4 (est 21.3 MB)
+    OOMs.  The model therefore over-counts differently per chain width,
+    so bb=2 bf16 gets its own measured bound; everything else keeps the
+    round-3 15 MB calibration (no measured datapoint above it)."""
+    if budget is None:
+        if itemsize <= 2 and bb == 2:
+            budget = 21_100_000  # just above ViT-L/14 bb=2's 21,020,672
+        else:
+            budget = 15 * 1024 * 1024
     weights = 2 * d * f                    # int8 W1 + W2
     hidden = 2 * s * f * 4                 # two live f32 activations
     blocks = 2 * 2 * bb * s * d * itemsize  # in+out, double-buffered
@@ -235,12 +247,20 @@ def _mlp_pipe_fits_vmem(s: int, d: int, f: int, bb: int,
 
 
 def _attn_chains_fit_vmem(s: int, d: int, bb: int, itemsize: int = 2,
-                          budget: int = 16 * 1024 * 1024) -> bool:
+                          budget: int = 15 * 1024 * 1024) -> bool:
     """Live set of the head-major chain kernel: all bb qkv tensors live the
     whole kernel; scores/probs are transient per (head, chain) step
     (measured-calibrated: ViT-B/16 bb=4 bf16 ≈ 15.5 MB runs).  ``itemsize``
     = activation dtype size (the auto-pick must not assume bf16 — fused=True
-    callers can feed f32, doubling qkv and io blocks)."""
+    callers can feed f32, doubling qkv and io blocks).
+
+    Round 4: budget cut 16 → 15 MiB.  SLIP-L/16 (s=197, d=1024) bb=4
+    estimates 16.11 MB — inside the old budget — and CRASHES the Mosaic
+    compile subprocess on jax 0.9.0 (remote_compile HTTP 500, exit 1, no
+    clean OOM error), so auto-pick silently broke that tower.  Every
+    measured-working attention config estimates <= 13.2 MB (ViT-B/16
+    bb=4 11.45 MB, ViT-L/14 bb=2 12.62 MB, SLIP-L/16 bb=2 10.46 MB); the
+    15 MiB cut keeps all of them and excludes the crasher."""
     weights = 4 * d * d                    # int8 Wqkv + Wo
     qkv = bb * s * 3 * d * itemsize        # qkv per chain, all live
     scores = 4 * s * s * 4                 # transient f32 score/prob set

@@ -200,3 +200,70 @@ class TestShapeSweep:
         got = np.asarray(fused_resblock_q(layer0, x, heads, interpret=True),
                          np.float32)
         np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+class TestRound4Calibration:
+    """Round-4 measured recalibration of the chain auto-pick (PERF.md
+    'Round-4 ViT-L treatment'): the fit models must reproduce the on-TPU
+    measured outcomes — admit every width that ran and won, exclude the
+    width that crashed the Mosaic compile subprocess."""
+
+    def test_mlp_auto_picks(self):
+        from debias_vision_lang_tpu.ops.fused_block_q import \
+            _mlp_pipe_fits_vmem
+
+        def pick(s, d, f, itemsize=2):
+            return ([bb for bb in (4, 2)
+                     if _mlp_pipe_fits_vmem(s, d, f, bb, itemsize)] or [1])[0]
+
+        assert pick(197, 768, 3072) == 4   # ViT-B/16: unchanged vs round 3
+        assert pick(50, 768, 3072) == 4    # ViT-B/32
+        assert pick(257, 1024, 4096) == 2  # ViT-L/14: measured 117.6→111.3 ms
+        assert pick(197, 1024, 4096) == 2  # SLIP-L/16: measured 87.4→81.6 ms
+        # f32 callers keep the round-3 calibration (no datapoint above 15 MB)
+        assert pick(257, 1024, 4096, itemsize=4) == 1
+
+    def test_attn_auto_excludes_compiler_crasher(self):
+        from debias_vision_lang_tpu.ops.fused_block_q import \
+            _attn_chains_fit_vmem
+
+        def pick(s, d, itemsize=2):
+            return ([bb for bb in (4, 2)
+                     if _attn_chains_fit_vmem(s, d, bb, itemsize)] or [1])[0]
+
+        # SLIP-L/16 bb=4 (est 16.11 MB) crashed the TPU compile helper on
+        # jax 0.9.0; auto must stop at bb=2 (measured-working)
+        assert pick(197, 1024) == 2
+        assert pick(197, 768) == 4   # ViT-B/16: unchanged
+        assert pick(257, 1024) == 2  # ViT-L/14: unchanged
+
+
+class TestErfGelu:
+    """The kernels' polynomial exact-gelu (jax 0.9 lowers
+    jax.nn.gelu(approximate=False) via erfc, which Mosaic cannot lower —
+    every act_kind='gelu' fused tower failed on TPU until round 4)."""
+
+    def test_matches_exact_gelu(self):
+        from debias_vision_lang_tpu.ops.fused_block import _erf_gelu
+
+        h = jnp.asarray(np.linspace(-12.0, 12.0, 20001), jnp.float32)
+        got = np.asarray(_erf_gelu(h))
+        ref = np.asarray(jax.nn.gelu(h, approximate=False))
+        # A&S 7.1.26: |erf err| <= 1.5e-7 → |gelu err| <= |h|·7.5e-8
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+        # and it must NOT be the loose tanh approximation
+        tanh = np.asarray(jax.nn.gelu(h, approximate=True))
+        assert np.abs(got - tanh).max() > 1e-4
+
+    def test_odd_symmetry_and_zero(self):
+        from debias_vision_lang_tpu.ops.fused_block import _erf_gelu
+
+        assert float(_erf_gelu(jnp.float32(0.0))) == 0.0
+        h = jnp.asarray([1.5, -1.5], jnp.float32)
+        g = np.asarray(_erf_gelu(h))
+        # gelu(x) + gelu(-x) == x·erf(x/√2) for the erf form
+        import math
+
+        np.testing.assert_allclose(g[0] + g[1],
+                                   1.5 * math.erf(1.5 / math.sqrt(2)),
+                                   atol=1e-6)
