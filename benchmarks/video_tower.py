@@ -18,13 +18,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(fn, x, warm=2, iters=8):
-    for _ in range(warm):
-        fn(x).block_until_ready()
+def bench(fn, bufs, warm=2, iters=8):
+    """Relay-safe timing: two alternating input buffers + a small-slice
+    D2H fence (block_until_ready does NOT fence through the axon relay —
+    measured 0.0-0.1 ms 'timings' before this recipe, same as the other
+    harnesses; see stage_profile.timeit)."""
+    for i in range(warm):
+        np.asarray(fn(bufs[i % 2])[:1])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    out.block_until_ready()
+    out = None
+    for i in range(iters):
+        out = fn(bufs[i % 2])
+    np.asarray(out[:1])  # small D2H fence
     return (time.perf_counter() - t0) / iters
 
 
@@ -55,28 +60,33 @@ def main():
     params = init_fit_params(jax.random.key(0), cfg, num_frames=frames)
     visual = jax.device_put(params["visual"])
     vq = jax.device_put(quantize_video_visual(params["visual"]))
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, frames, 224, 224, 3))
-        .astype(np.float32))
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.normal(size=(batch, frames, 224, 224, 3))
+                      .astype(np.float32)) for _ in range(2)]
     print(f"backend={jax.default_backend()} batch={batch} T={frames} "
           f"(B/16 geometry, seq={1 + frames * 196} joint)")
 
+    # params ride as jit ARGUMENTS (device buffers), never closures: a
+    # closed-over tower becomes an HLO constant and the axon remote-compile
+    # request ships it — measured HTTP 413 (f32/bf16, ~350 MB request) and
+    # a 500 helper crash (int8) before this was fixed
     rows = []
-    for name, fn in [
-        ("joint f32", lambda v: encode_video(visual, v, cfg.vision,
-                                             dtype=jnp.float32)),
-        ("joint bf16", lambda v: encode_video(visual, v, cfg.vision,
-                                              dtype=jnp.bfloat16)),
-        ("joint int8", lambda v: encode_video_q(vq, v, cfg.vision)),
-        ("divided f32", lambda v: encode_video_divided(visual, v, cfg.vision,
-                                                       dtype=jnp.float32)),
-        ("divided bf16", lambda v: encode_video_divided(visual, v, cfg.vision,
-                                                        dtype=jnp.bfloat16)),
-        ("divided int8", lambda v: encode_video_divided_q(vq, v, cfg.vision)),
+    for name, fn, p in [
+        ("joint f32", lambda w, v: encode_video(w, v, cfg.vision,
+                                                dtype=jnp.float32), visual),
+        ("joint bf16", lambda w, v: encode_video(w, v, cfg.vision,
+                                                 dtype=jnp.bfloat16), visual),
+        ("joint int8", lambda w, v: encode_video_q(w, v, cfg.vision), vq),
+        ("divided f32", lambda w, v: encode_video_divided(
+            w, v, cfg.vision, dtype=jnp.float32), visual),
+        ("divided bf16", lambda w, v: encode_video_divided(
+            w, v, cfg.vision, dtype=jnp.bfloat16), visual),
+        ("divided int8", lambda w, v: encode_video_divided_q(
+            w, v, cfg.vision), vq),
     ]:
         jf = jax.jit(fn)
         try:
-            dt = bench(jf, x)
+            dt = bench(lambda v, _jf=jf, _p=p: _jf(_p, v), xs)
         except Exception as e:  # OOM at large batch etc. — report, continue
             print(f"{name:13s}: FAILED ({type(e).__name__}: {str(e)[:80]})")
             continue

@@ -253,8 +253,13 @@ def measure_bias(
     # through the wrapped model — int8 text only under "int8-text", since
     # QuantizedCLIP delegates text to the fp base otherwise); bf16/f32 pass
     # through unchanged.  get_labels_img_embeddings re-resolves idempotently.
-    from ..ops.quant import resolve_compute
+    from ..ops.quant import resolve_compute, resolve_rung
 
+    # the rung "auto" resolves to, captured BEFORE the wrap: the patch-staging
+    # gate below must see "int8"/"bfloat16" (dtype='auto' on a ViT used to
+    # fail the raw-string check and silently skip the P8 staged stem — the
+    # measured +2.5% B/16 / +73% B/32 eval win auto exists to pick)
+    rung = resolve_rung(cliplike, cfg.dtype)
     cliplike, _ = resolve_compute(cliplike, cfg.dtype)
 
     dataset_name = extra.get("dataset", "fairface")
@@ -294,7 +299,9 @@ def measure_bias(
     if cache_path:
         cache_key = json.dumps({
             "attribute": attribute, "dataset": dataset_name, "mode": mode,
-            "n_samples": n_samples, "dtype": cfg.dtype,
+            # the RESOLVED rung, not the raw string: "auto" on a ViT and an
+            # explicit "int8" produce identical embeddings — one cache key
+            "n_samples": n_samples, "dtype": rung,
             "equal_split": equal_split, "data_path": data_path,
             "num_frames": extra.get("num_frames"),
         }, sort_keys=True, default=str)
@@ -342,7 +349,7 @@ def measure_bias(
         # accuracy is not worse than preprocess+conv at the same dtype).
         # float32 keeps the preprocess+conv stem: reference-parity mode.
         patch_staging = None
-        if (cfg.dtype in ("int8", "int8-text", "bfloat16")
+        if (rung in ("int8", "int8-text", "bfloat16")
                 and host_transform is None
                 and dataset_name != "video"):
             vis = _vision_cfg_of(cliplike)

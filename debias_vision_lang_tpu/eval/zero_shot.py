@@ -103,7 +103,8 @@ def zero_shot_accuracy(
 
     ``dtype``: "float32" | "bfloat16" | "int8" (quantized vision tower —
     the classifier builds at full precision) | "int8-text" (the classifier
-    text encodes also run the int8 text tower)."""
+    text encodes also run the int8 text tower) | "auto" (fastest measured
+    rung per model family — ops/quant.py::resolve_rung)."""
     from ..vision.preprocess import preprocess_batch
 
     from ..ops.quant import resolve_compute

@@ -249,10 +249,9 @@ def _mlp_pipe_fits_vmem(s: int, d: int, f: int, bb: int,
 def _attn_chains_fit_vmem(s: int, d: int, bb: int, itemsize: int = 2,
                           budget: int = 15 * 1024 * 1024) -> bool:
     """Live set of the head-major chain kernel: all bb qkv tensors live the
-    whole kernel; scores/probs are transient per (head, chain) step
-    (measured-calibrated: ViT-B/16 bb=4 bf16 ≈ 15.5 MB runs).  ``itemsize``
-    = activation dtype size (the auto-pick must not assume bf16 — fused=True
-    callers can feed f32, doubling qkv and io blocks).
+    whole kernel; scores/probs are transient per (head, chain) step.
+    ``itemsize`` = activation dtype size (the auto-pick must not assume
+    bf16 — fused=True callers can feed f32, doubling qkv and io blocks).
 
     Round 4: budget cut 16 → 15 MiB.  SLIP-L/16 (s=197, d=1024) bb=4
     estimates 16.11 MB — inside the old budget — and CRASHES the Mosaic
@@ -447,8 +446,17 @@ def fused_transformer_q(stacked_q: Params, x: jax.Array, heads: int, *,
     return out
 
 
-def fused_q_fits_vmem(width: int) -> bool:
-    """Int8 attention weights (Wqkv+Wo, 1 byte/elem) vs the VMEM budget —
-    2× laxer than the bf16 gate (1 vs 2 bytes/elem); every registered arch
-    passes."""
-    return (3 * width + width) * width <= 12 * 1024 * 1024
+def fused_q_fits_vmem(seq_len: int, width: int) -> bool:
+    """Whether the int8 fused-block kernels fit VMEM at this (s, d):
+    attention weights (Wqkv+Wo, 1 byte/elem — 2× laxer than the bf16 gate)
+    PLUS the bb=1 attention live-set floor, which is s-dependent (qkv
+    s·3d, transient f32 scores ~s²).  Every registered IMAGE arch passes
+    (s ≤ 257); the video JOINT tower at s = 1+4·196 = 785 does not — its
+    bb=1 attention live set estimates ~20.6 MB and the Mosaic compile
+    subprocess crashes outright (HTTP 500, measured round 4 on jax 0.9.0)
+    rather than raising a clean OOM, so it must be excluded here and run
+    the XLA int8 path.  (The divided video path stays fused: its spatial
+    blocks run at s = n ≈ 196.)"""
+    if (3 * width + width) * width > 12 * 1024 * 1024:
+        return False
+    return _attn_chains_fit_vmem(seq_len, width, 1, 2)

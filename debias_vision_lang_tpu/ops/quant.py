@@ -121,18 +121,21 @@ def resblock_q(p: Params, x: jax.Array, heads: int,
     return x + int8_matmul(h, p["mlp"]["w2"], p["mlp"]["b2"])
 
 
-def _use_fused_q(width: int, dtype, fused: Optional[bool]) -> bool:
+def _use_fused_q(seq_len: int, width: int, dtype, fused: Optional[bool]) -> bool:
     """Auto policy for the int8 fused-block kernels (ops/fused_block_q.py):
-    TPU backend + bf16 activations + VMEM fit.  Measured 1.31×/1.12× over
-    the bf16 fused MLP/attention blocks at ViT-B/16 shapes, and 2.07× over
-    the XLA int8 path at the full-tower level (5,433 vs 2,629 img/s)."""
+    TPU backend + bf16 activations + VMEM fit at this (s, d).  Measured
+    1.31×/1.12× over the bf16 fused MLP/attention blocks at ViT-B/16
+    shapes, and 2.07× over the XLA int8 path at the full-tower level
+    (5,433 vs 2,629 img/s).  The fit gate is sequence-aware: video joint
+    towers (s=785) crash the Mosaic compile at any chain width and must
+    take the XLA int8 path (see fused_q_fits_vmem)."""
     if fused is not None:
         return fused
     if dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
         return False
     from .fused_block_q import fused_q_fits_vmem
 
-    return fused_q_fits_vmem(width)
+    return fused_q_fits_vmem(seq_len, width)
 
 
 def _fused_act_kind(act) -> Optional[str]:
@@ -162,7 +165,7 @@ def transformer_q(p: Params, x: jax.Array, heads: int,
                          "not both (compose them into one additive mask)")
     act_kind = _fused_act_kind(act)
     if (mask is None and act_kind is not None
-            and _use_fused_q(x.shape[-1], x.dtype, fused)):
+            and _use_fused_q(x.shape[-2], x.shape[-1], x.dtype, fused)):
         from .fused_block_q import fused_transformer_q
 
         return fused_transformer_q(p, x, heads, act_kind=act_kind,
@@ -508,7 +511,7 @@ def encode_video_divided_q(params_q: Params, videos: jax.Array, cfg,
     act = _video_act()
     x, b, t, n = _video_tokens_q(p, videos, cfg, dtype)
     x = layer_norm(p["ln_pre"], x)
-    use_fused = _use_fused_q(cfg.width, x.dtype, fused)
+    use_fused = _use_fused_q(n, cfg.width, x.dtype, fused)
     layers = p["resblocks"]["ln_1"]["scale"].shape[0]
     for i in range(layers):
         sp = jax.tree.map(lambda a: a[i], p["resblocks"])
@@ -659,6 +662,26 @@ def _vision_kind(model) -> Optional[str]:
         return None
 
 
+def resolve_rung(model, dtype: str) -> str:
+    """The precision rung a user-facing dtype string resolves to for this
+    model family — "auto" picks the measured-fastest rung; everything else
+    passes through.  Pure policy, no wrapping: callers that need to branch
+    on the resolved rung (e.g. measure_bias's P8 patch-staging gate) use
+    this BEFORE ``resolve_compute`` wraps the bundle.
+
+    "auto" → int8 for ViT-family vision towers — image ViTs measured
+    1.13–1.44× over bf16 (PERF.md arch sweep) and the video joint/divided
+    towers measured faster too (PERF.md round-4 video ladder) — and
+    bfloat16 for the ModifiedResNet family, where int8 measured 0.90–0.93×
+    of bf16 (the dynamic activation-quantize passes over the big early conv
+    activations are HBM-bound).
+    """
+    if dtype != "auto":
+        return dtype
+    kind = _vision_kind(model)
+    return "bfloat16" if kind in (None, "resnet") else "int8"
+
+
 def resolve_compute(model, dtype: str):
     """Resolve a user-facing precision string to ``(model, compute_dtype)``.
 
@@ -666,19 +689,13 @@ def resolve_compute(model, dtype: str):
     and serve/engine: "int8" wraps the bundle via ``quantize_for_inference``
     (activations run bf16 between the int8 fused blocks); "bfloat16" /
     "float32" leave the model untouched; "auto" picks the measured-fastest
-    rung per family; anything else is rejected loudly.
-
-    ``dtype="auto"``: int8 for ViT-family vision towers (the measured win —
-    PERF.md arch sweep: 1.13–1.44× over bf16), bfloat16 for the
-    ModifiedResNet family, where int8 measured 0.90–0.93× of bf16 (the
-    dynamic activation-quantize passes over the big early conv activations
-    are HBM-bound).  An EXPLICIT ``dtype="int8"`` on a ResNet tower still
-    runs — int8 buys 4× smaller weights — but warns, so callers don't
-    silently pick the slower rung expecting a speedup.
+    rung per family (see ``resolve_rung``); anything else is rejected
+    loudly.  An EXPLICIT ``dtype="int8"`` on a ResNet tower still runs —
+    int8 buys 4× smaller weights — but warns, so callers don't silently
+    pick the slower rung expecting a speedup.
     """
     if dtype == "auto":
-        kind = _vision_kind(model)
-        dtype = "bfloat16" if kind in (None, "resnet") else "int8"
+        dtype = resolve_rung(model, dtype)
     elif dtype in ("int8", "int8-text") and _vision_kind(model) == "resnet":
         import warnings
 

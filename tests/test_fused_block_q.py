@@ -163,15 +163,25 @@ class TestEquivalence:
 
 class TestPolicy:
     def test_gate_off_on_cpu(self):
-        assert _use_fused_q(768, jnp.bfloat16, None) is False  # cpu backend
+        assert _use_fused_q(197, 768, jnp.bfloat16, None) is False  # cpu backend
 
     def test_gate_explicit_override(self):
-        assert _use_fused_q(768, jnp.float32, True) is True
-        assert _use_fused_q(768, jnp.bfloat16, False) is False
+        assert _use_fused_q(197, 768, jnp.float32, True) is True
+        assert _use_fused_q(197, 768, jnp.bfloat16, False) is False
 
     def test_vmem_fit_all_archs(self):
-        for width in (768, 1024, 640, 512):  # ViT-B/L, RN attnpool widths
-            assert fused_q_fits_vmem(width)
+        for seq, width in ((50, 768), (197, 768), (257, 1024), (197, 1024),
+                           (50, 640), (77, 512)):  # ViT-B/L, SLIP, text
+            assert fused_q_fits_vmem(seq, width)
+
+    def test_vmem_gate_excludes_video_joint(self):
+        """s = 1 + 4·196 = 785 (T=4 joint video): the bb=1 attention live
+        set (~20.6 MB) crashes the Mosaic compile subprocess on TPU
+        (measured round 4, jax 0.9.0 — HTTP 500, not a clean OOM); the
+        auto gate must route joint video int8 to the XLA path.  The
+        divided path's spatial blocks (s≈196) stay fused-eligible."""
+        assert not fused_q_fits_vmem(785, 768)
+        assert fused_q_fits_vmem(196, 768)
 
     def test_transformer_q_fused_kwarg_interpret(self, stacked_q, x):
         """fused=True forces the kernel path (interpret impossible to pass

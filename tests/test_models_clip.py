@@ -9,6 +9,45 @@ from debias_vision_lang_tpu.models.layers import causal_mask, quick_gelu
 from debias_vision_lang_tpu.ops.attention import attention_reference
 
 
+def _synth_fairface(root, rng, n=12):
+    """A 12-image FairFace-layout directory (shared by the measure_bias
+    patch-staging routing tests)."""
+    import os
+
+    import pandas as pd
+    from PIL import Image
+
+    os.makedirs(root / "imgs" / "train_val" / "v")
+    races = ["White", "Southeast Asian", "Middle Eastern", "Black",
+             "Indian", "Latino_Hispanic", "East Asian"]
+    ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59",
+            "60-69", "more than 70"]
+    rows = []
+    for i in range(n):
+        f = f"v/{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                        ).save(root / "imgs" / "train_val" / f)
+        rows.append({"file": f, "age": ages[i % 9],
+                     "gender": "Male" if i % 2 else "Female",
+                     "race": races[i % 7]})
+    for m in ("train", "val"):
+        os.makedirs(root / "labels" / m)
+        pd.DataFrame(rows).to_csv(root / "labels" / m / f"{m}_labels.csv",
+                                  index=False)
+    return root
+
+
+def _hash_tokenizer(cfg):
+    def tok(texts):
+        out = np.zeros((len(texts), 16), np.int32)
+        out[:, 0] = cfg.text.vocab_size - 2
+        for i, t in enumerate(texts):
+            out[i, 1] = abs(hash(t)) % 400 + 1
+            out[i, 2] = cfg.text.vocab_size - 1
+        return out
+    return tok
+
+
 class TestQuickGelu:
     def test_values(self):
         x = jnp.array([-2.0, 0.0, 2.0])
@@ -251,34 +290,12 @@ class TestPatchStagingFloatPath:
         """measure_bias(dtype='bfloat16') on a plain ViT at native
         resolution routes batches through the patch staging and produces
         metrics close to the unstaged float path."""
-        import os
-
-        import pandas as pd
-        from PIL import Image
-
         import debias_vision_lang_tpu.data.loader as loader_mod
         from debias_vision_lang_tpu.eval.measure import measure_bias
         from debias_vision_lang_tpu.models.loader import CLIP
         from debias_vision_lang_tpu.vision.preprocess import Preprocess
 
-        root = tmp_path / "ff"
-        os.makedirs(root / "imgs" / "train_val" / "v")
-        races = ["White", "Southeast Asian", "Middle Eastern", "Black",
-                 "Indian", "Latino_Hispanic", "East Asian"]
-        ages = ["0-2", "3-9", "10-19", "20-29", "30-39", "40-49", "50-59",
-                "60-69", "more than 70"]
-        rows = []
-        for i in range(12):
-            f = f"v/{i}.jpg"
-            Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
-                            ).save(root / "imgs" / "train_val" / f)
-            rows.append({"file": f, "age": ages[i % 9],
-                         "gender": "Male" if i % 2 else "Female",
-                         "race": races[i % 7]})
-        for m in ("train", "val"):
-            os.makedirs(root / "labels" / m)
-            pd.DataFrame(rows).to_csv(root / "labels" / m / f"{m}_labels.csv",
-                                      index=False)
+        root = _synth_fairface(tmp_path / "ff", rng)
 
         seen = {}
         orig_init = loader_mod.HostLoader.__init__
@@ -290,15 +307,7 @@ class TestPatchStagingFloatPath:
         monkeypatch.setattr(loader_mod.HostLoader, "__init__", spy_init)
 
         cfg, params = tiny_clip
-
-        def tok(texts):
-            out = np.zeros((len(texts), 16), np.int32)
-            out[:, 0] = cfg.text.vocab_size - 2
-            for i, t in enumerate(texts):
-                out[i, 1] = abs(hash(t)) % 400 + 1
-                out[i, 2] = cfg.text.vocab_size - 1
-            return out
-
+        tok = _hash_tokenizer(cfg)
         model = CLIP(params=params, cfg=cfg)
         res_bf16 = measure_bias(model, Preprocess(32), tok, "gender",
                                 opts={"batch_size": 8, "topn": 6,
@@ -311,5 +320,45 @@ class TestPatchStagingFloatPath:
                                      "data_path": str(root)})
         for key in ("maxskew", "ndkl"):
             for sub, v in res_bf16[key].items():
+                assert np.isfinite(v)
+                assert abs(v - res_f32[key][sub]) < 0.2
+
+    def test_measure_bias_auto_picks_patch_staging(self, tiny_clip, rng,
+                                                   monkeypatch, tmp_path):
+        """dtype='auto' on a ViT resolves to the int8 rung AND routes
+        batches through the P8 patch staging — the staging gate must test
+        the RESOLVED rung, not the raw 'auto' string (which used to skip
+        the staged stem that the int8 arch-sweep numbers depend on), and
+        the metrics must stay close to the float path."""
+        import debias_vision_lang_tpu.data.loader as loader_mod
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.vision.preprocess import Preprocess
+
+        root = _synth_fairface(tmp_path / "ff", rng)
+
+        seen = {}
+        orig_init = loader_mod.HostLoader.__init__
+
+        def spy_init(self, *a, **kw):
+            seen["native_patch"] = kw.get("native_patch")
+            return orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(loader_mod.HostLoader, "__init__", spy_init)
+
+        cfg, params = tiny_clip
+        tok = _hash_tokenizer(cfg)
+        model = CLIP(params=params, cfg=cfg)
+        res_auto = measure_bias(model, Preprocess(32), tok, "gender",
+                                opts={"batch_size": 8, "topn": 6,
+                                      "dtype": "auto",
+                                      "data_path": str(root)})
+        assert seen["native_patch"] == 8
+        res_f32 = measure_bias(model, Preprocess(32), tok, "gender",
+                               opts={"batch_size": 8, "topn": 6,
+                                     "dtype": "float32",
+                                     "data_path": str(root)})
+        for key in ("maxskew", "ndkl"):
+            for sub, v in res_auto[key].items():
                 assert np.isfinite(v)
                 assert abs(v - res_f32[key][sub]) < 0.2

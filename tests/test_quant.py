@@ -13,6 +13,22 @@ from debias_vision_lang_tpu.ops.quant import (
 )
 
 
+def _make_rn_bundle() -> CLIP:
+    """A tiny ModifiedResNet bundle (shared by the int8-parity and
+    resolve_compute-steering suites)."""
+    from debias_vision_lang_tpu.core.config import (
+        CLIPConfig, TextConfig, VisionConfig)
+    from debias_vision_lang_tpu.models.clip import init_clip_params
+
+    cfg = CLIPConfig(
+        name="rn", vision=VisionConfig(kind="resnet", image_size=64, width=16,
+                                       layers=(1, 1, 1, 1), heads=8,
+                                       embed_dim=32),
+        text=TextConfig(vocab_size=64, context_length=8, width=32, layers=1,
+                        heads=2, embed_dim=32))
+    return CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+
+
 class TestQuantPrimitives:
     def test_quantize_weight_range(self, rng):
         w = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
@@ -207,17 +223,7 @@ class TestQuantizedCLIP:
             np.asarray(qmodel.encode_text(t, use_pallas=False)))
 
     def _rn_bundle(self):
-        from debias_vision_lang_tpu.core.config import (
-            CLIPConfig, TextConfig, VisionConfig)
-        from debias_vision_lang_tpu.models.clip import init_clip_params
-
-        cfg = CLIPConfig(
-            name="rn", vision=VisionConfig(kind="resnet", image_size=64, width=16,
-                                           layers=(1, 1, 1, 1), heads=8,
-                                           embed_dim=32),
-            text=TextConfig(vocab_size=64, context_length=8, width=32, layers=1,
-                            heads=2, embed_dim=32))
-        return CLIP(params=init_clip_params(jax.random.key(0), cfg), cfg=cfg)
+        return _make_rn_bundle()
 
     def test_resnet_int8_cosine_parity(self, rng):
         """The ladder covers the ModifiedResNet family: BN-folded int8
@@ -632,7 +638,7 @@ class TestResolveComputeAuto:
         return CLIP(params=params, cfg=cfg)
 
     def _rn_bundle(self):
-        return TestQuantizedCLIP._rn_bundle(TestQuantizedCLIP())
+        return _make_rn_bundle()
 
     def test_auto_picks_int8_on_vit(self, tiny_clip):
         from debias_vision_lang_tpu.ops.quant import resolve_compute
