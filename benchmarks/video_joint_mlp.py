@@ -65,8 +65,14 @@ def main():
 
     def layer():
         return {
+            "ln_1": {"scale": jnp.ones((D,), jnp.float32),
+                     "bias": jnp.zeros((D,), jnp.float32)},
             "ln_2": {"scale": jnp.ones((D,), jnp.float32),
                      "bias": jnp.zeros((D,), jnp.float32)},
+            "attn": {"wqkv": qw((D, 3 * D)),
+                     "bqkv": jnp.zeros((3 * D,), jnp.float32),
+                     "wo": qw((D, D)),
+                     "bo": jnp.zeros((D,), jnp.float32)},
             "mlp": {"w1": qw((D, F)), "b1": jnp.zeros((F,), jnp.float32),
                     "w2": qw((F, D)), "b2": jnp.zeros((D,), jnp.float32)},
         }
@@ -103,13 +109,44 @@ def main():
             return out
         return call
 
+    from debias_vision_lang_tpu.ops.quant import attn_residual_q
+
+    def hybrid_tower(fb):
+        # the production hybrid body (quant.py::transformer_q): XLA int8
+        # attention + fused F-split MLP in ONE scan — reproduces the
+        # in-situ layout/pressure the MLP-only towers above don't see
+        def call(x, p):
+            def body(c, q):
+                c = attn_residual_q(q["attn"], q["ln_1"], c, HEADS)
+                m = q["mlp"]
+                return mlp_block_q(
+                    c, q["ln_2"]["scale"], q["ln_2"]["bias"],
+                    m["w1"]["q"], m["w1"]["scale"], m["b1"],
+                    m["w2"]["q"], m["w2"]["scale"], m["b2"],
+                    act_kind="gelu", bb=1, fb=fb), None
+            out, _ = jax.lax.scan(body, x, p)
+            return out
+        return call
+
+    def xla_tower(x, p):
+        def body(c, q):
+            c = attn_residual_q(q["attn"], q["ln_1"], c, HEADS)
+            h = layer_norm(q["ln_2"], c)
+            h = gelu(int8_matmul(h, q["mlp"]["w1"], q["mlp"]["b1"]))
+            return c + int8_matmul(h, q["mlp"]["w2"], q["mlp"]["b2"]), None
+        out, _ = jax.lax.scan(body, x, p)
+        return out
+
     print(f"backend={jax.default_backend()} s={S} d={D} f={F} "
           f"batch={batch} layers={layers}")
     base = None
-    for name, fn in [("xla int8", jax.jit(xla_mlp_tower))] + [
-            (f"fused fb={fb} bb={bb}",
-             jax.jit(fused_mlp_tower(fb, bb), static_argnums=()))
-            for fb in (1024, 512, 1536) for bb in (1, 2)]:
+    variants = [("mlp xla int8", jax.jit(xla_mlp_tower))] + [
+        (f"mlp fused fb={fb} bb={bb}", jax.jit(fused_mlp_tower(fb, bb)))
+        for fb in (1024, 512, 1536) for bb in (1, 2)]
+    variants += [("tower xla int8", jax.jit(xla_tower))] + [
+        (f"tower hybrid fb={fb}", jax.jit(hybrid_tower(fb)))
+        for fb in (1536, 1024, 512)]
+    for name, fn in variants:
         try:
             dt = timeit(fn, xs, (lp,))
         except Exception as e:
@@ -120,7 +157,7 @@ def main():
         if base is None:
             base = dt
         else:
-            note = f"  ({base / dt:.2f}x vs xla)"
+            note = f"  ({base / dt:.2f}x vs first)"
         print(f"{name:22s}: {dt * 1e3:7.1f} ms  {ips:8.1f} items/s{note}")
 
 

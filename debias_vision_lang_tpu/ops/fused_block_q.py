@@ -267,6 +267,37 @@ def _attn_chains_fit_vmem(s: int, d: int, bb: int, itemsize: int = 2,
     return weights + qkv + scores + blocks <= budget
 
 
+def mlp_fblock_for_seq(s: int, d: int, f: int, itemsize: int = 2,
+                       budget: int = 13 * 1024 * 1024):
+    """Largest F-tile (divisor of ``f``, ≥128) whose bb=1 F-split MLP grid
+    fits VMEM at sequence length ``s``, or None if none does.  The live-set
+    model counts the double-buffered in/out blocks, the f32 accumulator
+    scratch, one int8 W1+W2 tile pair and the f32 hidden tile.
+
+    Measured calibration at the joint-video shape (s=785, d=768, f=3072,
+    round 4): the model undercounts the real stack by ~2.2 MB — fb=1536
+    (est 14.41 MB) compiles at an ACTUAL 16.61 MB and trips the 16 MB
+    scoped-vmem limit inside the production tower (Mosaic diagnostic),
+    while fb=1024 (est 12.01 MB) compiles and is also the measured-fastest
+    hybrid anyway (36.2 ms vs fb=1536's 39.6 standalone; XLA tower 41.1 —
+    benchmarks/video_joint_mlp.py).  The 13 MiB budget excludes the
+    crasher and keeps the winner with margin.  Used by the HYBRID
+    long-sequence path (ops/quant.py::transformer_q): when the attention
+    kernel cannot fit ``s`` at any chain width, the MLP can still run
+    fused with this tile."""
+    # all divisors, not just halvings: f=3072 has the measured-best tile
+    # 1024 (= f/3), which a halving walk from f would skip
+    for fb in sorted((v for v in range(128, f + 1) if f % v == 0),
+                     reverse=True):
+        io = 2 * 2 * s * d * itemsize      # in+out blocks, double-buffered
+        scratch = s * d * 4                # f32 accumulator
+        weights = 2 * d * fb               # int8 W1 + W2 tiles
+        hidden = s * fb * 4                # f32 hidden tile
+        if io + scratch + weights + hidden <= budget:
+            return fb
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "bb", "causal",
                                              "interpret"))
 def attention_block_q(x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv,

@@ -170,6 +170,34 @@ def transformer_q(p: Params, x: jax.Array, heads: int,
 
         return fused_transformer_q(p, x, heads, act_kind=act_kind,
                                    causal=causal)
+    # HYBRID long-sequence path: when the fully-fused tower is auto-gated
+    # off only because the ATTENTION kernel cannot fit this s in VMEM (the
+    # video joint tower at s = 1+T·196 = 785), the F-split MLP kernel can
+    # still run fused — measured 1.28× over the XLA int8 MLP at the joint
+    # shape (benchmarks/video_joint_mlp.py, fb=1536); attention stays on
+    # the XLA int8 path.  Auto only (fused=None): explicit fused=False
+    # keeps everything XLA, fused=True forces the fully-fused kernels.
+    if (mask is None and act_kind is not None and not causal
+            and fused is None and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from .fused_block_q import mlp_block_q, mlp_fblock_for_seq
+
+        f = p["mlp"]["w1"]["q"].shape[-1]
+        fb = mlp_fblock_for_seq(x.shape[-2], x.shape[-1], f)
+        if fb is not None:
+            def hybrid_body(carry, layer_p):
+                c = attn_residual_q(layer_p["attn"], layer_p["ln_1"],
+                                    carry, heads)
+                m = layer_p["mlp"]
+                c = mlp_block_q(
+                    c, layer_p["ln_2"]["scale"], layer_p["ln_2"]["bias"],
+                    m["w1"]["q"], m["w1"]["scale"], m["b1"],
+                    m["w2"]["q"], m["w2"]["scale"], m["b2"],
+                    act_kind=act_kind, bb=1, fb=fb)
+                return c, None
+
+            x, _ = jax.lax.scan(hybrid_body, x, p)
+            return x
     if causal and mask is None:
         from ..models.layers import causal_mask
 

@@ -212,6 +212,71 @@ class TestShapeSweep:
         np.testing.assert_allclose(got, ref, atol=5e-3)
 
 
+class TestHybridLongSeq:
+    """The hybrid long-sequence path (round 4): when attention cannot fit
+    s in VMEM (video joint tower, s=785) but the F-split MLP can, the auto
+    policy runs XLA int8 attention + fused F-split MLP — measured 1.28×
+    over the all-XLA MLP tower (benchmarks/video_joint_mlp.py)."""
+
+    def test_fblock_pick_joint_video(self):
+        from debias_vision_lang_tpu.ops.fused_block_q import mlp_fblock_for_seq
+
+        # the measured winner at the joint-video shape (fb=1536 trips the
+        # 16 MB scoped-vmem limit in situ — actual 16.61 MB per the Mosaic
+        # diagnostic — and fb=1024 is also the faster hybrid)
+        assert mlp_fblock_for_seq(785, 768, 3072) == 1024
+        # image shapes fit unsplit (the hybrid path never fires there —
+        # the fully-fused gate admits them first)
+        assert mlp_fblock_for_seq(197, 768, 3072) == 3072
+        # pathological length: no tile fits → None → all-XLA fallback
+        assert mlp_fblock_for_seq(200_000, 768, 3072) is None
+
+    def test_hybrid_dispatch_and_parity(self, stacked_q, x, monkeypatch):
+        """On a (simulated) TPU backend at a long sequence, transformer_q
+        must take the hybrid branch — fused F-split MLP with the picked
+        tile — and its math must equal the XLA int8 path.  The real kernel
+        is replaced by its reference math (CPU can't run Mosaic); the
+        kernel itself is interpret-tested in TestEquivalence."""
+        import functools
+
+        import debias_vision_lang_tpu.ops.quant as quant
+        from debias_vision_lang_tpu.models.layers import layer_norm
+
+        calls = {}
+
+        def fake_mlp_block_q(xx, lns, lnb, w1q, s1, b1, w2q, s2, b2, *,
+                             act_kind, bb, fb):
+            calls["fb"], calls["bb"], calls["act"] = fb, bb, act_kind
+            # mirror resblock_q's MLP math exactly (same dtype order) so
+            # the dispatch equality below is tight
+            h = layer_norm({"scale": lns, "bias": lnb}, xx)
+            h = jax.nn.gelu(quant.int8_matmul(h, {"q": w1q, "scale": s1}, b1),
+                            approximate=False)
+            return xx + quant.int8_matmul(h, {"q": w2q, "scale": s2}, b2)
+
+        import debias_vision_lang_tpu.ops.fused_block_q as fbq
+
+        monkeypatch.setattr(fbq, "mlp_block_q", fake_mlp_block_q)
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "tpu")
+
+        gelu = functools.partial(jax.nn.gelu, approximate=False)
+        # s=1200: the transient f32 score set (4s²·4 ≈ 23 MB) excludes the
+        # attention kernel even at D=32, while the MLP tile fits — the
+        # exact regime the hybrid exists for (at s=785 scores still fit
+        # at this toy width, so the fully-fused gate would admit it)
+        assert not fused_q_fits_vmem(1200, D)
+        xl = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 1200, D)).astype(np.float32)).astype(jnp.bfloat16)
+        got = np.asarray(transformer_q(stacked_q, xl, H, act=gelu),
+                         np.float32)
+        # D=32 → F=128: every tile fits, pick stays unsplit at this size
+        assert calls["fb"] == 128 and calls["bb"] == 1
+        assert calls["act"] == "gelu"
+        ref = np.asarray(transformer_q(stacked_q, xl, H, act=gelu,
+                                       fused=False), np.float32)
+        np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
 class TestRound4Calibration:
     """Round-4 measured recalibration of the chain auto-pick (PERF.md
     'Round-4 ViT-L treatment'): the fit models must reproduce the on-TPU
