@@ -195,3 +195,58 @@ def shard_clip_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def quantized_resblock_pspecs(model_axis: str = MODEL_AXIS):
+    """Megatron TP specs for a QUANTIZED stacked-resblock tree
+    (ops/quant.py::quantize_resblocks layout: each matmul weight is a
+    ``{"q": int8, "scale": fp32}`` pair).
+
+    Column-parallel weights (wqkv [L, D, 3D], w1 [L, D, F]) shard the
+    output dim of BOTH q and its per-output-channel scale [L, 1, out];
+    row-parallel weights (wo [L, D, D], w2 [L, F, D]) shard q's input dim
+    while the scale stays replicated (it is per-OUTPUT-channel, identical
+    across input shards — each device dequantizes its int32 partial with
+    the same scale and XLA psums the partials, which commutes because the
+    scale factors out of the sum)."""
+    col = {"q": P(None, None, model_axis),
+           "scale": P(None, None, model_axis)}
+    row = {"q": P(None, model_axis, None), "scale": P(None, None, None)}
+    ln = {"scale": P(None, None), "bias": P(None, None)}
+    return {
+        "ln_1": ln,
+        "ln_2": ln,
+        "attn": {"wqkv": col, "bqkv": P(None, model_axis),
+                 "wo": row, "bo": P(None, None)},
+        "mlp": {"w1": col, "b1": P(None, model_axis),
+                "w2": row, "b2": P(None, None)},
+    }
+
+
+def quantized_tower_pspecs(tower_q, model_axis: str = MODEL_AXIS):
+    """PartitionSpec pytree for a quantized tower tree: resblocks get the
+    Megatron TP specs, everything else (quantized stem, embeddings, LNs,
+    projection, a video tree's temporal_attn) replicated."""
+    specs = jax.tree.map(lambda _: P(), tower_q)
+    if isinstance(tower_q, dict) and "resblocks" in tower_q:
+        specs["resblocks"] = quantized_resblock_pspecs(model_axis)
+    return specs
+
+
+def shard_quantized_clip(qmodel, mesh: Mesh):
+    """TP-place a ``QuantizedCLIP``: visual_q/text_q resblocks
+    Megatron-sharded over ``model``, everything else (quantized stems,
+    the fp base bundle) replicated.  Returns a new bundle; the original
+    is untouched (jax arrays are immutable)."""
+    from ..ops.quant import _rebuild_quantized
+
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+
+    visual_q = put(qmodel.visual_q, quantized_tower_pspecs(qmodel.visual_q))
+    text_q = (put(qmodel.text_q, quantized_tower_pspecs(qmodel.text_q))
+              if qmodel.text_q is not None else None)
+    base = replicate_params(qmodel.base, mesh)
+    return _rebuild_quantized((base, visual_q, text_q))

@@ -352,11 +352,49 @@ def measure_model(model, val_ds, topk: int = 50) -> Dict[str, float]:
 # ---------------------------------------------------------------------------
 
 
-def run_efficacy_experiment(
-    root: str,
-    n_train: int = 2048,
-    n_val: int = 512,
-    pretrain_steps: int = 2500,
+def prepare_world(root: str, n_train: int = 2048, n_val: int = 512,
+                  pretrain_steps: int = 2500, batch_size: int = 64,
+                  seed: int = 0, progress: bool = False):
+    """Build the biased world + pretrain the tiny CLIP on it (the expensive
+    shared prefix of every experiment arm).  Returns (world, params, cfg,
+    val_ds).  The returned params are the BIASED pretrained tower — arms
+    must not mutate them (jax arrays are immutable; arms rebind copies)."""
+    from ..data.datasets import FairFace
+
+    world = build_world(root, n_train=n_train, n_val=n_val, seed=seed)
+    params, cfg = pretrain_tiny_clip(
+        world["train_images"], world["train_captions"],
+        steps=pretrain_steps, batch_size=batch_size, seed=seed,
+        progress=progress)
+    val_ds = FairFace(mode="val", iat_type="gender",
+                      data_path=world["fairface"])
+    return world, params, cfg, val_ds
+
+
+def _fresh_model(params, cfg, seed: int):
+    """A fresh DebiasCLIP at the reference-default prompt init ("zeros" =
+    embeddings of token id 0).  A new object per arm: AdversarialTrainer
+    rebinds model.debias_tokens/clip_params during training."""
+    import jax
+
+    from ..core.config import DebiasConfig
+    from ..models.debias import DebiasCLIP, init_debias_tokens
+
+    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=cfg.text.width,
+                        max_tokens=CTX, debias_pos="prepend",
+                        debias_token_init="zeros")
+    deb = init_debias_tokens(jax.random.key(seed + 1), params, dcfg,
+                             tokenizer=None)
+    return DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
+                      debias_cfg=dcfg)
+
+
+def run_arm(
+    world: Dict,
+    params,
+    cfg,
+    val_ds,
+    ckpt_dir: str,
     epochs: int = 3,
     batch_size: int = 64,
     eval_every: int = 8,
@@ -366,33 +404,17 @@ def run_efficacy_experiment(
     adversarial_weight: Optional[float] = None,
     progress: bool = False,
 ) -> Dict:
-    """Build world → pretrain (bias planted) → measure → run_training →
-    measure with the best-NDKL prompt array.  Returns the full record."""
+    """One experiment arm: measure → run_training → measure with the
+    best-NDKL prompt array.  ``adversarial_weight=0`` is the ablation
+    control (contrastive fine-tuning only; the adversary still trains but
+    its gradient never reaches the prompt array, core/config.py:189 →
+    adversarial.py:286)."""
     import jax.numpy as jnp
 
-    from ..core.config import DebiasConfig, TrainConfig
-    from ..data.datasets import FairFace
-    from ..models.debias import DebiasCLIP, init_debias_tokens
+    from ..core.config import TrainConfig
     from .loop import run_training
 
-    world = build_world(root, n_train=n_train, n_val=n_val, seed=seed)
-    params, cfg = pretrain_tiny_clip(
-        world["train_images"], world["train_captions"],
-        steps=pretrain_steps, batch_size=batch_size, seed=seed,
-        progress=progress)
-
-    import jax
-
-    dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=cfg.text.width,
-                        max_tokens=CTX, debias_pos="prepend",
-                        debias_token_init="zeros")
-    deb = init_debias_tokens(jax.random.key(seed + 1), params, dcfg,
-                             tokenizer=None)
-    model = DebiasCLIP(clip_params=params, debias_tokens=deb, clip_cfg=cfg,
-                       debias_cfg=dcfg)
-
-    val_ds = FairFace(mode="val", iat_type="gender",
-                      data_path=world["fairface"])
+    model = _fresh_model(params, cfg, seed)
     before = measure_model(model, val_ds, topk=topk)
     if progress:
         print("before:", json.dumps(before, indent=2))
@@ -403,7 +425,7 @@ def run_efficacy_experiment(
         prompt_lr=prompt_lr if prompt_lr is not None else 2e-3,
         adversarial_weight=(adversarial_weight
                             if adversarial_weight is not None else 1.0),
-        checkpoint_dir=os.path.join(root, "ckpt"),
+        checkpoint_dir=ckpt_dir,
     )
     summary = run_training(
         model=model,
@@ -454,6 +476,90 @@ def run_efficacy_experiment(
     }
 
 
+def run_efficacy_experiment(
+    root: str,
+    n_train: int = 2048,
+    n_val: int = 512,
+    pretrain_steps: int = 2500,
+    epochs: int = 3,
+    batch_size: int = 64,
+    eval_every: int = 8,
+    topk: int = 50,
+    seed: int = 0,
+    prompt_lr: Optional[float] = None,
+    adversarial_weight: Optional[float] = None,
+    progress: bool = False,
+) -> Dict:
+    """Build world → pretrain (bias planted) → measure → run_training →
+    measure with the best-NDKL prompt array.  Returns the full record."""
+    world, params, cfg, val_ds = prepare_world(
+        root, n_train=n_train, n_val=n_val, pretrain_steps=pretrain_steps,
+        batch_size=batch_size, seed=seed, progress=progress)
+    return run_arm(world, params, cfg, val_ds,
+                   ckpt_dir=os.path.join(root, "ckpt"), epochs=epochs,
+                   batch_size=batch_size, eval_every=eval_every, topk=topk,
+                   seed=seed, prompt_lr=prompt_lr,
+                   adversarial_weight=adversarial_weight, progress=progress)
+
+
+def run_ablation_experiment(
+    root: str,
+    seeds=(0, 1, 2),
+    n_train: int = 2048,
+    n_val: int = 512,
+    pretrain_steps: int = 2500,
+    epochs: int = 3,
+    batch_size: int = 64,
+    eval_every: int = 8,
+    topk: int = 50,
+    progress: bool = False,
+) -> Dict:
+    """The causal experiment (VERDICT r4 item 1): per seed, ONE world + ONE
+    biased pretrain, then TWO arms from identical initial conditions —
+
+    * ``adversarial`` — the full objective (adversarial_weight=1), and
+    * ``control`` — adversarial_weight=0: identical data, schedule,
+      contrastive term, optimizer, and best-NDKL selection; the ONLY
+      difference is that the adversary's gradient never reaches the prompts.
+
+    If the adversarial arm's NDKL reduction materially beats the control's
+    on every seed, the adversarial term — not clean-caption contrastive
+    fine-tuning — is the cause of the bias drop, which is the reference's
+    specific claim (README.md:148-157)."""
+    results: Dict = {"seeds": {}, "config": {
+        "n_train": n_train, "n_val": n_val, "pretrain_steps": pretrain_steps,
+        "epochs": epochs, "batch_size": batch_size, "eval_every": eval_every,
+        "topk": topk,
+    }}
+    for seed in seeds:
+        seed_root = os.path.join(root, f"seed{seed}")
+        world, params, cfg, val_ds = prepare_world(
+            seed_root, n_train=n_train, n_val=n_val,
+            pretrain_steps=pretrain_steps, batch_size=batch_size, seed=seed,
+            progress=progress)
+        arms = {}
+        for name, w in (("adversarial", 1.0), ("control", 0.0)):
+            if progress:
+                print(f"=== seed {seed} arm {name} (adv_weight={w}) ===")
+            arms[name] = run_arm(
+                world, params, cfg, val_ds,
+                ckpt_dir=os.path.join(seed_root, f"ckpt_{name}"),
+                epochs=epochs, batch_size=batch_size, eval_every=eval_every,
+                topk=topk, seed=seed, adversarial_weight=w,
+                progress=progress)
+        results["seeds"][seed] = arms
+        if progress:
+            a, c = arms["adversarial"], arms["control"]
+            print(f"seed {seed}: adversarial NDKL "
+                  f"{a['before']['ndkl_eq_opp']:.3f} → "
+                  f"{a['after']['ndkl_eq_opp']:.3f} "
+                  f"(drop {a['reduction']['ndkl_eq_opp']:.1%}) | control "
+                  f"{c['before']['ndkl_eq_opp']:.3f} → "
+                  f"{c['after']['ndkl_eq_opp']:.3f} "
+                  f"(drop {c['reduction']['ndkl_eq_opp']:.1%})")
+    return results
+
+
 def main(argv=None):
     import argparse
     import tempfile
@@ -469,15 +575,37 @@ def main(argv=None):
     ap.add_argument("--eval-every", type=int, default=8)
     ap.add_argument("--topk", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ablation", action="store_true",
+                    help="run the adversarial-vs-control causal experiment "
+                         "over --seeds instead of a single arm")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--adversarial-weight", type=float, default=None)
+    ap.add_argument("--json-out", default=None,
+                    help="also write the full record to this path")
     args = ap.parse_args(argv)
     root = args.root or tempfile.mkdtemp(prefix="efficacy_")
-    out = run_efficacy_experiment(
-        root, n_train=args.n_train, n_val=args.n_val,
-        pretrain_steps=args.pretrain_steps, epochs=args.epochs,
-        batch_size=args.batch_size, eval_every=args.eval_every,
-        topk=args.topk, seed=args.seed, progress=True)
-    print(json.dumps({k: out[k] for k in ("before", "after", "reduction")},
-                     indent=2))
+    if args.ablation:
+        out = run_ablation_experiment(
+            root, seeds=tuple(args.seeds), n_train=args.n_train,
+            n_val=args.n_val, pretrain_steps=args.pretrain_steps,
+            epochs=args.epochs, batch_size=args.batch_size,
+            eval_every=args.eval_every, topk=args.topk, progress=True)
+        printable = {
+            str(s): {arm: {k: rec[k] for k in ("before", "after", "reduction")}
+                     for arm, rec in arms.items()}
+            for s, arms in out["seeds"].items()}
+    else:
+        out = run_efficacy_experiment(
+            root, n_train=args.n_train, n_val=args.n_val,
+            pretrain_steps=args.pretrain_steps, epochs=args.epochs,
+            batch_size=args.batch_size, eval_every=args.eval_every,
+            topk=args.topk, seed=args.seed,
+            adversarial_weight=args.adversarial_weight, progress=True)
+        printable = {k: out[k] for k in ("before", "after", "reduction")}
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(printable, f, indent=2)
+    print(json.dumps(printable, indent=2))
 
 
 if __name__ == "__main__":

@@ -340,3 +340,111 @@ class TestInt8UnderMesh:
                                    compute_dtype="int8").embed_image_arrays(imgs)
         assert e_mesh.shape == (9, cfg.embed_dim)
         np.testing.assert_allclose(e_mesh, e_single, atol=1e-5)
+
+    def _tokens(self, cfg, rng, b):
+        v, ctx = cfg.text.vocab_size, cfg.text.context_length
+        t = np.zeros((b, ctx), np.int32)
+        t[:, 0] = v - 2
+        t[:, 1] = rng.integers(1, 100, b)
+        t[:, 2] = v - 1
+        return t
+
+    def test_dp_int8_text_encode_matches_single_device(self, tiny_clip):
+        """The int8-text rung (prompt-side quantization) under the mesh:
+        a DP-sharded QuantizedCLIP(quantize_text=True).encode_text must
+        equal the single-device int8 text embed (VERDICT r4 item 4)."""
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.ops.quant import QuantizedCLIP
+
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg),
+                               quantize_text=True)
+        rng = np.random.default_rng(6)
+        tokens = self._tokens(cfg, rng, 16)
+
+        single = np.asarray(qmodel.encode_text(jnp.asarray(tokens),
+                                               dtype=jnp.float32))
+
+        mesh = create_mesh()
+        q_repl = jax.device_put(qmodel, NamedSharding(mesh, P()))
+        tokens_s = jax.device_put(tokens, batch_sharding(mesh, 2))
+
+        @jax.jit
+        def embed(m, t):
+            return m.encode_text(t, dtype=jnp.float32)
+
+        sharded = np.asarray(embed(q_repl, tokens_s))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_dp_int8_text_debias_injection_matches_single_device(self,
+                                                                 tiny_clip):
+        """int8-text through the DEBIAS bundle (prompt injection in fp at
+        the embedding level, int8 resblocks after — ops/quant.py::
+        encode_text_q_debias) DP-sharded == single-device."""
+        from debias_vision_lang_tpu.core.config import DebiasConfig
+        from debias_vision_lang_tpu.models.debias import (DebiasCLIP,
+                                                          init_debias_tokens)
+        from debias_vision_lang_tpu.ops.quant import QuantizedCLIP
+
+        cfg, params = tiny_clip
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=cfg.text.width,
+                            max_tokens=cfg.text.context_length)
+        deb = init_debias_tokens(jax.random.key(9), params, dcfg)
+        bundle = DebiasCLIP(clip_params=params, debias_tokens=deb,
+                            clip_cfg=cfg, debias_cfg=dcfg)
+        qmodel = QuantizedCLIP(bundle, quantize_text=True)
+        rng = np.random.default_rng(7)
+        tokens = self._tokens(cfg, rng, 16)
+
+        single = np.asarray(qmodel.encode_text(jnp.asarray(tokens),
+                                               dtype=jnp.float32))
+        mesh = create_mesh()
+        q_repl = jax.device_put(qmodel, NamedSharding(mesh, P()))
+        tokens_s = jax.device_put(tokens, batch_sharding(mesh, 2))
+
+        @jax.jit
+        def embed(m, t):
+            return m.encode_text(t, dtype=jnp.float32)
+
+        sharded = np.asarray(embed(q_repl, tokens_s))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_tp_int8_towers_match_single_device(self, tiny_clip):
+        """TP-sharded int8 towers under a {data: 4, model: 2} mesh: the
+        quantized resblock weights Megatron-sharded (column/row-parallel
+        q+scale pairs, parallel/mesh.py::quantized_resblock_pspecs) must
+        reproduce the single-device int8 embeddings for BOTH towers
+        (VERDICT r4 item 4: 'a TP-sharded int8 tower')."""
+        from debias_vision_lang_tpu.models.loader import CLIP
+        from debias_vision_lang_tpu.ops.quant import QuantizedCLIP
+        from debias_vision_lang_tpu.parallel.mesh import shard_quantized_clip
+
+        cfg, params = tiny_clip
+        qmodel = QuantizedCLIP(CLIP(params=params, cfg=cfg),
+                               quantize_text=True)
+        rng = np.random.default_rng(8)
+        images = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+        tokens = self._tokens(cfg, rng, 16)
+
+        i_single = np.asarray(qmodel.encode_image(jnp.asarray(images),
+                                                  dtype=jnp.float32))
+        t_single = np.asarray(qmodel.encode_text(jnp.asarray(tokens),
+                                                 dtype=jnp.float32))
+
+        mesh = create_mesh((4, 2))
+        q_tp = shard_quantized_clip(qmodel, mesh)
+        images_s = jax.device_put(images, NamedSharding(mesh, P(DATA_AXIS)))
+        tokens_s = jax.device_put(tokens, NamedSharding(mesh, P(DATA_AXIS)))
+
+        @jax.jit
+        def embed_i(m, x):
+            return m.encode_image(x, dtype=jnp.float32)
+
+        @jax.jit
+        def embed_t(m, t):
+            return m.encode_text(t, dtype=jnp.float32)
+
+        np.testing.assert_allclose(np.asarray(embed_i(q_tp, images_s)),
+                                   i_single, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(embed_t(q_tp, tokens_s)),
+                                   t_single, atol=1e-5)
