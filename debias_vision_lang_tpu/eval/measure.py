@@ -241,7 +241,8 @@ def measure_bias(
         # as a flaw; we don't reproduce that
         known = {f.name for f in dataclasses.fields(EvalConfig)} | {
             "dataset", "mode", "n_samples", "equal_split", "data_path",
-            "num_frames", "mesh", "sharded_metrics", "cache_embeddings"}
+            "num_frames", "mesh", "sharded_metrics", "cache_embeddings",
+            "prompts"}
         unknown = set(extra) - known
         if unknown:
             raise ValueError(
@@ -377,7 +378,12 @@ def measure_bias(
                          embeddings=np.asarray(img_embs), cache_key=cache_key)
             os.replace(tmp, cache_path)
 
-    prompts = gen_prompts()
+    # custom prompt battery via opts["prompts"] (default: the reference's
+    # 319 generated prompts).  The reference hardcodes gen_prompts()
+    # (measuring_bias.py:144); a live opts key lets callers measure bias
+    # over their own sensitive set — e.g. the trainer-efficacy world's
+    # adjective prompts — through this exact entry point.
+    prompts = extra.get("prompts") or gen_prompts()
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)
 
     if extra.get("sharded_metrics") and mesh is not None:
