@@ -51,10 +51,11 @@ def _add_measure(sub):
                         "1.0 = whole set) — matches resolve_topn semantics")
     p.add_argument("--batch-size", default=256, type=int)
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
-    p.add_argument("--dtype", default="float32",
+    p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16", "int8", "int8-text", "auto"],
-                   help="embedding precision: float32 = reference parity, "
-                        "bfloat16/int8 = TPU speed paths (rank-stable)")
+                   help="embedding precision: float32 = reference parity "
+                        "(the default, with a hint on TPU), bfloat16/int8/"
+                        "auto = TPU speed paths (rank-stable)")
     p.add_argument("--random-weights", action="store_true",
                    help="skip pretrained weight resolution")
     p.add_argument("--mesh", default=None, choices=[None, "auto"],
@@ -95,8 +96,9 @@ def _cmd_measure(args):
         sys.exit("No BPE vocab available: run `... cli download bpe` first")
     opts = {"topn": args.topn, "batch_size": args.batch_size,
             "engine": args.engine, "dataset": args.dataset,
-            "data_path": args.data_path, "dtype": args.dtype,
-            "progress": True}
+            "data_path": args.data_path, "progress": True}
+    if args.dtype is not None:  # omission → measure_bias's fp32-on-TPU hint
+        opts["dtype"] = args.dtype
     if args.mesh:
         opts["mesh"] = args.mesh
     if args.sharded_metrics:
@@ -195,11 +197,12 @@ def _add_zero_shot(sub):
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--imagenet-protocol", action="store_true",
                    help="use the full 80-template OpenAI ImageNet protocol")
-    p.add_argument("--dtype", default="float32",
+    p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16", "int8", "int8-text", "auto"],
-                   help="vision-tower precision (int8 = quantized, fastest; "
-                        "int8-text also runs the classifier text encodes "
-                        "int8)")
+                   help="vision-tower precision (default float32 = reference "
+                        "parity, with a hint on TPU; int8 = quantized, "
+                        "fastest; int8-text also runs the classifier text "
+                        "encodes int8)")
 
 
 def _cmd_zero_shot(args):

@@ -235,6 +235,14 @@ def measure_bias(
     enable_compilation_cache()
     cfg = _resolve_opts(opts)
     extra = dict(opts) if isinstance(opts, (dict, Dotdict)) else {}
+    # dtype absent from the caller's opts = the float32 default chose
+    # itself; on a TPU that deserves a one-line pointer at the ladder
+    # (explicit "float32" stays silent — see hint_implicit_fp32)
+    from ..ops.quant import hint_implicit_fp32
+
+    if opts is None or (isinstance(opts, (dict, Dotdict))
+                        and "dtype" not in opts):
+        hint_implicit_fp32("measure_bias")
     if extra:
         # fail loudly on typo'd opt keys — the reference swallows unknown
         # kwargs via **_kwargs (measuring_bias.py:104), which it documents

@@ -10,7 +10,7 @@ with top-k accuracy, sharded over the data mesh like the bias pipeline.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -97,17 +97,23 @@ def zero_shot_accuracy(
     n_px: int = 224,
     mesh=None,
     progress: bool = False,
-    dtype: str = "float32",
+    dtype: Optional[str] = None,
 ) -> Dict[str, float]:
     """Top-1/top-5 zero-shot accuracy over a HostLoader of labeled images.
 
     ``dtype``: "float32" | "bfloat16" | "int8" (quantized vision tower —
     the classifier builds at full precision) | "int8-text" (the classifier
     text encodes also run the int8 text tower) | "auto" (fastest measured
-    rung per model family — ops/quant.py::resolve_rung)."""
+    rung per model family — ops/quant.py::resolve_rung).  ``None`` (the
+    default) runs float32 — reference parity — with a one-line hint at the
+    ladder when that default picks itself on a TPU backend."""
     from ..vision.preprocess import preprocess_batch
 
-    from ..ops.quant import resolve_compute
+    from ..ops.quant import hint_implicit_fp32, resolve_compute
+
+    if dtype is None:
+        dtype = "float32"
+        hint_implicit_fp32("zero_shot_accuracy")
 
     # resolve the ladder FIRST so "int8-text" reaches the classifier build;
     # for plain "int8" the wrapped bundle delegates text to the fp base, so

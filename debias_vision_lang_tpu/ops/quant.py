@@ -710,6 +710,29 @@ def resolve_rung(model, dtype: str) -> str:
     return "bfloat16" if kind in (None, "resnet") else "int8"
 
 
+def hint_implicit_fp32(entry: str) -> None:
+    """One-line, once-per-message hint when an eval entry point runs at its
+    float32 DEFAULT on a TPU backend.
+
+    Decision (documented in docs/API.md "Precision ladder"): the default
+    STAYS ``"float32"`` — bit-comparable reference-parity metrics are the
+    product contract (SURVEY.md §6 build target), and flipping the default
+    would silently change users' recorded numbers — but fp32-by-omission
+    on a TPU leaves the measured 1.4–6× ladder (PERF.md) on the table, so
+    the *implicit* case gets a pointer.  An explicit ``dtype="float32"``
+    stays silent.
+    """
+    if jax.default_backend() != "tpu":
+        return
+    import warnings
+
+    warnings.warn(
+        f"{entry}: dtype defaulted to float32 (reference parity). On this "
+        "TPU, dtype='auto' picks the fastest measured rung per model family "
+        "(1.4-6x faster, rank-stable - PERF.md precision ladder).",
+        stacklevel=3)
+
+
 def resolve_compute(model, dtype: str):
     """Resolve a user-facing precision string to ``(model, compute_dtype)``.
 

@@ -681,3 +681,48 @@ class TestResolveComputeAuto:
             warnings.simplefilter("error")
             model, _ = resolve_compute(self._vit_bundle(tiny_clip), "int8")
         assert isinstance(model, QuantizedCLIP)
+
+
+class TestImplicitFp32Hint:
+    """The fp32-default decision (docs/API.md "Precision ladder"): the
+    default stays float32 for reference parity, but choosing itself on a
+    TPU backend emits a one-line pointer at the measured ladder.  Explicit
+    dtype="float32" must stay silent everywhere."""
+
+    def test_hints_on_tpu_backend(self, monkeypatch):
+        from debias_vision_lang_tpu.ops import quant
+
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "tpu")
+        with pytest.warns(UserWarning, match="dtype='auto'"):
+            quant.hint_implicit_fp32("measure_bias")
+
+    def test_silent_off_tpu(self, monkeypatch):
+        import warnings
+
+        from debias_vision_lang_tpu.ops import quant
+
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "cpu")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            quant.hint_implicit_fp32("measure_bias")
+
+    def test_measure_bias_gate_is_omission_not_value(self, monkeypatch):
+        """measure_bias hints iff 'dtype' is absent from opts — an explicit
+        "float32" is the user's choice.  Exercised through the real entry
+        point up to (and only up to) the opts-validation layer: a typo'd
+        opt aborts the call right after the hint gate, so no dataset or
+        model is needed."""
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.ops import quant
+
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "tpu")
+        with pytest.warns(UserWarning, match="dtype='auto'"):
+            with pytest.raises(ValueError, match="unknown measure_bias"):
+                measure_bias(None, None, None, opts={"bogus_opt": 1})
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            with pytest.raises(ValueError, match="unknown measure_bias"):
+                measure_bias(None, None, None,
+                             opts={"dtype": "float32", "bogus_opt": 1})
