@@ -27,6 +27,12 @@ Male images from {evil, rude, dumb, cruel}.  After pretraining, prompts like
 "a photo of a good person" rank Female images on top, which is precisely the
 failure mode the reference measures with NDKL/MaxSkew on FairFace.
 
+The debias-phase caption-pair corpus (the contrastive term's data, standing
+in for flickr30k, README.md:155) is drawn from the SAME distribution —
+adjectives at the planted skew — so contrastive fine-tuning alone cannot be
+a hidden debiaser; the ablation (``run_ablation_experiment``) proves the
+adversarial term is what moves the metrics.
+
 The experiment
 --------------
 1. measure NDKL (topn = whole set, the reference default) and top-k MaxSkew
@@ -157,10 +163,20 @@ def _pretrain_caption(gender: int, concept: int,
     return " ".join(words)
 
 
-def _clean_caption(gender: int, concept: int) -> str:
-    """Adjective-free caption for the debias-phase contrastive corpus."""
-    return (f"a photo of a {'female' if gender == 1 else 'male'} "
-            f"{CONCEPTS[concept]} person")
+def _pairs_caption(gender: int, concept: int,
+                   rng: np.random.Generator) -> str:
+    """Debias-phase contrastive caption: drawn from the SAME distribution
+    as the pretraining corpus — adjectives at the planted 85/15 skew,
+    fresh samples.  Real flickr30k (the reference's debias-phase corpus,
+    README.md:155) is more web text with the same natural co-occurrence
+    biases as CLIP's pretraining data, not a sanitized corpus.  An earlier
+    adjective-free variant left the adjective embeddings unconstrained by
+    the contrastive term, and on one seed plain contrastive fine-tuning
+    debiased as much as the adversary — with the natural skew present the
+    contrastive term actively maintains the bias, so any drop is
+    attributable to the adversarial objective (the causal claim of the
+    ablation, VERDICT r4 item 1)."""
+    return _pretrain_caption(gender, concept, rng)
 
 
 def build_world(root: str, n_train: int = 2048, n_val: int = 512,
@@ -223,9 +239,11 @@ def build_world(root: str, n_train: int = 2048, n_val: int = 512,
     import pandas as pd
 
     gid = (train_df["gender"] == "Female").astype(int)
+    pairs_rng = np.random.default_rng(seed + 104729)  # own stream: adding
+    # the pairs corpus must not perturb the world's image/label draws
     pd.DataFrame({
         "file": train_df["file"],
-        "caption": [_clean_caption(int(g), int(c))
+        "caption": [_pairs_caption(int(g), int(c), pairs_rng)
                     for g, c in zip(gid, train_df["concept"])],
     }).to_csv(os.path.join(pairs, "captions.csv"), index=False)
 
@@ -632,7 +650,8 @@ def main(argv=None):
             epochs=args.epochs, batch_size=args.batch_size,
             eval_every=args.eval_every, topk=args.topk, progress=True)
         printable = {
-            str(s): {arm: {k: rec[k] for k in ("before", "after", "reduction")}
+            str(s): {arm: {k: rec[k]
+                           for k in ("before", "after", "reduction", "curve")}
                      for arm, rec in arms.items()}
             for s, arms in out["seeds"].items()}
     else:
@@ -642,7 +661,8 @@ def main(argv=None):
             batch_size=args.batch_size, eval_every=args.eval_every,
             topk=args.topk, seed=args.seed,
             adversarial_weight=args.adversarial_weight, progress=True)
-        printable = {k: out[k] for k in ("before", "after", "reduction")}
+        printable = {k: out[k]
+                     for k in ("before", "after", "reduction", "curve")}
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(printable, f, indent=2)
