@@ -77,7 +77,7 @@ def steady_state_ms(log_path: str) -> float:
 
 
 def run_rung(name: str, world, root: str, n_train: int, epochs: int,
-             batch: int, eval_every: int) -> dict:
+             batch: int, eval_every: int, embed_cache: bool = True) -> dict:
     import torch
 
     from debias_vision_lang_tpu.core.config import TrainConfig
@@ -103,7 +103,8 @@ def run_rung(name: str, world, root: str, n_train: int, epochs: int,
         train_cfg=TrainConfig(
             batch_size=batch, num_epochs=epochs, eval_every_steps=eval_every,
             checkpoint_dir=ckpt, embed_dtype=embed_dtype,
-            train_dtype=train_dtype),
+            train_dtype=train_dtype,
+            cache_frozen_embeddings=embed_cache),
         checkpoint_dir=ckpt,
         progress=True,
         seed=0,
@@ -123,6 +124,7 @@ def run_rung(name: str, world, root: str, n_train: int, epochs: int,
     step_ms = steady_state_ms(os.path.join(ckpt, "logs", "metrics.jsonl"))
     rec = {
         "rung": name, "embed_dtype": embed_dtype, "train_dtype": train_dtype,
+        "embed_cache": bool(summary["embed_cache"]),
         "steps": steps, "epochs": epochs, "batch": batch,
         "wall_s": round(wall, 1),
         "e2e_img_per_s": round(steps * batch / wall, 1),
@@ -145,6 +147,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--eval-every", type=int, default=4)
+    ap.add_argument("--no-embed-cache", action="store_true",
+                    help="disable the frozen-embedding cache "
+                         "(TrainConfig.cache_frozen_embeddings) for A/B")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
 
@@ -169,7 +174,8 @@ def main(argv=None):
         print("world reused")
 
     out = [run_rung(name, world, args.root, args.n_train, args.epochs,
-                    args.batch, args.eval_every)
+                    args.batch, args.eval_every,
+                    embed_cache=not args.no_embed_cache)
            for name in args.rungs.split(",")]
     print(json.dumps(out, indent=2))
     if args.json_out:

@@ -241,6 +241,21 @@ class TrainConfig:
     # even at batch 32 (measured 16.8 G > 15.75 G HBM; benchmarks/
     # train_approx.py).  The frozen no-gradient embed passes never need it.
     remat_image_tower: bool = True
+    # Frozen-tower embedding cache for the TRAINING stream (run_training):
+    # in frozen-image configs (prompt-only and text-layers-only — the
+    # reference's entire protocol, README.md:148-157) every epoch re-decodes
+    # and re-embeds the SAME images through the SAME frozen tower.  With the
+    # cache, both the attribute batch and the caption corpus embed exactly
+    # once (one pass at embed_dtype) and epochs train from gathered
+    # embedding rows — the per-step host ingest and frozen tower passes
+    # disappear.  Batch sequences and arithmetic are unchanged (the cached
+    # rows are the same jitted embed program's outputs; equivalence pinned
+    # in tests/test_train.py), so this is a pure-speed knob.  Host memory:
+    # (n_train + n_pairs) × embed_dim × 4 bytes (fp32 rows — ~178 MB at
+    # full-FairFace scale).  Automatically inactive when image-path params
+    # train (vid layers / unfrozen projections — the embeddings would go
+    # stale; that includes every approx_frozen_scores config).
+    cache_frozen_embeddings: bool = True
 
 
 _UPPER_KEYS = {

@@ -106,9 +106,14 @@ class HostLoader:
 
         return native.available()
 
-    def __iter__(self) -> Iterator[Batch]:
+    def _epoch_plan(self):
+        """One epoch's (order, bounds): a fresh permutation when shuffling
+        (advances the loader rng exactly once per epoch), plus the batch
+        boundary list after drop_remainder filtering.  Single source of the
+        iteration order for BOTH the decode iterator (__iter__) and the
+        index iterator (iter_index_batches) — the frozen-embedding cache
+        relies on the two producing identical sequences for a given seed."""
         n = len(self.dataset)
-        # fresh permutation each epoch when shuffling (training mode)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         bounds = [
             (s, min(s + self.batch_size, n))
@@ -116,6 +121,28 @@ class HostLoader:
         ]
         if self.drop_remainder:
             bounds = [(s, e) for s, e in bounds if e - s == self.batch_size]
+        return order, bounds
+
+    def iter_index_batches(self) -> Iterator[Batch]:
+        """One epoch of Batch tuples whose ``images`` field holds ROW INDICES
+        (int64 [B]) instead of decoded pixels — the training loop's
+        frozen-embedding cache gathers precomputed embedding rows with them.
+        Same order, batching, padding and labels as __iter__ would produce
+        this epoch (padding indices are 0; ``num_valid`` masks them)."""
+        order, bounds = self._epoch_plan()
+        for s, e in bounds:
+            idx = order[s:e].astype(np.int64)
+            labels = np.asarray(
+                [self.dataset.iat_labels[int(i)] for i in idx], np.int32)
+            num_valid = e - s
+            if num_valid < self.batch_size:
+                pad = self.batch_size - num_valid
+                idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+            yield Batch(idx, labels, num_valid)
+
+    def __iter__(self) -> Iterator[Batch]:
+        order, bounds = self._epoch_plan()
         if not bounds:
             return
         if self._native_active():

@@ -82,6 +82,46 @@ class ImageCaptionPairs:
     def caption(self, index: int) -> str:
         return str(self.captions.iloc[index]["caption"])
 
+    def index_batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_remainder: bool = True,
+    ) -> Iterator[np.ndarray]:
+        """One pass of row-index batches in shuffled order (one rng draw per
+        pass).  ``batches`` below decodes these; the training loop's
+        frozen-embedding cache gathers precomputed rows with them — both
+        consume the SAME sequence for a given rng state."""
+        order = np.arange(len(self))
+        if rng is not None:
+            rng.shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            if drop_remainder and len(idx) < batch_size:
+                return
+            yield idx
+
+    def load_batch(
+        self, idx: np.ndarray, tokenizer: Callable
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode + tokenize the given rows: (images_u8 [B,H,W,3],
+        tokens [B,ctx])."""
+        from .. import native
+
+        if self.image_size is not None and native.available():
+            paths = [self._path(int(i)) for i in idx]
+            images, ok = native.ingest_batch_files_u8(paths, self.image_size)
+            if not ok.all():  # corrupt/exotic entries: per-image fallback
+                # straight to PIL — the native decode just failed for
+                # these very files, re-running it would fail identically
+                for j in np.nonzero(~ok)[0]:
+                    images[j] = self._load_image_pil(int(idx[j]))
+        else:
+            images = np.stack([self.load_image(int(i)) for i in idx])
+        tokens = np.asarray(
+            tokenizer([self.caption(int(i)) for i in idx]), np.int32)
+        return images, tokens
+
     def batches(
         self,
         tokenizer: Callable,
@@ -90,27 +130,5 @@ class ImageCaptionPairs:
         drop_remainder: bool = True,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yields (images_u8 [B,H,W,3], tokens [B,77]) in shuffled order."""
-        order = np.arange(len(self))
-        if rng is not None:
-            rng.shuffle(order)
-        from .. import native
-
-        batch_native = self.image_size is not None and native.available()
-        for s in range(0, len(order), batch_size):
-            idx = order[s : s + batch_size]
-            if drop_remainder and len(idx) < batch_size:
-                return
-            if batch_native:
-                paths = [self._path(int(i)) for i in idx]
-                images, ok = native.ingest_batch_files_u8(paths,
-                                                          self.image_size)
-                if not ok.all():  # corrupt/exotic entries: per-image fallback
-                    # straight to PIL — the native decode just failed for
-                    # these very files, re-running it would fail identically
-                    for j in np.nonzero(~ok)[0]:
-                        images[j] = self._load_image_pil(int(idx[j]))
-            else:
-                images = np.stack([self.load_image(int(i)) for i in idx])
-            tokens = np.asarray(
-                tokenizer([self.caption(int(i)) for i in idx]), np.int32)
-            yield images, tokens
+        for idx in self.index_batches(batch_size, rng, drop_remainder):
+            yield self.load_batch(idx, tokenizer)

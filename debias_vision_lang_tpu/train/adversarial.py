@@ -555,6 +555,36 @@ class AdversarialTrainer:
         needs_cap_embs = self.grad_mask is None or not self.trains_image
         cap_embs = (self.fns.embed_images(cp, self._shard(caption_images))
                     if needs_cap_embs else None)
+        return self._finish_step(cp, image_embs, cap_embs, attr_labels,
+                                 images, caption_images, caption_tokens)
+
+    def step_from_embeddings(self, image_embs, attr_labels,
+                             caption_image_embs, caption_tokens) -> Dict:
+        """One outer step from PRECOMPUTED frozen-tower embeddings (the
+        training loop's embedding cache, TrainConfig.cache_frozen_embeddings):
+        identical update arithmetic to ``step`` — the embeddings are the
+        same jitted embed program's outputs, gathered instead of recomputed.
+        Frozen-image configs only: with trainable image-path params the
+        cached rows would go stale after the first update."""
+        if self.trains_image:
+            raise ValueError(
+                "step_from_embeddings requires a frozen image path "
+                "(n_train_vid_layers=0 and freeze_proj=True) — this config "
+                "trains image-path params, so cached embeddings would be "
+                "stale; use step(images, ...) instead")
+        cp = self.model.clip_params
+        return self._finish_step(
+            cp, self._shard(jnp.asarray(image_embs, jnp.float32)),
+            self._shard(jnp.asarray(caption_image_embs, jnp.float32)),
+            attr_labels, None, None, caption_tokens)
+
+    def _finish_step(self, cp, image_embs, cap_embs, attr_labels,
+                     images, caption_images, caption_tokens) -> Dict:
+        """Shared tail of step / step_from_embeddings: adversary cadence,
+        then the config-selected prompt update.  ``images`` /
+        ``caption_images`` (raw pixels) are only consumed by the
+        with-layers / approx branches, which are unreachable from
+        step_from_embeddings (trains_image guard)."""
         labels = self._shard(np.asarray(attr_labels, np.float32))
 
         adv_loss = None
@@ -593,6 +623,7 @@ class AdversarialTrainer:
                 labels, self._shard(caption_images), cap_tok)
         elif self.grad_mask is not None:
             # raw images go in: the step embeds them differentiably
+            # (unreachable from step_from_embeddings — trains_image guard)
             (self.model.debias_tokens, self.model.clip_params,
              self.prompt_opt_state, metrics) = self.fns.prompt_step_with_layers(
                 cp, self.model.debias_tokens, self.prompt_opt_state,

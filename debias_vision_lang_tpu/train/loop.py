@@ -11,6 +11,12 @@ When no caption corpus is available, batch B falls back to FairFace images
 with captions synthesized from their label rows ("a photo of a {age} year
 old {race} {gender}") — a documented stand-in that preserves image–text
 alignment pressure without an external dataset.
+
+Frozen-image configs (the reference protocol) train through the
+frozen-embedding cache by default: both image streams embed exactly once
+and epochs gather precomputed rows (TrainConfig.cache_frozen_embeddings;
+bit-identical trajectories, ~15× steady-step speedup on TPU — PERF.md
+"Device end-to-end training").
 """
 
 from __future__ import annotations
@@ -114,6 +120,7 @@ def run_training(
     warmup_steps: int = 0,
     decay_steps: Optional[int] = None,
     grad_clip_norm: Optional[float] = None,
+    cache_frozen_embeddings: bool = True,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -195,6 +202,8 @@ def run_training(
             overrides["decay_steps"] = decay_steps
         if grad_clip_norm is not None:
             overrides["grad_clip_norm"] = grad_clip_norm
+        if not cache_frozen_embeddings:
+            overrides["cache_frozen_embeddings"] = False
         if overrides:
             tcfg = dataclasses.replace(tcfg, **overrides)
     else:
@@ -208,7 +217,8 @@ def run_training(
                            lr_schedule=lr_schedule,
                            warmup_steps=warmup_steps,
                            decay_steps=decay_steps,
-                           grad_clip_norm=grad_clip_norm)
+                           grad_clip_norm=grad_clip_norm,
+                           cache_frozen_embeddings=cache_frozen_embeddings)
     # the loop below drives off the LOCALS — resolve them from the config so
     # a provided train_cfg's num_epochs/batch_size/eval_every_steps are
     # honored instead of silently losing to the kwarg defaults (explicit
@@ -253,8 +263,6 @@ def run_training(
                       _n_samples=eval_n_samples)
     loader = HostLoader(train_ds, batch_size=batch_size, drop_remainder=True,
                         shuffle=True, seed=seed, native_n_px=n_px)
-    caption_iter = _caption_batches(pairs_path, tokenizer, batch_size, train_ds,
-                                    n_px, rng)
     logger = MetricsLogger(log_dir or os.path.join(checkpoint_dir, "logs"))
 
     import jax.numpy as jnp
@@ -265,6 +273,96 @@ def run_training(
     @jax.jit
     def prep(images_u8):
         return preprocess_batch(images_u8, n_px, **_stats)
+
+    # Frozen-tower embedding cache (TrainConfig.cache_frozen_embeddings):
+    # with a frozen image path, every epoch re-decodes and re-embeds the
+    # SAME rows — instead, embed the train rows and the caption corpus ONCE
+    # (same jitted embed program, same per-row outputs) and train epochs
+    # from gathered embedding rows via trainer.step_from_embeddings.  Batch
+    # sequences are identical to the decode path by construction: the index
+    # iterators share the decode iterators' rng and order logic
+    # (HostLoader._epoch_plan, ImageCaptionPairs.index_batches).
+    cache_embs = (bool(getattr(tcfg, "cache_frozen_embeddings", True))
+                  and not trainer.trains_image)
+
+    def _embed_rows(images_u8) -> np.ndarray:
+        e = trainer.fns.embed_images(
+            trainer.model.clip_params,
+            trainer._shard(prep(jnp.asarray(images_u8))))
+        return np.asarray(e, np.float32)
+
+    if cache_embs:
+        # attribute rows in dataset order (fresh unshuffled loader — the
+        # training loader's rng must only advance once per training epoch)
+        src = HostLoader(train_ds, batch_size=batch_size,
+                         drop_remainder=False, shuffle=False,
+                         native_n_px=n_px)
+        if progress:
+            import tqdm
+
+            src = tqdm.tqdm(src, desc="embed cache: train rows")
+        rows, seen = [], 0
+        for b in src:
+            rows.append(_embed_rows(b.images)[: b.num_valid])
+            seen += b.num_valid
+        train_embs = np.concatenate(rows, axis=0)
+        assert seen == len(train_ds)
+
+        if pairs_path is not None:
+            from ..data.pairs import ImageCaptionPairs
+
+            cap_ds = ImageCaptionPairs(pairs_path, image_size=n_px)
+            if len(cap_ds) < batch_size:
+                raise ValueError(
+                    f"caption corpus at {pairs_path} has {len(cap_ds)} "
+                    f"pairs, fewer than batch_size={batch_size}; shrink "
+                    "the batch or grow the corpus")
+            emb_rows, tok_rows = [], []
+            starts = range(0, len(cap_ds), batch_size)
+            if progress:
+                import tqdm
+
+                starts = tqdm.tqdm(starts, desc="embed cache: caption rows")
+            for s in starts:
+                idx = np.arange(s, min(s + batch_size, len(cap_ds)))
+                images, tokens = cap_ds.load_batch(idx, tokenizer)
+                if len(idx) < batch_size:  # pad: keep one compiled shape
+                    pad = batch_size - len(idx)
+                    images = np.concatenate(
+                        [images, np.zeros((pad,) + images.shape[1:],
+                                          images.dtype)])
+                emb_rows.append(_embed_rows(images)[: len(idx)])
+                tok_rows.append(np.asarray(tokens, np.int32))
+            cap_embs_all = np.concatenate(emb_rows, axis=0)
+            cap_tokens_all = np.concatenate(tok_rows, axis=0)
+
+            def _cap_index_stream():
+                while True:  # one rng shuffle per pass, like ds.batches
+                    yield from cap_ds.index_batches(batch_size, rng)
+        else:
+            # FairFace caption fallback: same images as the attribute rows
+            # (identical decode path) — reuse their embeddings; only the
+            # synthesized captions are new
+            if len(train_ds) < batch_size:
+                raise ValueError(
+                    f"FairFace caption fallback has {len(train_ds)} rows, "
+                    f"fewer than batch_size={batch_size}; shrink the batch")
+            cap_embs_all = train_embs
+            cap_tokens_all = np.asarray(
+                tokenizer([_fairface_caption(train_ds.labels.iloc[i])
+                           for i in range(len(train_ds))]), np.int32)
+
+            def _cap_index_stream():
+                n = len(train_ds)
+                while True:  # mirrors _caption_batches' fallback order
+                    idx = rng.permutation(n)
+                    for s in range(0, n - batch_size + 1, batch_size):
+                        yield idx[s : s + batch_size]
+
+        caption_idx_iter = _cap_index_stream()
+    else:
+        caption_iter = _caption_batches(pairs_path, tokenizer, batch_size,
+                                        train_ds, n_px, rng)
 
     _eval_cache: dict = {}
 
@@ -285,22 +383,33 @@ def run_training(
         out = eval_ranking(labels, img_embs, prompt_embs, "ndkl", topn=1.0)
         return float(out["eq_opp"])
 
-    it = loader
     for epoch in range(start_epoch, epochs):
+        it = loader.iter_index_batches() if cache_embs else loader
         if progress:
             import tqdm
 
-            it = tqdm.tqdm(loader, desc=f"epoch {epoch}")
+            it = tqdm.tqdm(it, total=len(loader), desc=f"epoch {epoch}")
         for batch in it:
             if trainer.step_count >= total_steps:
                 break  # recipe complete (mid-epoch resume re-entry)
-            cap_images, cap_tokens = next(caption_iter)
-            metrics = trainer.step(
-                prep(jnp.asarray(batch.images)),
-                batch.labels.astype(np.float32),
-                prep(jnp.asarray(cap_images)),
-                cap_tokens,
-            )
+            if cache_embs:
+                # batch.images holds ROW INDICES (iter_index_batches) —
+                # gather the precomputed embedding rows, no decode/embed
+                cap_idx = next(caption_idx_iter)
+                metrics = trainer.step_from_embeddings(
+                    train_embs[batch.images],
+                    batch.labels.astype(np.float32),
+                    cap_embs_all[cap_idx],
+                    cap_tokens_all[cap_idx],
+                )
+            else:
+                cap_images, cap_tokens = next(caption_iter)
+                metrics = trainer.step(
+                    prep(jnp.asarray(batch.images)),
+                    batch.labels.astype(np.float32),
+                    prep(jnp.asarray(cap_images)),
+                    cap_tokens,
+                )
             logger.log(metrics, step=trainer.step_count)
             if eval_every and trainer.step_count % eval_every == 0:
                 ndkl = evaluate_ndkl()
@@ -322,4 +431,7 @@ def run_training(
         "steps": trainer.step_count,
         "export": pt_path,
         "checkpoint_dir": checkpoint_dir,
+        # True when the frozen-tower embedding cache carried the epochs
+        # (TrainConfig.cache_frozen_embeddings ∧ frozen image path)
+        "embed_cache": cache_embs,
     }

@@ -167,6 +167,125 @@ class TestRunTraining:
         assert tuple(t.shape) == (2, 32)
 
 
+class TestEmbedCache:
+    """TrainConfig.cache_frozen_embeddings: frozen-image configs embed the
+    train rows + caption corpus ONCE and train epochs from gathered rows.
+    The contract is bit-identical trajectories vs the decode path (same
+    batch index sequences by construction, same jitted embed program per
+    row) — load-bearing: the shipped efficacy record was measured through
+    the decode path and must stay valid under the default-on cache."""
+
+    @pytest.fixture(scope="class")
+    def pairs_root(self, ff_root, tmp_path_factory):
+        """A caption-pair corpus over ff_root's images (the pairs branch is
+        the efficacy experiment's path — it must be equivalence-covered)."""
+        root = tmp_path_factory.mktemp("pairs")
+        os.symlink(os.path.join(ff_root, "imgs", "train_val"),
+                   root / "images")
+        pd.DataFrame({
+            "file": [f"x/{i}.jpg" for i in range(16)],
+            "caption": [f"a photo number {i}" for i in range(16)],
+        }).to_csv(root / "captions.csv", index=False)
+        return str(root)
+
+    def _run(self, ff_root, ckpt_dir, cached, pairs_path=None, epochs=2):
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        return run_training(
+            model=tiny_model(),
+            tokenizer=tok,
+            attribute="gender",
+            data_path=ff_root,
+            pairs_path=pairs_path,
+            checkpoint_dir=ckpt_dir,
+            eval_every=1,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False,
+            progress=False,
+            train_cfg=TrainConfig(batch_size=8, num_epochs=epochs,
+                                  eval_every_steps=1,
+                                  cache_frozen_embeddings=cached),
+        )
+
+    @pytest.mark.parametrize("use_pairs", [False, True],
+                             ids=["fairface-fallback", "pairs-corpus"])
+    def test_cached_equals_decode_path(self, ff_root, pairs_root, tmp_path,
+                                       use_pairs):
+        import torch
+
+        runs = {}
+        for cached in (True, False):
+            res = self._run(ff_root, str(tmp_path / f"c{cached}_{use_pairs}"),
+                            cached,
+                            pairs_path=pairs_root if use_pairs else None)
+            assert res["embed_cache"] is cached
+            export = torch.load(res["export"], map_location="cpu",
+                                weights_only=True).numpy()
+            log = os.path.join(res["checkpoint_dir"], "logs",
+                               "metrics.jsonl")
+            losses = [l["loss"] for l in map(json.loads, open(log))
+                      if "loss" in l]
+            runs[cached] = (res, export, losses)
+
+        (a, ea, la), (b, eb, lb) = runs[True], runs[False]
+        assert a["steps"] == b["steps"] == 4  # 2 epochs × (16 imgs / 8)
+        # same batch sequences + same arithmetic → identical step losses,
+        # identical selection, identical exported prompt array
+        np.testing.assert_array_equal(la, lb)
+        assert a["best_ndkl"] == b["best_ndkl"]
+        np.testing.assert_array_equal(ea, eb)
+
+    def test_cache_auto_disabled_when_image_path_trains(self, ff_root,
+                                                        tmp_path):
+        """Unfrozen projections (trains_image) must bypass the cache even
+        with the config flag on — stale embeddings would corrupt training."""
+        from debias_vision_lang_tpu.train.loop import run_training
+
+        model = tiny_model()
+        model.debias_cfg = DebiasConfig(
+            num_debias_tokens=2, hidden_dim=32, max_tokens=CTX,
+            freeze_proj=False)
+        res = run_training(
+            model=model,
+            tokenizer=tok,
+            attribute="gender",
+            data_path=ff_root,
+            checkpoint_dir=str(tmp_path / "ckpt_layers"),
+            eval_every=2,
+            eval_n_samples=None,
+            sensitive_prompts=["a good person", "a bad person"],
+            use_pallas=False,
+            progress=False,
+            train_cfg=TrainConfig(batch_size=8, num_epochs=1,
+                                  eval_every_steps=2,
+                                  cache_frozen_embeddings=True),
+        )
+        assert res["embed_cache"] is False
+        assert np.isfinite(res["best_ndkl"])
+
+    def test_step_from_embeddings_guard(self, ff_root):
+        """Direct trainer API: step_from_embeddings refuses image-training
+        configs loudly instead of silently training on stale rows."""
+        from debias_vision_lang_tpu.models.adversary import Adversary
+        from debias_vision_lang_tpu.train.adversarial import AdversarialTrainer
+
+        model = tiny_model()
+        model.debias_cfg = DebiasConfig(
+            num_debias_tokens=2, hidden_dim=32, max_tokens=CTX,
+            freeze_proj=False)
+        adv = Adversary.from_cfg({"ADV_N_INPUT": 2, "ADV_N_OUTPUT": 1,
+                                  "ADV_HIDDEN_SIZE": 8, "SEED": 0})
+        trainer = AdversarialTrainer.create(
+            model, adv, TrainConfig(batch_size=4, num_epochs=1),
+            tok(["a good person", "a bad person"]), use_pallas=False)
+        assert trainer.trains_image
+        with pytest.raises(ValueError, match="frozen image path"):
+            trainer.step_from_embeddings(
+                np.zeros((4, 16), np.float32), np.zeros(4, np.float32),
+                np.zeros((4, 16), np.float32), tok(["a"] * 4))
+
+
 class TestLoopFixes:
     def test_slash_alias_and_eval_every_zero(self, ff_root, tmp_path):
         """A passed-in model whose cfg name contains '/' (e.g. 'ViT-B/16')
