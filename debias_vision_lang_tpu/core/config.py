@@ -250,7 +250,8 @@ class TrainConfig:
     # embedding rows — the per-step host ingest and frozen tower passes
     # disappear.  Batch sequences and arithmetic are unchanged (the cached
     # rows are the same jitted embed program's outputs; equivalence pinned
-    # in tests/test_train.py), so this is a pure-speed knob.  Host memory:
+    # in tests/test_train_loop.py::TestEmbedCache), so this is a pure-speed
+    # knob.  Host memory:
     # (n_train + n_pairs) × embed_dim × 4 bytes (fp32 rows — ~178 MB at
     # full-FairFace scale).  Automatically inactive when image-path params
     # train (vid layers / unfrozen projections — the embeddings would go

@@ -127,8 +127,13 @@ class HostLoader:
         """One epoch of Batch tuples whose ``images`` field holds ROW INDICES
         (int64 [B]) instead of decoded pixels — the training loop's
         frozen-embedding cache gathers precomputed embedding rows with them.
-        Same order, batching, padding and labels as __iter__ would produce
-        this epoch (padding indices are 0; ``num_valid`` masks them)."""
+        Same order, batching and labels as __iter__ would produce this
+        epoch.  Padding SEMANTICS diverge from __iter__ by necessity: pad
+        positions hold index 0 (there is no "zero image" index), where
+        __iter__ pads with zero canvases — a drop_remainder=False consumer
+        MUST mask by ``num_valid`` before using gathered rows or pad
+        positions become live duplicates of row 0 (the training loop always
+        iterates drop_remainder=True, so it never sees padding here)."""
         order, bounds = self._epoch_plan()
         for s, e in bounds:
             idx = order[s:e].astype(np.int64)

@@ -39,6 +39,51 @@ def _fairface_caption(row) -> str:
     return f"a photo of a {row['age']} year old {row['race'].replace('_', ' ').lower()} {row['gender'].lower()}"
 
 
+def _check_caption_corpus(n: int, batch_size: int, message: str):
+    if n < batch_size:
+        # drop-remainder batching would yield NOTHING and the infinite
+        # stream would busy-loop forever — fail loudly instead
+        raise ValueError(message)
+
+
+def _caption_index_stream(batch_size, rng, pairs_ds=None, n: int = 0):
+    """Infinite stream of caption-batch row indices — the SINGLE source of
+    the contrastive stream's order for both the decode path
+    (_caption_batches) and the frozen-embedding cache, so the two cannot
+    drift apart.  One rng draw per corpus pass in either style."""
+    if pairs_ds is not None:
+        while True:  # one rng shuffle per pass (ImageCaptionPairs order)
+            yield from pairs_ds.index_batches(batch_size, rng)
+    else:
+        while True:
+            idx = rng.permutation(n)
+            for s in range(0, n - batch_size + 1, batch_size):
+                yield idx[s : s + batch_size]
+
+
+def _caption_fallback_batch(fairface, sel, preprocess_px):
+    """Decode one FairFace caption-fallback batch at the model resolution:
+    threaded native ingest with per-row PIL fallback for files the C++
+    decoder rejects — the SAME recovery the attribute batch's loader
+    applies (data/loader.py::_iter_native), keeping the two streams' (and
+    the embedding cache's) pixels identical row-for-row."""
+    from .. import native
+    from ..vision.preprocess import resize_crop_u8, to_rgb_array
+
+    paths = [fairface._img_fnames[int(i)] for i in sel]
+    if native.available():
+        images, ok = native.ingest_batch_files_u8(paths, preprocess_px)
+        if not ok.all():
+            for j in np.nonzero(~ok)[0]:
+                images[j] = resize_crop_u8(
+                    to_rgb_array(fairface.load_image(int(sel[j]))),
+                    preprocess_px)
+        return images
+    return np.stack([
+        resize_crop_u8(fairface.load_image(int(i)), preprocess_px)
+        for i in sel])
+
+
 def _caption_batches(pairs_path, tokenizer, batch_size, fairface, preprocess_px,
                      rng):
     """Infinite iterator of (images_u8, tokens) contrastive batches."""
@@ -49,43 +94,25 @@ def _caption_batches(pairs_path, tokenizer, batch_size, fairface, preprocess_px,
         # arch fed 224px captions would upscale on device and degrade the
         # contrastive batch relative to the native-n_px attribute batch
         ds = ImageCaptionPairs(pairs_path, image_size=preprocess_px)
-        if len(ds) < batch_size:
-            # drop-remainder batching would yield NOTHING and the infinite
-            # wrapper would busy-loop forever — fail loudly instead
-            raise ValueError(
-                f"caption corpus at {pairs_path} has {len(ds)} pairs, fewer "
-                f"than batch_size={batch_size}; shrink the batch or grow "
-                "the corpus")
-        while True:
-            yield from ds.batches(tokenizer, batch_size, rng=rng)
+        _check_caption_corpus(
+            len(ds), batch_size,
+            f"caption corpus at {pairs_path} has {len(ds)} pairs, fewer "
+            f"than batch_size={batch_size}; shrink the batch or grow "
+            "the corpus")
+        for idx in _caption_index_stream(batch_size, rng, pairs_ds=ds):
+            yield ds.load_batch(idx, tokenizer)
     else:
         n = len(fairface)
-        if n < batch_size:
-            raise ValueError(
-                f"FairFace caption fallback has {n} rows, fewer than "
-                f"batch_size={batch_size}; shrink the batch")
-        from .. import native
-        from ..vision.preprocess import resize_crop_u8
-
-        while True:
-            idx = rng.permutation(n)
-            for s in range(0, n - batch_size + 1, batch_size):
-                sel = idx[s : s + batch_size]
-                paths = [fairface._img_fnames[int(i)] for i in sel]
-                if native.available():
-                    # threaded decode+bit-exact resize (the same ingest the
-                    # attribute batch rides) instead of serial PIL on the
-                    # training thread; failed rows stay zero canvases
-                    images, _ok = native.ingest_batch_files_u8(
-                        paths, preprocess_px)
-                else:
-                    images = np.stack([
-                        resize_crop_u8(fairface.load_image(int(i)),
-                                       preprocess_px) for i in sel])
-                caps = [
-                    _fairface_caption(fairface.labels.iloc[int(i)]) for i in sel
-                ]
-                yield images, np.asarray(tokenizer(caps), np.int32)
+        _check_caption_corpus(
+            n, batch_size,
+            f"FairFace caption fallback has {n} rows, fewer than "
+            f"batch_size={batch_size}; shrink the batch")
+        for sel in _caption_index_stream(batch_size, rng, n=n):
+            images = _caption_fallback_batch(fairface, sel, preprocess_px)
+            caps = [
+                _fairface_caption(fairface.labels.iloc[int(i)]) for i in sel
+            ]
+            yield images, np.asarray(tokenizer(caps), np.int32)
 
 
 def run_training(
@@ -279,11 +306,14 @@ def run_training(
     # SAME rows — instead, embed the train rows and the caption corpus ONCE
     # (same jitted embed program, same per-row outputs) and train epochs
     # from gathered embedding rows via trainer.step_from_embeddings.  Batch
-    # sequences are identical to the decode path by construction: the index
-    # iterators share the decode iterators' rng and order logic
-    # (HostLoader._epoch_plan, ImageCaptionPairs.index_batches).
+    # sequences are identical to the decode path by construction: both
+    # consume the same index sources (HostLoader._epoch_plan,
+    # _caption_index_stream).  The step_count guard keeps a resumed-and-
+    # already-complete recipe lazy like the decode path — no point paying
+    # the full precompute pass to then train zero steps.
     cache_embs = (bool(getattr(tcfg, "cache_frozen_embeddings", True))
-                  and not trainer.trains_image)
+                  and not trainer.trains_image
+                  and trainer.step_count < total_steps)
 
     def _embed_rows(images_u8) -> np.ndarray:
         e = trainer.fns.embed_images(
@@ -312,11 +342,11 @@ def run_training(
             from ..data.pairs import ImageCaptionPairs
 
             cap_ds = ImageCaptionPairs(pairs_path, image_size=n_px)
-            if len(cap_ds) < batch_size:
-                raise ValueError(
-                    f"caption corpus at {pairs_path} has {len(cap_ds)} "
-                    f"pairs, fewer than batch_size={batch_size}; shrink "
-                    "the batch or grow the corpus")
+            _check_caption_corpus(
+                len(cap_ds), batch_size,
+                f"caption corpus at {pairs_path} has {len(cap_ds)} "
+                f"pairs, fewer than batch_size={batch_size}; shrink "
+                "the batch or grow the corpus")
             emb_rows, tok_rows = [], []
             starts = range(0, len(cap_ds), batch_size)
             if progress:
@@ -335,31 +365,23 @@ def run_training(
                 tok_rows.append(np.asarray(tokens, np.int32))
             cap_embs_all = np.concatenate(emb_rows, axis=0)
             cap_tokens_all = np.concatenate(tok_rows, axis=0)
-
-            def _cap_index_stream():
-                while True:  # one rng shuffle per pass, like ds.batches
-                    yield from cap_ds.index_batches(batch_size, rng)
+            caption_idx_iter = _caption_index_stream(batch_size, rng,
+                                                     pairs_ds=cap_ds)
         else:
             # FairFace caption fallback: same images as the attribute rows
-            # (identical decode path) — reuse their embeddings; only the
-            # synthesized captions are new
-            if len(train_ds) < batch_size:
-                raise ValueError(
-                    f"FairFace caption fallback has {len(train_ds)} rows, "
-                    f"fewer than batch_size={batch_size}; shrink the batch")
+            # (HostLoader and _caption_fallback_batch decode identically,
+            # per-row PIL recovery included) — reuse their embeddings;
+            # only the synthesized captions are new
+            _check_caption_corpus(
+                len(train_ds), batch_size,
+                f"FairFace caption fallback has {len(train_ds)} rows, "
+                f"fewer than batch_size={batch_size}; shrink the batch")
             cap_embs_all = train_embs
             cap_tokens_all = np.asarray(
                 tokenizer([_fairface_caption(train_ds.labels.iloc[i])
                            for i in range(len(train_ds))]), np.int32)
-
-            def _cap_index_stream():
-                n = len(train_ds)
-                while True:  # mirrors _caption_batches' fallback order
-                    idx = rng.permutation(n)
-                    for s in range(0, n - batch_size + 1, batch_size):
-                        yield idx[s : s + batch_size]
-
-        caption_idx_iter = _cap_index_stream()
+            caption_idx_iter = _caption_index_stream(batch_size, rng,
+                                                     n=len(train_ds))
     else:
         caption_iter = _caption_batches(pairs_path, tokenizer, batch_size,
                                         train_ds, n_px, rng)

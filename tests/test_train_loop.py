@@ -188,7 +188,8 @@ class TestEmbedCache:
         }).to_csv(root / "captions.csv", index=False)
         return str(root)
 
-    def _run(self, ff_root, ckpt_dir, cached, pairs_path=None, epochs=2):
+    def _run(self, ff_root, ckpt_dir, cached, pairs_path=None, epochs=2,
+             resume=False):
         from debias_vision_lang_tpu.train.loop import run_training
 
         return run_training(
@@ -203,6 +204,7 @@ class TestEmbedCache:
             sensitive_prompts=["a good person", "a bad person"],
             use_pallas=False,
             progress=False,
+            resume=resume,
             train_cfg=TrainConfig(batch_size=8, num_epochs=epochs,
                                   eval_every_steps=1,
                                   cache_frozen_embeddings=cached),
@@ -235,6 +237,18 @@ class TestEmbedCache:
         np.testing.assert_array_equal(la, lb)
         assert a["best_ndkl"] == b["best_ndkl"]
         np.testing.assert_array_equal(ea, eb)
+
+    def test_resume_of_complete_recipe_skips_precompute(self, ff_root,
+                                                        tmp_path):
+        """Resuming an already-finished recipe must stay lazy like the
+        decode path — no full precompute pass to then train zero steps
+        (summary reports embed_cache False for that run)."""
+        ckpt = str(tmp_path / "ckpt_resume")
+        first = self._run(ff_root, ckpt, True, epochs=1)
+        assert first["embed_cache"] is True and first["steps"] == 2
+        again = self._run(ff_root, ckpt, True, epochs=1, resume=True)
+        assert again["steps"] == 2  # recipe not extended (round-3 contract)
+        assert again["embed_cache"] is False  # precompute skipped
 
     def test_cache_auto_disabled_when_image_path_trains(self, ff_root,
                                                         tmp_path):
