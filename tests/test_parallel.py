@@ -448,3 +448,97 @@ class TestInt8UnderMesh:
                                    i_single, atol=1e-5)
         np.testing.assert_allclose(np.asarray(embed_t(q_tp, tokens_s)),
                                    t_single, atol=1e-5)
+
+
+class TestTrainerUnderMesh:
+    """The REAL AdversarialTrainer on the DP mesh (not the dryrun's
+    hand-jitted step): one mesh step must match one single-device step —
+    both for the decode-path ``step`` and for the frozen-embedding-cache
+    ``step_from_embeddings`` (round-5, TrainConfig.cache_frozen_embeddings).
+    The cache path's only mesh-specific code is ``_shard`` on the
+    precomputed embedding rows; this pins that the gathered-row batches
+    shard like decoded batches do."""
+
+    CTX, VOCAB, PX = 16, 128, 32
+
+    def _tok(self, texts):
+        out = np.zeros((len(texts), self.CTX), np.int32)
+        out[:, 0] = self.VOCAB - 2
+        for i, t in enumerate(texts):
+            out[i, 1] = abs(hash(t)) % 100 + 1
+            out[i, 2] = self.VOCAB - 1
+        return out
+
+    def _trainer(self, mesh):
+        from debias_vision_lang_tpu.core.config import (
+            CLIPConfig, DebiasConfig, TextConfig, TrainConfig, VisionConfig)
+        from debias_vision_lang_tpu.models.adversary import Adversary
+        from debias_vision_lang_tpu.models.clip import init_clip_params
+        from debias_vision_lang_tpu.models.debias import (
+            DebiasCLIP, init_debias_tokens)
+        from debias_vision_lang_tpu.train.adversarial import AdversarialTrainer
+
+        cfg = CLIPConfig(
+            name="mesh-trainer",
+            vision=VisionConfig(kind="vit", image_size=self.PX, patch_size=8,
+                                width=32, layers=1, heads=2, embed_dim=16),
+            text=TextConfig(vocab_size=self.VOCAB, context_length=self.CTX,
+                            width=32, layers=1, heads=2, embed_dim=16),
+        )
+        params = init_clip_params(jax.random.key(0), cfg)
+        dcfg = DebiasConfig(num_debias_tokens=2, hidden_dim=32,
+                            max_tokens=self.CTX)
+        deb = init_debias_tokens(jax.random.key(1), params, dcfg)
+        model = DebiasCLIP(clip_params=params, debias_tokens=deb,
+                           clip_cfg=cfg, debias_cfg=dcfg)
+        adv = Adversary.from_cfg({"ADV_N_INPUT": 2, "ADV_N_OUTPUT": 1,
+                                  "ADV_HIDDEN_SIZE": 8, "SEED": 0})
+        return AdversarialTrainer.create(
+            model, adv, TrainConfig(batch_size=16, num_epochs=1),
+            self._tok(["a good person", "a bad person"]),
+            use_pallas=False, mesh=mesh)
+
+    def _batch(self):
+        rng = np.random.default_rng(3)
+        B = 16
+        images = rng.normal(size=(B, self.PX, self.PX, 3)).astype(np.float32)
+        cap_images = rng.normal(
+            size=(B, self.PX, self.PX, 3)).astype(np.float32)
+        labels = (np.arange(B) % 2).astype(np.float32)
+        cap_tokens = self._tok([f"caption {i}" for i in range(B)])
+        return images, labels, cap_images, cap_tokens
+
+    def test_step_mesh_matches_single_device(self):
+        images, labels, cap_images, cap_tokens = self._batch()
+        t1, t8 = self._trainer(None), self._trainer(create_mesh())
+        for _ in range(2):  # second step exercises in-flight optimizer state
+            m1 = t1.step(images, labels, cap_images, cap_tokens)
+            m8 = t8.step(images, labels, cap_images, cap_tokens)
+        assert m1["step"] == m8["step"] == 2
+        for k in m1:
+            np.testing.assert_allclose(m1[k], m8[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=f"metric {k}")
+        np.testing.assert_allclose(
+            np.asarray(t1.model.debias_tokens),
+            np.asarray(t8.model.debias_tokens), rtol=2e-4, atol=2e-5)
+
+    def test_step_from_embeddings_mesh_matches_single_device(self):
+        import jax.numpy as jnp_  # noqa: F401 (parity of imports with step)
+
+        images, labels, cap_images, cap_tokens = self._batch()
+        t1, t8 = self._trainer(None), self._trainer(create_mesh())
+        # precompute the frozen rows exactly like the training loop's cache
+        # (same jitted embed program each trainer would run in step())
+        img_e = np.asarray(t1.fns.embed_images(
+            t1.model.clip_params, jnp.asarray(images)), np.float32)
+        cap_e = np.asarray(t1.fns.embed_images(
+            t1.model.clip_params, jnp.asarray(cap_images)), np.float32)
+        for _ in range(2):
+            m1 = t1.step_from_embeddings(img_e, labels, cap_e, cap_tokens)
+            m8 = t8.step_from_embeddings(img_e, labels, cap_e, cap_tokens)
+        for k in m1:
+            np.testing.assert_allclose(m1[k], m8[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=f"metric {k}")
+        np.testing.assert_allclose(
+            np.asarray(t1.model.debias_tokens),
+            np.asarray(t8.model.debias_tokens), rtol=2e-4, atol=2e-5)
