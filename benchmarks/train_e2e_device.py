@@ -64,19 +64,24 @@ def make_word_tokenizer(context_length: int, vocab_size: int):
 
 def steady_state_ms(log_path: str) -> float:
     """Median inter-step wall time (ms) from metrics.jsonl, skipping the
-    first (compile-bearing) step and eval-point records."""
-    times = []
+    first (compile-bearing) step and any gap that spans an eval record —
+    those gaps carry a full val-split eval + checkpoint save, not step
+    cost, and at small --eval-every they would dominate the median."""
+    gaps, prev_time, clean = [], None, False
     for line in open(log_path):
         rec = json.loads(line)
-        if "loss" in rec:  # train-step records only
-            times.append(rec["time"])
-    gaps = np.diff(times)
+        if "loss" in rec:  # train-step record
+            if prev_time is not None and clean:
+                gaps.append(rec["time"] - prev_time)
+            prev_time, clean = rec["time"], True
+        else:  # eval/best-snapshot record poisons the following gap
+            clean = False
     if len(gaps) < 3:
         return float("nan")
     return float(np.median(gaps[1:]) * 1e3)
 
 
-def run_rung(name: str, world, root: str, n_train: int, epochs: int,
+def run_rung(name: str, world, root: str, epochs: int,
              batch: int, eval_every: int, embed_cache: bool = True) -> dict:
     import torch
 
@@ -173,7 +178,7 @@ def main(argv=None):
                  "pairs": os.path.join(world_dir, "pairs")}
         print("world reused")
 
-    out = [run_rung(name, world, args.root, args.n_train, args.epochs,
+    out = [run_rung(name, world, args.root, args.epochs,
                     args.batch, args.eval_every,
                     embed_cache=not args.no_embed_cache)
            for name in args.rungs.split(",")]

@@ -256,6 +256,13 @@ def measure_bias(
             raise ValueError(
                 f"unknown measure_bias opts {sorted(unknown)}; known keys: "
                 f"{sorted(known)}")
+        if "prompts" in extra and not extra["prompts"]:
+            # an empty battery would measure nothing (and a falsy
+            # placeholder must not silently fall back to the 319 defaults)
+            # — fail before any embedding work, same policy as above
+            raise ValueError(
+                "opts['prompts'] is empty — pass a non-empty prompt list, "
+                "or omit the key for the default generated battery")
 
     # resolve the precision ladder ONCE so BOTH towers honor it:
     # "int8"/"int8-text" wrap the bundle here (prompt embeddings then run
@@ -391,7 +398,9 @@ def measure_bias(
     # (measuring_bias.py:144); a live opts key lets callers measure bias
     # over their own sensitive set — e.g. the trainer-efficacy world's
     # adjective prompts — through this exact entry point.
-    prompts = extra.get("prompts") or gen_prompts()
+    prompts = extra["prompts"] if "prompts" in extra else gen_prompts()
+    # (empty/falsy custom batteries were rejected up front with the other
+    # opts validation — a falsy value must not silently become the default)
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)
 
     if extra.get("sharded_metrics") and mesh is not None:

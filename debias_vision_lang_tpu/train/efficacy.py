@@ -460,20 +460,27 @@ def run_arm(
     prompt_lr: Optional[float] = None,
     adversarial_weight: Optional[float] = None,
     progress: bool = False,
+    before: Optional[Dict] = None,
 ) -> Dict:
     """One experiment arm: measure → run_training → measure with the
     best-NDKL prompt array.  ``adversarial_weight=0`` is the ablation
     control (contrastive fine-tuning only; the adversary still trains but
     its gradient never reaches the prompt array, core/config.py:189 →
-    adversarial.py:286)."""
+    adversarial.py:286).
+
+    ``before`` — a precomputed before-measurement: arms of one ablation
+    seed start from the identical model state, so the measurement is
+    byte-identical across arms and the caller computes it once
+    (run_ablation_experiment); None measures here."""
     import jax.numpy as jnp
 
     from ..core.config import TrainConfig
     from .loop import run_training
 
     model = _fresh_model(params, cfg, seed)
-    before = measure_model(model, val_ds, topk=topk,
-                           data_path=world["fairface"])
+    if before is None:
+        before = measure_model(model, val_ds, topk=topk,
+                               data_path=world["fairface"])
     if progress:
         print("before:", json.dumps(before, indent=2))
 
@@ -596,6 +603,12 @@ def run_ablation_experiment(
             seed_root, n_train=n_train, n_val=n_val,
             pretrain_steps=pretrain_steps, batch_size=batch_size, seed=seed,
             progress=progress)
+        # ONE before-measurement per seed: both arms start from the
+        # identical fresh model over the identical val split, so measuring
+        # per-arm would recompute byte-identical numbers (measure_model is
+        # deterministic) at a full val-embed's cost
+        before = measure_model(_fresh_model(params, cfg, seed), val_ds,
+                               topk=topk, data_path=world["fairface"])
         arms = {}
         for name, w in (("adversarial", 1.0), ("control", 0.0)):
             if progress:
@@ -605,7 +618,7 @@ def run_ablation_experiment(
                 ckpt_dir=os.path.join(seed_root, f"ckpt_{name}"),
                 epochs=epochs, batch_size=batch_size, eval_every=eval_every,
                 topk=topk, seed=seed, adversarial_weight=w,
-                progress=progress)
+                progress=progress, before=before)
         results["seeds"][seed] = arms
         if progress:
             a, c = arms["adversarial"], arms["control"]

@@ -726,3 +726,16 @@ class TestImplicitFp32Hint:
             with pytest.raises(ValueError, match="unknown measure_bias"):
                 measure_bias(None, None, None,
                              opts={"dtype": "float32", "bogus_opt": 1})
+
+    def test_measure_bias_rejects_empty_prompt_battery(self, monkeypatch):
+        """A falsy opts['prompts'] must fail loudly up front, not silently
+        fall back to the 319-prompt default battery (the numbers would be
+        measured over the wrong sensitive set)."""
+        from debias_vision_lang_tpu.eval.measure import measure_bias
+        from debias_vision_lang_tpu.ops import quant
+
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "cpu")
+        for battery in ([], None, ()):
+            with pytest.raises(ValueError, match="prompts.*is empty"):
+                measure_bias(None, None, None,
+                             opts={"dtype": "float32", "prompts": battery})

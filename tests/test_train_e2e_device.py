@@ -21,13 +21,14 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(
+device_gate = pytest.mark.skipif(
     os.environ.get("DEBIAS_VLT_DEVICE_E2E") != "1",
     reason="device e2e training gated behind DEBIAS_VLT_DEVICE_E2E=1 "
            "(holds the accelerator for minutes)",
 )
 
 
+@device_gate
 def test_run_training_end_to_end_on_device(tmp_path):
     out_json = tmp_path / "e2e.json"
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
@@ -50,3 +51,25 @@ def test_run_training_end_to_end_on_device(tmp_path):
         assert np.isfinite(rec[key]), rec
     # best-NDKL selection can only improve on (or match) the final state
     assert rec["best_ndkl"] <= rec["final_ndkl"] + 1e-9, rec
+
+def test_steady_state_ms_excludes_eval_gaps(tmp_path):
+    """A gap that spans an eval record carries val-embed + checkpoint cost,
+    not step cost — it must not contaminate the steady-step median (at
+    --eval-every 2, HALF the gaps span one)."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    try:
+        from train_e2e_device import steady_state_ms
+    finally:
+        sys.path.pop(0)
+
+    log = tmp_path / "metrics.jsonl"
+    t, recs = 0.0, []
+    for step in range(1, 9):
+        t += 5.0 if step == 1 else 0.1  # first step bears the compile
+        recs.append({"time": t, "loss": 1.0, "step": step})
+        if step % 2 == 0:  # eval point: a 2 s val pass between steps
+            t += 2.0
+            recs.append({"time": t, "ndkl_eq_opp": 0.5, "step": step})
+    log.write_text("".join(json.dumps(r) + "\n" for r in recs))
+    # clean gaps are exactly the 0.1 s step-to-step ones
+    assert abs(steady_state_ms(str(log)) - 100.0) < 1e-6
