@@ -256,13 +256,14 @@ def measure_bias(
             raise ValueError(
                 f"unknown measure_bias opts {sorted(unknown)}; known keys: "
                 f"{sorted(known)}")
-        if "prompts" in extra and not extra["prompts"]:
+        if extra.get("prompts") is not None and not extra["prompts"]:
             # an empty battery would measure nothing (and a falsy
             # placeholder must not silently fall back to the 319 defaults)
-            # — fail before any embedding work, same policy as above
+            # — fail before any embedding work, same policy as above.
+            # None is the documented "use the default battery" spelling.
             raise ValueError(
                 "opts['prompts'] is empty — pass a non-empty prompt list, "
-                "or omit the key for the default generated battery")
+                "or None/omit the key for the default generated battery")
 
     # resolve the precision ladder ONCE so BOTH towers honor it:
     # "int8"/"int8-text" wrap the bundle here (prompt embeddings then run
@@ -398,9 +399,9 @@ def measure_bias(
     # (measuring_bias.py:144); a live opts key lets callers measure bias
     # over their own sensitive set — e.g. the trainer-efficacy world's
     # adjective prompts — through this exact entry point.
-    prompts = extra["prompts"] if "prompts" in extra else gen_prompts()
-    # (empty/falsy custom batteries were rejected up front with the other
-    # opts validation — a falsy value must not silently become the default)
+    prompts = extra.get("prompts")
+    if prompts is None:  # empty batteries were rejected up front; only
+        prompts = gen_prompts()  # None/absent means the default battery
     prompt_embs = get_prompt_embeddings(cliplike, tokenizer, prompts)
 
     if extra.get("sharded_metrics") and mesh is not None:

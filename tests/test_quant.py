@@ -728,14 +728,24 @@ class TestImplicitFp32Hint:
                              opts={"dtype": "float32", "bogus_opt": 1})
 
     def test_measure_bias_rejects_empty_prompt_battery(self, monkeypatch):
-        """A falsy opts['prompts'] must fail loudly up front, not silently
+        """An EMPTY opts['prompts'] must fail loudly up front, not silently
         fall back to the 319-prompt default battery (the numbers would be
-        measured over the wrong sensitive set)."""
+        measured over the wrong sensitive set).  None is the documented
+        "use the default battery" spelling (docs/API.md) and must pass the
+        validation layer like an absent key."""
         from debias_vision_lang_tpu.eval.measure import measure_bias
         from debias_vision_lang_tpu.ops import quant
 
         monkeypatch.setattr(quant.jax, "default_backend", lambda: "cpu")
-        for battery in ([], None, ()):
+        for battery in ([], ()):
             with pytest.raises(ValueError, match="prompts.*is empty"):
                 measure_bias(None, None, None,
                              opts={"dtype": "float32", "prompts": battery})
+        # None sails through opts validation (the next failure is the
+        # engine field of the EvalConfig resolving on a None model — any
+        # non-prompts error proves the validation layer accepted it)
+        with pytest.raises(Exception) as ei:
+            measure_bias(None, None, None,
+                         opts={"dtype": "float32", "prompts": None,
+                               "dataset": "nonexistent-dataset"})
+        assert "prompts" not in str(ei.value)
