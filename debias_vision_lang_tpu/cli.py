@@ -164,6 +164,12 @@ def _add_train(sub):
                         "and train epochs from cached rows — bit-identical, "
                         "~15x faster steady step on TPU; this flag forces "
                         "the per-step decode+embed path)")
+    p.add_argument("--embed-cache-dir", default=None,
+                   help="persist the once-embedded rows to this directory, "
+                        "content-fingerprinted (tower weights, dataset "
+                        "rows, captions, dtype) — repeated runs over the "
+                        "same frozen tower + data (hyperparameter sweeps) "
+                        "skip the decode+embed pass entirely")
 
 
 def _cmd_train(args):
@@ -191,6 +197,7 @@ def _cmd_train(args):
         decay_steps=args.decay_steps,
         grad_clip_norm=args.grad_clip_norm,
         cache_frozen_embeddings=not args.no_embed_cache,
+        embedding_cache_dir=args.embed_cache_dir,
     )
     print(json.dumps(best, indent=2))
 

@@ -257,6 +257,13 @@ class TrainConfig:
     # train (vid layers / unfrozen projections — the embeddings would go
     # stale; that includes every approx_frozen_scores config).
     cache_frozen_embeddings: bool = True
+    # Persist those once-embedded rows to DISK, keyed by content
+    # fingerprints (tower params bytes, dataset rows, captions CSV, embed
+    # dtype, resolution — train/embcache.py), so REPEATED run_training
+    # calls over the same frozen tower + data (hyperparameter sweeps, the
+    # reference protocol's grids) skip even the one-time decode+embed
+    # pass.  None (default) keeps the cache in-memory per call.
+    embedding_cache_dir: Optional[str] = None
 
 
 _UPPER_KEYS = {

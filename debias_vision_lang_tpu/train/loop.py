@@ -148,6 +148,7 @@ def run_training(
     decay_steps: Optional[int] = None,
     grad_clip_norm: Optional[float] = None,
     cache_frozen_embeddings: bool = True,
+    embedding_cache_dir: Optional[str] = None,
 ) -> Dict:
     """Train the prompt array adversarially; returns a summary dict."""
     import jax
@@ -231,6 +232,8 @@ def run_training(
             overrides["grad_clip_norm"] = grad_clip_norm
         if not cache_frozen_embeddings:
             overrides["cache_frozen_embeddings"] = False
+        if embedding_cache_dir is not None:
+            overrides["embedding_cache_dir"] = embedding_cache_dir
         if overrides:
             tcfg = dataclasses.replace(tcfg, **overrides)
     else:
@@ -245,7 +248,8 @@ def run_training(
                            warmup_steps=warmup_steps,
                            decay_steps=decay_steps,
                            grad_clip_norm=grad_clip_norm,
-                           cache_frozen_embeddings=cache_frozen_embeddings)
+                           cache_frozen_embeddings=cache_frozen_embeddings,
+                           embedding_cache_dir=embedding_cache_dir)
     # the loop below drives off the LOCALS — resolve them from the config so
     # a provided train_cfg's num_epochs/batch_size/eval_every_steps are
     # honored instead of silently losing to the kwarg defaults (explicit
@@ -321,22 +325,50 @@ def run_training(
             trainer._shard(prep(jnp.asarray(images_u8))))
         return np.asarray(e, np.float32)
 
+    disk_state = None  # {"train": hit|miss, "captions": hit|miss|train-rows}
     if cache_embs:
-        # attribute rows in dataset order (fresh unshuffled loader — the
-        # training loader's rng must only advance once per training epoch)
-        src = HostLoader(train_ds, batch_size=batch_size,
-                         drop_remainder=False, shuffle=False,
-                         native_n_px=n_px)
-        if progress:
-            import tqdm
+        # Optional DISK persistence across run_training calls (sweep
+        # workflow — train/embcache.py documents the key/safety model):
+        # content-fingerprinted, so a different checkpoint, dataset, or
+        # embed dtype misses instead of silently reusing wrong rows.
+        disk_dir = getattr(tcfg, "embedding_cache_dir", None)
+        base_key = train_key = train_path = None
+        if disk_dir:
+            from . import embcache as _ec
 
-            src = tqdm.tqdm(src, desc="embed cache: train rows")
-        rows, seen = [], 0
-        for b in src:
-            rows.append(_embed_rows(b.images)[: b.num_valid])
-            seen += b.num_valid
-        train_embs = np.concatenate(rows, axis=0)
-        assert seen == len(train_ds)
+            disk_state = {"train": "miss", "captions": "miss"}
+            base_key = {
+                "v": 1, "arch": model.clip_cfg.name, "n_px": n_px,
+                "embed_dtype": tcfg.embed_dtype,
+                "params": _ec.params_fingerprint(trainer.model.clip_params),
+            }
+            train_key = {**base_key,
+                         "rows": _ec.dataset_fingerprint(train_ds)}
+            train_path = _ec.cache_path(disk_dir, "train_rows", train_key)
+            hit = _ec.cache_load(train_path, train_key)
+            if hit is not None and len(hit["embeddings"]) == len(train_ds):
+                train_embs = hit["embeddings"]
+                disk_state["train"] = "hit"
+
+        if disk_state is None or disk_state["train"] != "hit":
+            # attribute rows in dataset order (fresh unshuffled loader — the
+            # training loader's rng must only advance once per training
+            # epoch)
+            src = HostLoader(train_ds, batch_size=batch_size,
+                             drop_remainder=False, shuffle=False,
+                             native_n_px=n_px)
+            if progress:
+                import tqdm
+
+                src = tqdm.tqdm(src, desc="embed cache: train rows")
+            rows, seen = [], 0
+            for b in src:
+                rows.append(_embed_rows(b.images)[: b.num_valid])
+                seen += b.num_valid
+            train_embs = np.concatenate(rows, axis=0)
+            assert seen == len(train_ds)
+            if disk_dir:
+                _ec.cache_store(train_path, train_key, embeddings=train_embs)
 
         if pairs_path is not None:
             from ..data.pairs import ImageCaptionPairs
@@ -347,24 +379,45 @@ def run_training(
                 f"caption corpus at {pairs_path} has {len(cap_ds)} "
                 f"pairs, fewer than batch_size={batch_size}; shrink "
                 "the batch or grow the corpus")
-            emb_rows, tok_rows = [], []
-            starts = range(0, len(cap_ds), batch_size)
-            if progress:
-                import tqdm
+            cap_key = cap_path = None
+            cap_embs_all = None
+            if disk_dir:
+                cap_key = {**base_key,
+                           "captions_csv": _ec.file_sha256(
+                               os.path.join(pairs_path, "captions.csv"))}
+                cap_path = _ec.cache_path(disk_dir, "caption_rows", cap_key)
+                hit = _ec.cache_load(cap_path, cap_key)
+                if hit is not None and len(hit["embeddings"]) == len(cap_ds):
+                    cap_embs_all = hit["embeddings"]
+                    disk_state["captions"] = "hit"
+            if cap_embs_all is None:
+                emb_rows = []
+                starts = range(0, len(cap_ds), batch_size)
+                if progress:
+                    import tqdm
 
-                starts = tqdm.tqdm(starts, desc="embed cache: caption rows")
-            for s in starts:
-                idx = np.arange(s, min(s + batch_size, len(cap_ds)))
-                images, tokens = cap_ds.load_batch(idx, tokenizer)
-                if len(idx) < batch_size:  # pad: keep one compiled shape
-                    pad = batch_size - len(idx)
-                    images = np.concatenate(
-                        [images, np.zeros((pad,) + images.shape[1:],
-                                          images.dtype)])
-                emb_rows.append(_embed_rows(images)[: len(idx)])
-                tok_rows.append(np.asarray(tokens, np.int32))
-            cap_embs_all = np.concatenate(emb_rows, axis=0)
-            cap_tokens_all = np.concatenate(tok_rows, axis=0)
+                    starts = tqdm.tqdm(starts,
+                                       desc="embed cache: caption rows")
+                for s in starts:
+                    idx = np.arange(s, min(s + batch_size, len(cap_ds)))
+                    images, _ = cap_ds.load_batch(idx, tokenizer)
+                    if len(idx) < batch_size:  # pad: keep one compiled shape
+                        pad = batch_size - len(idx)
+                        images = np.concatenate(
+                            [images, np.zeros((pad,) + images.shape[1:],
+                                              images.dtype)])
+                    emb_rows.append(_embed_rows(images)[: len(idx)])
+                cap_embs_all = np.concatenate(emb_rows, axis=0)
+                if disk_dir:
+                    _ec.cache_store(cap_path, cap_key,
+                                    embeddings=cap_embs_all)
+            # tokens are NOT persisted: the tokenizer is an opaque callable
+            # (no fingerprint), and tokenizing the corpus is cheap — one
+            # whole-corpus call produces exactly the per-batch rows the
+            # decode path would (row-wise op)
+            cap_tokens_all = np.asarray(
+                tokenizer([cap_ds.caption(i) for i in range(len(cap_ds))]),
+                np.int32)
             caption_idx_iter = _caption_index_stream(batch_size, rng,
                                                      pairs_ds=cap_ds)
         else:
@@ -377,6 +430,8 @@ def run_training(
                 f"FairFace caption fallback has {len(train_ds)} rows, "
                 f"fewer than batch_size={batch_size}; shrink the batch")
             cap_embs_all = train_embs
+            if disk_state is not None:  # no second disk file: rows shared
+                disk_state["captions"] = "train-rows"
             cap_tokens_all = np.asarray(
                 tokenizer([_fairface_caption(train_ds.labels.iloc[i])
                            for i in range(len(train_ds))]), np.int32)
@@ -456,4 +511,7 @@ def run_training(
         # True when the frozen-tower embedding cache carried the epochs
         # (TrainConfig.cache_frozen_embeddings ∧ frozen image path)
         "embed_cache": cache_embs,
+        # per-corpus hit/miss when TrainConfig.embedding_cache_dir persisted
+        # the rows to disk (None: disk persistence off or cache inactive)
+        "embed_cache_disk": disk_state,
     }

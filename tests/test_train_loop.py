@@ -189,11 +189,11 @@ class TestEmbedCache:
         return str(root)
 
     def _run(self, ff_root, ckpt_dir, cached, pairs_path=None, epochs=2,
-             resume=False):
+             resume=False, cache_dir=None, model=None):
         from debias_vision_lang_tpu.train.loop import run_training
 
         return run_training(
-            model=tiny_model(),
+            model=model if model is not None else tiny_model(),
             tokenizer=tok,
             attribute="gender",
             data_path=ff_root,
@@ -207,7 +207,8 @@ class TestEmbedCache:
             resume=resume,
             train_cfg=TrainConfig(batch_size=8, num_epochs=epochs,
                                   eval_every_steps=1,
-                                  cache_frozen_embeddings=cached),
+                                  cache_frozen_embeddings=cached,
+                                  embedding_cache_dir=cache_dir),
         )
 
     @pytest.mark.parametrize("use_pairs", [False, True],
@@ -237,6 +238,70 @@ class TestEmbedCache:
         np.testing.assert_array_equal(la, lb)
         assert a["best_ndkl"] == b["best_ndkl"]
         np.testing.assert_array_equal(ea, eb)
+
+    def test_disk_cache_roundtrip_and_invalidation(self, ff_root, pairs_root,
+                                                   tmp_path):
+        """TrainConfig.embedding_cache_dir (sweep persistence): the second
+        run over the same tower + data loads both corpora from disk and
+        produces an identical trajectory; a different tower misses instead
+        of silently reusing wrong rows; a corrupted file is recomputed."""
+        import torch
+
+        cache = str(tmp_path / "emb_cache")
+        r1 = self._run(ff_root, str(tmp_path / "d1"), True,
+                       pairs_path=pairs_root, cache_dir=cache)
+        assert r1["embed_cache_disk"] == {"train": "miss",
+                                          "captions": "miss"}
+        files = sorted(os.listdir(cache))
+        assert len(files) == 2  # train_rows_* + caption_rows_*
+        # the ORIGINAL tower's train file — captured now, before the
+        # perturbed-tower run below adds its own pair under different keys
+        train_file = [f for f in files if f.startswith("train_rows_")][0]
+
+        r2 = self._run(ff_root, str(tmp_path / "d2"), True,
+                       pairs_path=pairs_root, cache_dir=cache)
+        assert r2["embed_cache_disk"] == {"train": "hit", "captions": "hit"}
+        e1 = torch.load(r1["export"], map_location="cpu",
+                        weights_only=True).numpy()
+        e2 = torch.load(r2["export"], map_location="cpu",
+                        weights_only=True).numpy()
+        np.testing.assert_array_equal(e1, e2)
+        assert r1["best_ndkl"] == r2["best_ndkl"]
+
+        # a different tower (perturbed weight) must MISS — the params
+        # fingerprint is load-bearing, not decorative
+        other = tiny_model()
+        other.clip_params["logit_scale"] = (
+            other.clip_params["logit_scale"] + 0.25)
+        r3 = self._run(ff_root, str(tmp_path / "d3"), True,
+                       pairs_path=pairs_root, cache_dir=cache, model=other)
+        assert r3["embed_cache_disk"] == {"train": "miss",
+                                          "captions": "miss"}
+
+        # corrupt one cache file in place: treated as a miss, recomputed,
+        # and the NEXT run hits again off the rewritten file
+        with open(os.path.join(cache, train_file), "wb") as f:
+            f.write(b"not an npz")
+        r4 = self._run(ff_root, str(tmp_path / "d4"), True,
+                       pairs_path=pairs_root, cache_dir=cache)
+        assert r4["embed_cache_disk"]["train"] == "miss"
+        assert r4["embed_cache_disk"]["captions"] == "hit"
+        r5 = self._run(ff_root, str(tmp_path / "d5"), True,
+                       pairs_path=pairs_root, cache_dir=cache)
+        assert r5["embed_cache_disk"] == {"train": "hit", "captions": "hit"}
+
+    def test_disk_cache_fallback_branch_shares_train_rows(self, ff_root,
+                                                          tmp_path):
+        """FairFace caption fallback: one disk file (the caption stream
+        reuses the attribute rows' embeddings)."""
+        cache = str(tmp_path / "emb_cache_fb")
+        r1 = self._run(ff_root, str(tmp_path / "f1"), True, cache_dir=cache)
+        assert r1["embed_cache_disk"] == {"train": "miss",
+                                          "captions": "train-rows"}
+        assert len(os.listdir(cache)) == 1
+        r2 = self._run(ff_root, str(tmp_path / "f2"), True, cache_dir=cache)
+        assert r2["embed_cache_disk"] == {"train": "hit",
+                                          "captions": "train-rows"}
 
     def test_resume_of_complete_recipe_skips_precompute(self, ff_root,
                                                         tmp_path):
@@ -368,6 +433,29 @@ class TestCLI:
                   "--topn", "5", "--batch-size", "8", "--random-weights"])
         out = json.loads(capsys.readouterr().out)
         assert set(out) == {"maxskew", "ndkl"}
+
+    def test_train_embed_cache_flags_plumb_through(self, monkeypatch,
+                                                   capsys):
+        """--embed-cache-dir / --no-embed-cache reach run_training as
+        embedding_cache_dir / cache_frozen_embeddings."""
+        import debias_vision_lang_tpu.cli as cli
+
+        seen = {}
+
+        def fake_run_training(**kw):
+            seen.update(kw)
+            return {"ok": True}
+
+        monkeypatch.setattr("debias_vision_lang_tpu.train.loop.run_training",
+                            fake_run_training)
+        cli.main(["train", "--random-weights", "--epochs", "1",
+                  "--embed-cache-dir", "/tmp/sweep_cache"])
+        assert seen["embedding_cache_dir"] == "/tmp/sweep_cache"
+        assert seen["cache_frozen_embeddings"] is True
+        cli.main(["train", "--random-weights", "--epochs", "1",
+                  "--no-embed-cache"])
+        assert seen["embedding_cache_dir"] is None
+        assert seen["cache_frozen_embeddings"] is False
 
     def test_measure_bias_mesh_cache_flags(self, ff_root, capsys,
                                            monkeypatch, tmp_path):
