@@ -82,7 +82,8 @@ def steady_state_ms(log_path: str) -> float:
 
 
 def run_rung(name: str, world, root: str, epochs: int,
-             batch: int, eval_every: int, embed_cache: bool = True) -> dict:
+             batch: int, eval_every: int, embed_cache: bool = True,
+             embed_cache_dir: str = None) -> dict:
     import torch
 
     from debias_vision_lang_tpu.core.config import TrainConfig
@@ -109,7 +110,8 @@ def run_rung(name: str, world, root: str, epochs: int,
             batch_size=batch, num_epochs=epochs, eval_every_steps=eval_every,
             checkpoint_dir=ckpt, embed_dtype=embed_dtype,
             train_dtype=train_dtype,
-            cache_frozen_embeddings=embed_cache),
+            cache_frozen_embeddings=embed_cache,
+            embedding_cache_dir=embed_cache_dir),
         checkpoint_dir=ckpt,
         progress=True,
         seed=0,
@@ -155,6 +157,12 @@ def main(argv=None):
     ap.add_argument("--no-embed-cache", action="store_true",
                     help="disable the frozen-embedding cache "
                          "(TrainConfig.cache_frozen_embeddings) for A/B")
+    ap.add_argument("--embed-cache-dir", default=None,
+                    help="persist the once-embedded rows to disk "
+                         "(TrainConfig.embedding_cache_dir) — a second "
+                         "rung/run over the same tower + world skips the "
+                         "decode+embed pass; NOTE: rungs differ in "
+                         "embed_dtype, so each rung keeps its own keys")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
 
@@ -180,7 +188,8 @@ def main(argv=None):
 
     out = [run_rung(name, world, args.root, args.epochs,
                     args.batch, args.eval_every,
-                    embed_cache=not args.no_embed_cache)
+                    embed_cache=not args.no_embed_cache,
+                    embed_cache_dir=args.embed_cache_dir)
            for name in args.rungs.split(",")]
     print(json.dumps(out, indent=2))
     if args.json_out:
