@@ -132,6 +132,7 @@ def run_rung(name: str, world, root: str, epochs: int,
     rec = {
         "rung": name, "embed_dtype": embed_dtype, "train_dtype": train_dtype,
         "embed_cache": bool(summary["embed_cache"]),
+        "embed_cache_disk": summary.get("embed_cache_disk"),
         "steps": steps, "epochs": epochs, "batch": batch,
         "wall_s": round(wall, 1),
         "e2e_img_per_s": round(steps * batch / wall, 1),
